@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry oracle parity (mimics the driver).
+
+Usage: python3 scripts/check_oracle.py <verify_out_dir> <sf_dir>
+
+Reads each <out>/<name> parquet written by graft.Verify, runs the matching
+oracle SQL from <out>/oracle_sql.json in DuckDB over the same testdata
+parquet, sorts columns by name + rows by all columns, and compares values
+exactly (reporting max float deltas when not bit-equal).
+
+Dev-only tool: NOT part of the shipped library (driver-side python env).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamps to us precision (spark writes us, duckdb may differ)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+            try:
+                df[c] = df[c].dt.tz_localize(None)
+            except (TypeError, AttributeError):
+                pass
+        d = df[c].dtype
+        if d == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        spark_df = pd.read_parquet(os.path.join(out_dir, name))
+        if name not in oracles:
+            results[name] = f"NO-ORACLE rows={len(spark_df)}"
+            continue
+        try:
+            oracle_df = con.execute(oracles[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE-SQL-ERROR: {e}"
+            continue
+        a, b = canon(spark_df), canon(oracle_df)
+        if list(a.columns) != list(b.columns):
+            results[name] = f"SCHEMA-MISMATCH spark={list(a.columns)} oracle={list(b.columns)}"
+            continue
+        if len(a) != len(b):
+            results[name] = f"ROWCOUNT-MISMATCH spark={len(a)} oracle={len(b)}"
+            continue
+        diffs = []
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                aa, bb = av.astype(float).values, bv.astype(float).values
+                both_nan = np.isnan(aa) & np.isnan(bb)
+                neq = ~both_nan & (aa != bb)
+                if neq.any():
+                    mx = np.nanmax(np.abs(aa[neq] - bb[neq]))
+                    diffs.append(f"{c}: {neq.sum()} cells differ, max|Δ|={mx:.3e}")
+            else:
+                try:
+                    eq = (av.values == bv.values) | (av.isna().values & b[c].isna().values)
+                except Exception:
+                    eq = av.astype(str).values == bv.astype(str).values
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    diffs.append(f"{c}: {(~eq).sum()} cells differ, first at row {i}: {av.iloc[i]!r} vs {bv.iloc[i]!r}")
+        results[name] = "OK rows=%d" % len(a) if not diffs else "VALUE-MISMATCH " + "; ".join(diffs)
+    width = max(len(n) for n in results) if results else 10
+    n_ok = sum(1 for v in results.values() if v.startswith(("OK", "NO-ORACLE")))
+    for name, verdict in sorted(results.items()):
+        print(f"{name:<{width}}  {verdict}")
+    print(f"\n{n_ok}/{len(results)} clean")
+    sys.exit(0 if n_ok == len(results) else 1)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.{Query, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational surface: scans, projections, filters, aggregation, joins,
+  * top-k — the batch equivalents of the reference's Cassandra/Grafana query
+  * shapes (SURVEY §2.1 S4/S5, §2.4 A2/A3, §2.6 J1/J3, §3.3).
+  *
+  * Scale notes (100 TB posture):
+  *  - All scans are declarative parquet reads → Catalyst pushes predicates
+  *    and prunes columns (verified via .explain: PushedFilters/ReadSchema).
+  *  - Dimension joins (nation, part) use explicit broadcast() — no shuffle
+  *    of the fact side.
+  *  - Top-k is ORDER BY+LIMIT → TakeOrderedAndProject (no global sort).
+  *  - Monetary aggregates run in DECIMAL (exact, order-independent) and cast
+  *    to DOUBLE at the end, so results are reproducible across partitionings
+  *    AND hash-match the DuckDB oracle.
+  */
+object Relational extends QueryPack {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  override def queries: Seq[Query] = Seq(
+
+    // ---- aggregation over the big fact table (reference A1/A3 analogue) ----
+    Query(
+      "q_agg_pricing_summary",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+            sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+              .cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      doc = "SURVEY §2.4 A3-style grouped aggregate; partial agg map-side, one shuffle on group keys"),
+
+    // ---- time-range scan (reference S4: Cassandra prepared range scan) ----
+    Query(
+      "q_scan_range",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .where(col("event_type") === "click" &&
+            col("ts").between(lit("2024-01-05 00:00:00").cast("timestamp"),
+                              lit("2024-01-20 00:00:00").cast("timestamp")))
+          .select("event_id", "ts", "user_id", "value")
+          .orderBy("ts", "event_id"),
+      Some("""SELECT event_id, ts, user_id, value FROM events
+             |WHERE event_type = 'click'
+             |  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+             |ORDER BY ts, event_id""".stripMargin),
+      doc = "SURVEY §2.1 S4: filter+project pushed into the parquet scan (PushedFilters)"),
+
+    // ---- latest-N scan (reference S5: ORDER BY time DESC LIMIT n) ----
+    Query(
+      "q_latest_n",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .where(col("user_id") === 7L)
+          .select("event_id", "ts", "event_type", "value")
+          .orderBy(col("ts").desc, col("event_id").desc)
+          .limit(30),
+      Some("""SELECT event_id, ts, event_type, value FROM events
+             |WHERE user_id = 7
+             |ORDER BY ts DESC, event_id DESC LIMIT 30""".stripMargin),
+      doc = "SURVEY §2.1 S5: TakeOrderedAndProject — no global sort even at 100 TB"),
+
+    // ---- DISTINCT keys (reference A2) ----
+    Query(
+      "q_distinct_keys",
+      (s, dir) =>
+        Tables(s, dir, "events").select("event_type").distinct().orderBy("event_type"),
+      Some("SELECT DISTINCT event_type FROM events ORDER BY event_type"),
+      doc = "SURVEY §2.4 A2: exact distinct; partial-agg dedup map-side before shuffle"),
+
+    // ---- per-key data-availability summary (reference A3) ----
+    Query(
+      "q_summary_availability",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy("event_type")
+          .agg(min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+               count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, MIN(ts) AS min_ts, MAX(ts) AS max_ts, COUNT(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "SURVEY §2.4 A3: MIN/MAX/COUNT availability summary"),
+
+    // ---- top-k (TakeOrderedAndProject) ----
+    Query(
+      "q_topk_orders",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin),
+      doc = "top-k pushdown; per-partition heap then driver merge of k rows"),
+
+    // ---- 3-way join + agg (reference J1: actual-vs-predicted alignment shape) ----
+    Query(
+      "q_join_revenue_by_nation",
+      (s, dir) => {
+        val cust = Tables(s, dir, "customer")
+        val nat = Tables(s, dir, "nation")
+        val ord = Tables(s, dir, "orders")
+        ord
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(dec2(col("o_totalprice"))).cast("double").as("revenue"),
+               count(lit(1)).as("n_orders"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_orders
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      doc = "SURVEY §2.6 J1: fact-dim joins; nation broadcast, customer side shuffled once on the join key"),
+
+    // ---- broadcast dim join (reference J3: small params table broadcast) ----
+    Query(
+      "q_join_broadcast_part",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val part = Tables(s, dir, "part")
+        li.join(broadcast(part.where(col("p_brand") === "Brand#12")),
+            li("l_partkey") === part("p_partkey"))
+          .groupBy(col("p_type"))
+          .agg(sum(dec2(col("l_quantity"))).cast("double").as("total_qty"),
+               count(lit(1)).as("n_lines"))
+          .orderBy(col("p_type"))
+      },
+      Some("""SELECT p_type,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+             |  COUNT(*) AS n_lines
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand = 'Brand#12'
+             |GROUP BY p_type ORDER BY p_type""".stripMargin),
+      doc = "SURVEY §2.6 J3: filtered dim broadcast to every executor — zero shuffle of the 100 TB fact side"),
+
+    // ---- semi / anti joins (membership tests, SURVEY §2.6 set-ops note) ----
+    Query(
+      "q_semi_join_active_customers",
+      (s, dir) => {
+        val cust = Tables(s, dir, "customer")
+        val ord = Tables(s, dir, "orders").where(col("o_orderstatus") === "F")
+        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin),
+      doc = "left-semi join = EXISTS; no row multiplication, build side deduped"),
+
+    Query(
+      "q_anti_join_inactive_customers",
+      (s, dir) => {
+        val cust = Tables(s, dir, "customer")
+        val ord = Tables(s, dir, "orders").where(col("o_orderstatus") === "P")
+        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+             |ORDER BY c_custkey""".stripMargin),
+      doc = "left-anti join = NOT EXISTS"),
+
+    // ---- projection + cast + conditional (reference P2/P3/P4) ----
+    Query(
+      "q_project_conditional",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .where(col("event_type").isin("purchase", "error"))
+          .select(
+            col("event_id"),
+            col("user_id").cast("string").as("user_key"),
+            when(col("value") > 10.0, lit("high"))
+              .when(col("value") > 5.0, lit("mid"))
+              .otherwise(lit("low")).as("value_band"),
+            round(col("value") * 100, 0).cast("long").as("value_cents"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(user_id AS VARCHAR) AS user_key,
+             |  CASE WHEN value > 10.0 THEN 'high' WHEN value > 5.0 THEN 'mid' ELSE 'low' END AS value_band,
+             |  CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents
+             |FROM events WHERE event_type IN ('purchase','error')
+             |ORDER BY event_id""".stripMargin),
+      doc = "SURVEY §2.3 P2-P4: cast/when-otherwise/filter — all codegen'd in one WholeStageCodegen span")
+  )
+}
