@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    Relational
+    Relational,
+    TimeSeriesQueries
   )
 
   private lazy val (queryMap, oracleMap) = QueryPack.toEntryMaps(packs)

@@ -1,0 +1,345 @@
+package graft.queries
+
+import graft.{Query, QueryPack, Tables}
+import graft.ts.TimeSeriesOps._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed time-series operators over the `events` table (SURVEY §2.5 W1-W18,
+  * §2.3 P9-P14, §2.4 A1/A4-A9). The series key is `event_type` (long
+  * series) or `user_id` (many short series); order is always
+  * (ts, event_id) — a total order, so every window result is reproducible
+  * at any parallelism.
+  *
+  * Oracle float discipline: raw stored doubles pass through exactly;
+  * anything computed (log, avg, stddev, quantile interpolation) is
+  * ROUND()ed identically on both sides — the pre-round values differ only
+  * in the last ulps between engines, so 4-6 digit rounding is stable.
+  */
+object TimeSeriesQueries extends QueryPack {
+
+  private val K = "event_type"
+  private def ev(s: SparkSession, dir: String) = Tables(s, dir, "events")
+  private def w = keyedOrder(K, "ts", "event_id")
+
+  override def queries: Seq[Query] = Seq(
+
+    // ---- W1: log returns ----
+    Query(
+      "q_w1_log_returns",
+      (s, dir) =>
+        ev(s, dir).select(col("event_type"), col("event_id"),
+          round(logReturns(col("value"), w), 4).as("log_ret")),
+      Some("""SELECT event_type, event_id,
+             |  ROUND(LN(value / LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)), 4) AS log_ret
+             |FROM events""".stripMargin),
+      doc = "SURVEY W1: lag + log; single shuffle on the series key"),
+
+    // ---- W2: price / trailing-mean ratio ----
+    Query(
+      "q_w2_ma_ratio",
+      (s, dir) =>
+        ev(s, dir).select(col("event_type"), col("event_id"),
+          round(maRatio(col("value"), w, 24), 4).as("ma_ratio")),
+      Some("""SELECT event_type, event_id,
+             |  ROUND(value / AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 4) AS ma_ratio
+             |FROM events""".stripMargin),
+      doc = "SURVEY W2: rolling(24, min_periods=1).mean() ratio"),
+
+    // ---- W4: rolling z-score ----
+    Query(
+      "q_w4_rolling_zscore",
+      (s, dir) =>
+        ev(s, dir).select(col("event_type"), col("event_id"),
+          round(rollingZscore(col("value"), w, 24), 4).as("zscore")),
+      Some("""SELECT event_type, event_id,
+             |  ROUND((value - AVG(value) OVER win) / STDDEV_SAMP(value) OVER win, 4) AS zscore
+             |FROM events
+             |WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+             |  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin),
+      doc = "SURVEY W4: two frames over one sort — Catalyst evaluates both in a single Window node"),
+
+    // ---- W10: on-balance volume (running signed sum) ----
+    Query(
+      "q_w10_obv",
+      (s, dir) =>
+        ev(s, dir).select(col("event_type"), col("event_id"),
+          round(obv(col("value"), lit(1.0), w), 4).as("obv")),
+      Some("""WITH d AS (
+             |  SELECT event_type, event_id, ts,
+             |    COALESCE(SIGN(value - LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)) * 1.0, 0.0) AS sv
+             |  FROM events)
+             |SELECT event_type, event_id,
+             |  ROUND(SUM(sv) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS obv
+             |FROM d""".stripMargin),
+      doc = "SURVEY W10: cumulative signed sum — running-total frame, no self-join"),
+
+    // ---- W11 + W12: rolling volatility & momentum ----
+    Query(
+      "q_w11_volatility",
+      (s, dir) => {
+        val lr = logReturns(col("value"), w)
+        ev(s, dir)
+          .withColumn("lr", lr)
+          .select(col("event_type"), col("event_id"),
+            round(rollingStd(col("lr"), w, 12), 4).as("volatility_12"))
+      },
+      Some("""WITH r AS (
+             |  SELECT event_type, event_id, ts,
+             |    LN(value / LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)) AS lr
+             |  FROM events)
+             |SELECT event_type, event_id,
+             |  ROUND(STDDEV_SAMP(lr) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 4) AS volatility_12
+             |FROM r""".stripMargin),
+      doc = "SURVEY W11: stddev of derived returns; stacked windows share the sorted partition"),
+
+    Query(
+      "q_w12_momentum",
+      (s, dir) =>
+        ev(s, dir).select(col("event_type"), col("event_id"),
+          round(momentum(col("value"), w, 3, 12), 4).as("momentum_3_12")),
+      Some("""SELECT event_type, event_id,
+             |  ROUND(AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             |      - AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 4) AS momentum_3_12
+             |FROM events""".stripMargin),
+      doc = "SURVEY W12: short-mean minus long-mean"),
+
+    // ---- A1: OHLCV resample with deterministic ordered first/last ----
+    Query(
+      "q_a1_resample_ohlcv",
+      (s, dir) => {
+        val r = resampleOhlcv(ev(s, dir), K, "ts", "event_id",
+          "value", "value", 86400)
+        r.select(col("event_type"), col("bucket_start"),
+          col("open"), col("high"), col("low"), col("close"),
+          round(col("volume"), 2).as("volume"), col("n_rows"))
+          .orderBy("event_type", "bucket_start")
+      },
+      Some("""SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS bucket_start,
+             |  first(value ORDER BY ts, event_id) AS open,
+             |  MAX(value) AS high, MIN(value) AS low,
+             |  last(value ORDER BY ts, event_id) AS close,
+             |  ROUND(SUM(value), 2) AS volume, COUNT(*) AS n_rows
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "SURVEY A1: pandas resample().agg(first/max/min/last/sum) — min_by/max_by on (ts,id) struct for order determinism; partial agg map-side"),
+
+    // ---- P9: quantile winsorization ----
+    Query(
+      "q_p9_winsorize",
+      (s, dir) =>
+        winsorize(ev(s, dir), K, "value", 0.01, 0.99)
+          .select(col("event_type"), col("event_id"),
+            round(col("value_clipped"), 4).as("value_clipped")),
+      Some("""WITH b AS (
+             |  SELECT event_type, quantile_cont(value, 0.01) AS qlo, quantile_cont(value, 0.99) AS qhi
+             |  FROM events GROUP BY event_type)
+             |SELECT e.event_type, e.event_id,
+             |  ROUND(LEAST(GREATEST(e.value, b.qlo), b.qhi), 4) AS value_clipped
+             |FROM events e JOIN b ON e.event_type = b.event_type""".stripMargin),
+      doc = "SURVEY P9: exact per-key quantiles broadcast back — params table is O(#keys)"),
+
+    // ---- P10+P12: sentinel scrub + forward fill ----
+    Query(
+      "q_p12_ffill",
+      (s, dir) => {
+        val uw = keyedOrder("user_id", "ts", "event_id")
+        val scrubbed = when(col("value") < 1.0, lit(null)).otherwise(col("value"))
+        ev(s, dir)
+          .withColumn("v", scrubbed)
+          .select(col("user_id"), col("event_id"),
+            ffill(col("v"), uw).as("value_ffill"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  last_value(CASE WHEN value < 1.0 THEN NULL ELSE value END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+             |FROM events""".stripMargin),
+      doc = "SURVEY P10/P12: zero→null scrub + pandas ffill = last(ignoreNulls) over running frame"),
+
+    // ---- P11: rolling-median fill ----
+    Query(
+      "q_p11_rolling_median_fill",
+      (s, dir) => {
+        val uw = keyedOrder("user_id", "ts", "event_id")
+        ev(s, dir)
+          .withColumn("v", when(col("value") < 1.0, lit(null)).otherwise(col("value")))
+          .select(col("user_id"), col("event_id"),
+            round(rollingMedianFill("v", uw, 12), 4).as("value_filled"))
+      },
+      Some("""WITH n AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN value < 1.0 THEN NULL ELSE value END AS v
+             |  FROM events)
+             |SELECT user_id, event_id,
+             |  ROUND(COALESCE(v, quantile_cont(v, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)), 4) AS value_filled
+             |FROM n""".stripMargin),
+      doc = "SURVEY P11: null volume ← trailing-12 exact median"),
+
+    // ---- P13/P14: calendar + cyclical encodings ----
+    Query(
+      "q_p13_calendar_features",
+      (s, dir) =>
+        ev(s, dir).select(col("event_id"),
+          round(hourSin(col("ts")), 6).as("hour_sin"),
+          round(hourCos(col("ts")), 6).as("hour_cos"),
+          round(dowSin(col("ts")), 6).as("dow_sin"),
+          round(dowCos(col("ts")), 6).as("dow_cos"),
+          isWeekend(col("ts")).as("is_weekend"),
+          isMarketOpen(col("ts")).as("is_market_open")),
+      Some("""SELECT event_id,
+             |  ROUND(SIN(2 * PI() * HOUR(ts) / 24), 6) AS hour_sin,
+             |  ROUND(COS(2 * PI() * HOUR(ts) / 24), 6) AS hour_cos,
+             |  ROUND(SIN(2 * PI() * dayofweek(ts) / 7), 6) AS dow_sin,
+             |  ROUND(COS(2 * PI() * dayofweek(ts) / 7), 6) AS dow_cos,
+             |  CAST(dayofweek(ts) IN (0, 6) AS INT) AS is_weekend,
+             |  CAST(HOUR(ts) >= 8 AND HOUR(ts) < 20 AS INT) AS is_market_open
+             |FROM events""".stripMargin),
+      doc = "SURVEY P13/P14: pure scalar expressions — whole-stage codegen, no shuffle at all"),
+
+    // ---- W14: latest-N rows per key ----
+    Query(
+      "q_w14_latest_window",
+      (s, dir) =>
+        latestN(ev(s, dir), K, "ts", "event_id", 5)
+          .select("event_type", "event_id", "ts", "value")
+          .orderBy("event_type", "event_id"),
+      Some("""SELECT event_type, event_id, ts, value FROM (
+             |  SELECT event_type, event_id, ts, value,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) WHERE rn <= 5
+             |ORDER BY event_type, event_id""".stripMargin),
+      doc = "SURVEY W14: newest-N per key via row_number — rank pushdown-friendly (WindowGroupLimit)"),
+
+    // ---- W15: multi-horizon fan-out ----
+    Query(
+      "q_w15_horizon_fanout",
+      (s, dir) =>
+        horizonFanout(ev(s, dir), K, "ts", 36, 300)
+          .orderBy("event_type", "horizon"),
+      Some("""SELECT event_type, last_ts, horizon,
+             |  last_ts + horizon * INTERVAL 300 SECOND AS target_ts
+             |FROM (SELECT event_type, MAX(ts) AS last_ts FROM events GROUP BY event_type),
+             |     (SELECT unnest(generate_series(1, 36)) AS horizon)
+             |ORDER BY event_type, horizon""".stripMargin),
+      doc = "SURVEY W15: explode(sequence()) generator — 36 rows per key from a 1-row-per-key agg"),
+
+    // ---- W18: temporal train/test split ----
+    Query(
+      "q_w18_temporal_split",
+      (s, dir) =>
+        temporalSplit(ev(s, dir), K, "ts", "event_id", 0.8)
+          .groupBy("event_type", "split")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .orderBy("event_type", "split"),
+      Some("""WITH t AS (
+             |  SELECT event_type, value,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events)
+             |SELECT event_type,
+             |  CASE WHEN rn <= CAST(FLOOR(n * 0.8) AS BIGINT) THEN 'train' ELSE 'test' END AS split,
+             |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "SURVEY W18: first 80% of time-ordered rows per key — no shuffle across time"),
+
+    // ---- A4: quantiles ----
+    Query(
+      "q_a4_quantiles",
+      (s, dir) =>
+        ev(s, dir).groupBy(col("event_type")).agg(
+          round(expr("percentile(value, 0.25)"), 4).as("q25"),
+          round(expr("percentile(value, 0.5)"), 4).as("q50"),
+          round(expr("percentile(value, 0.75)"), 4).as("q75"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  ROUND(quantile_cont(value, 0.25), 4) AS q25,
+             |  ROUND(quantile_cont(value, 0.5), 4) AS q50,
+             |  ROUND(quantile_cont(value, 0.75), 4) AS q75
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "SURVEY A4: exact linear-interpolated percentiles (matches pandas/DuckDB quantile_cont)"),
+
+    // ---- A5/A6: scaler fits ----
+    Query(
+      "q_a5_robust_scaler_params",
+      (s, dir) =>
+        ev(s, dir).groupBy(col("event_type")).agg(
+          round(expr("percentile(value, 0.5)"), 4).as("center"),
+          round(expr("percentile(value, 0.75) - percentile(value, 0.25)"), 4).as("scale"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  ROUND(quantile_cont(value, 0.5), 4) AS center,
+             |  ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 4) AS scale
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "SURVEY A5: RobustScaler fit = median/IQR params table (composed from quantiles; no MLlib dependency)"),
+
+    Query(
+      "q_a6_minmax_scaler_params",
+      (s, dir) =>
+        ev(s, dir).groupBy(col("event_type")).agg(
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "SURVEY A6: MinMax fit — exact min/max, affine transform applied as column arithmetic"),
+
+    // ---- A7/A8: error metrics + directional accuracy on a naive lag-1 predictor ----
+    Query(
+      "q_a7_error_metrics",
+      (s, dir) => {
+        val pred = ev(s, dir)
+          .withColumn("pred", lag(col("value"), 1).over(w))
+          .withColumn("prev2", lag(col("value"), 2).over(w))
+          .where(col("pred").isNotNull && col("prev2").isNotNull)
+        pred.groupBy(col("event_type")).agg(
+          round(avg(abs(col("value") - col("pred"))), 4).as("mae"),
+          round(sqrt(avg(pow(col("value") - col("pred"), 2))), 4).as("rmse"),
+          round(avg(lit(2) * abs(col("value") - col("pred")) /
+            (abs(col("value")) + abs(col("pred")))), 4).as("smape"),
+          round(avg((signum(col("value") - col("pred")) ===
+            signum(col("pred") - col("prev2"))).cast("int")), 4).as("dir_acc"),
+          count(lit(1)).as("sample_count"))
+          .orderBy("event_type")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_type, value,
+             |    LAG(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pred,
+             |    LAG(value, 2) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev2
+             |  FROM events)
+             |SELECT event_type,
+             |  ROUND(AVG(ABS(value - pred)), 4) AS mae,
+             |  ROUND(SQRT(AVG((value - pred) * (value - pred))), 4) AS rmse,
+             |  ROUND(AVG(2 * ABS(value - pred) / (ABS(value) + ABS(pred))), 4) AS smape,
+             |  ROUND(AVG(CAST(SIGN(value - pred) = SIGN(pred - prev2) AS INT)), 4) AS dir_acc,
+             |  COUNT(*) AS sample_count
+             |FROM p WHERE pred IS NOT NULL AND prev2 IS NOT NULL
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "SURVEY A7/A8: MAE/RMSE/SMAPE/directional-accuracy as plain SQL aggregates over a lag-aligned frame"),
+
+    // ---- A9: grouped multi-dimension metrics ----
+    Query(
+      "q_a9_grouped_metrics",
+      (s, dir) => {
+        val pred = ev(s, dir)
+          .withColumn("pred", lag(col("value"), 1).over(w))
+          .where(col("pred").isNotNull)
+        pred.groupBy(col("event_type"), dow(col("ts")).as("dow"))
+          .agg(round(avg(abs(col("value") - col("pred"))), 4).as("mae"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type", "dow")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_type, dayofweek(ts) AS dow, value,
+             |    LAG(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pred
+             |  FROM events)
+             |SELECT event_type, dow, ROUND(AVG(ABS(value - pred)), 4) AS mae, COUNT(*) AS n
+             |FROM p WHERE pred IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "SURVEY A9: metrics per (key, horizon-like dimension)")
+  )
+}
