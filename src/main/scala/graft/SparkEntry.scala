@@ -14,7 +14,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     Relational,
-    TimeSeriesQueries
+    TimeSeriesQueries,
+    IndicatorQueries
   )
 
   private lazy val (queryMap, oracleMap) = QueryPack.toEntryMaps(packs)

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.{Query, QueryPack, Tables}
+import graft.ts.Indicators
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Recursive-EMA indicator queries (SURVEY §2.5 W7-W9). The per-key final
+  * values ARE DuckDB-expressible — the oracle replays the exact recursion as
+  * an explicit `list_reduce` fold over the time-ordered value list, with
+  * identical IEEE operation order (seed = first element, `a·(1-α) + x·α`),
+  * so results agree to the last ulp before the shared ROUND(…,4).
+  * The full per-row series is declared rows-only (no closed-form SQL) and is
+  * covered by unit tests instead.
+  */
+object IndicatorQueries extends QueryPack {
+
+  private def finals(s: SparkSession, dir: String) =
+    Indicators.finals(Tables(s, dir, "events"), "event_type", "ts",
+      "event_id", "value")
+
+  override def queries: Seq[Query] = Seq(
+
+    Query(
+      "q_w7_rsi_final",
+      (s, dir) =>
+        finals(s, dir)
+          .select(col("key").as("event_type"), round(col("rsi"), 4).as("rsi"))
+          .orderBy("event_type"),
+      Some("""WITH s AS (SELECT event_type, list(value ORDER BY ts, event_id) AS vs FROM events GROUP BY 1),
+             |d AS (SELECT event_type, list_transform(generate_series(2, len(vs)), i -> vs[i] - vs[i-1]) AS diffs FROM s)
+             |SELECT event_type,
+             |  ROUND(100 - 100 / (1 + list_reduce(list_transform(diffs, x -> greatest(x, 0.0)), (a, x) -> a * (1 - 1.0/14) + x * (1.0/14))
+             |                       / list_reduce(list_transform(diffs, x -> greatest(-x, 0.0)), (a, x) -> a * (1 - 1.0/14) + x * (1.0/14))), 4) AS rsi
+             |FROM d ORDER BY event_type""".stripMargin),
+      doc = "SURVEY W7: Wilder RSI(14) — recursion in one sorted pass per key; oracle replays the fold via list_reduce"),
+
+    Query(
+      "q_w8_macd_final",
+      (s, dir) =>
+        finals(s, dir)
+          .select(col("key").as("event_type"),
+            round(col("ema_fast"), 4).as("ema12"),
+            round(col("ema_slow"), 4).as("ema26"),
+            round(col("ema_fast") - col("ema_slow"), 4).as("macd"))
+          .orderBy("event_type"),
+      Some("""WITH s AS (SELECT event_type, list(value ORDER BY ts, event_id) AS vs FROM events GROUP BY 1)
+             |SELECT event_type,
+             |  ROUND(list_reduce(vs, (a, x) -> a * (1 - 2.0/13) + x * (2.0/13)), 4) AS ema12,
+             |  ROUND(list_reduce(vs, (a, x) -> a * (1 - 2.0/27) + x * (2.0/27)), 4) AS ema26,
+             |  ROUND(list_reduce(vs, (a, x) -> a * (1 - 2.0/13) + x * (2.0/13))
+             |      - list_reduce(vs, (a, x) -> a * (1 - 2.0/27) + x * (2.0/27)), 4) AS macd
+             |FROM s ORDER BY event_type""".stripMargin),
+      doc = "SURVEY W8: MACD fast/slow EMAs (span α=2/(n+1), adjust=False seeding)"),
+
+    Query(
+      "q_w9_atr_final",
+      (s, dir) =>
+        finals(s, dir)
+          .select(col("key").as("event_type"), round(col("atr"), 4).as("atr"))
+          .orderBy("event_type"),
+      Some("""WITH s AS (SELECT event_type, list(value ORDER BY ts, event_id) AS vs FROM events GROUP BY 1),
+             |tr AS (SELECT event_type, list_transform(generate_series(2, len(vs)), i -> abs(vs[i] - vs[i-1])) AS trs FROM s)
+             |SELECT event_type,
+             |  ROUND(list_reduce(list_prepend(list_avg(trs[1:14]), trs[15:]), (a, x) -> (a * 13.0 + x) / 14.0), 4) AS atr
+             |FROM tr ORDER BY event_type""".stripMargin),
+      doc = "SURVEY W9: ATR(14) — SMA-seeded Wilder recursion (TR = |Δ| in the degenerate h=l=c proxy)"),
+
+    // Full per-row indicator series: recursion output at every row — not
+    // closed-form SQL; driver records rows-only, ScalaTest covers values.
+    Query(
+      "q_w7w9_indicator_series",
+      (s, dir) =>
+        Indicators.compute(Tables(s, dir, "events"), "event_type", "ts",
+          "event_id", "value", "value", "value", "value")
+          .select(col("key").as("event_type"), col("id").as("event_id"),
+            round(col("rsi"), 4).as("rsi"),
+            round(col("macd_diff"), 4).as("macd_diff"),
+            round(col("atr"), 4).as("atr"),
+            round(col("obv"), 2).as("obv")),
+      None,
+      doc = "SURVEY W7-W10: per-row indicator frame — one shuffle + one sorted streaming pass for all four")
+  )
+}
