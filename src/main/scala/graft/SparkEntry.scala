@@ -15,7 +15,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     Relational,
     TimeSeriesQueries,
-    IndicatorQueries
+    IndicatorQueries,
+    TextQueries
   )
 
   private lazy val (queryMap, oracleMap) = QueryPack.toEntryMaps(packs)

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.{Query, QueryPack, Tables}
+import graft.text.TextAnalysis._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over the `documents` table: token counting,
+  * language-ID, quality scoring, fingerprinting, exact dedup. All
+  * map-only column expressions (single corpus pass, no shuffle) except the
+  * dedup aggregation.
+  */
+object TextQueries extends QueryPack {
+
+  // SQL fragments shared by the DuckDB oracles.
+  private def swLen(set: Seq[String]): String =
+    s"len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN (${set.map(w => s"'$w'").mkString(", ")})))"
+  private val swEn = swLen(StopwordSets(0)._2)
+  private val swEs = swLen(StopwordSets(1)._2)
+  private val swDe = swLen(StopwordSets(2)._2)
+  private val swFr = swLen(StopwordSets(3)._2)
+  private val cjk = "length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g'))"
+
+  override def queries: Seq[Query] = Seq(
+
+    Query(
+      "q_t_token_counts",
+      (s, dir) =>
+        Tables(s, dir, "documents").select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          bpeishTokenCount(col("text")).as("n_tokens_bpe")),
+      Some("""SELECT doc_id,
+             |  CASE WHEN length(trim(text)) = 0 THEN 0
+             |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens_bpe
+             |FROM documents""".stripMargin),
+      doc = "token counting: whitespace + BPE-ish regex proxy; map-only, exact ints"),
+
+    Query(
+      "q_t_langid_confusion",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .withColumn("lang_pred", langId("text"))
+          .groupBy("lang", "lang_pred")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "lang_pred"),
+      Some(s"""WITH scored AS (
+              |  SELECT lang,
+              |    $swEn AS s_en, $swEs AS s_es, $swDe AS s_de, $swFr AS s_fr, $cjk AS s_zh
+              |  FROM documents),
+              |pred AS (
+              |  SELECT lang,
+              |    CASE
+              |      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh AND s_en > 0 THEN 'en'
+              |      WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+              |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+              |      WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+              |      WHEN s_zh >= s_en AND s_zh >= s_es AND s_zh >= s_de AND s_zh >= s_fr AND s_zh > 0 THEN 'zh'
+              |      ELSE 'und' END AS lang_pred
+              |  FROM scored)
+              |SELECT lang, lang_pred, COUNT(*) AS n FROM pred
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "language-ID heuristic (stopword scores + CJK range) with deterministic tie priority"),
+
+    Query(
+      "q_t_quality",
+      (s, dir) =>
+        Tables(s, dir, "documents").select(col("doc_id"),
+          round(qualityScore("text"), 4).as("quality")),
+      Some(s"""SELECT doc_id, ROUND(
+              |  LEAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END / 100.0, 1.0) * 0.4
+              |  + (CASE WHEN length(text) * 1.0 / GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END, 1.0)
+              |          BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+              |  + (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / GREATEST(length(text), 1.0) <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+              |  + LEAST($swEn * 1.0 / GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END, 1.0) * 5.0, 1.0) * 0.2
+              |, 4) AS quality
+              |FROM documents""".stripMargin),
+      doc = "quality scoring: length/word-shape/punct/stopword ratios, fixed weights"),
+
+    Query(
+      "q_t_fingerprint",
+      (s, dir) =>
+        Tables(s, dir, "documents").select(col("doc_id"),
+          fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(generate_series(1, length(text)), i -> CAST(ord(text[i]) AS BIGINT))),
+             |    (a, x) -> (a * 31 + x) % 2147483647) AS fp
+             |FROM documents""".stripMargin),
+      doc = "document fingerprint: custom codegen'd rolling-hash Expression; oracle replays the byte fold"),
+
+    Query(
+      "q_d_exact_dedup",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .groupBy(md5(col("text")).as("text_hash"))
+          .agg(min(col("doc_id")).as("canonical_doc_id"),
+            count(lit(1)).as("n_copies"))
+          .select("canonical_doc_id", "n_copies")
+          .orderBy("canonical_doc_id"),
+      Some("""SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY md5(text)
+             |ORDER BY canonical_doc_id""".stripMargin),
+      doc = "exact dedup: hash-groupBy keep-min — one shuffle on the 128-bit content hash")
+  )
+}

@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.RollingHash.rolling_hash
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, language-ID heuristic, quality scoring, document
+  * fingerprinting. All pure column expressions (whole-stage codegen, no
+  * UDFs, no shuffle) except the fingerprint, which is a custom native
+  * Catalyst expression ([[graft.functions.RollingHash]]).
+  *
+  * At 100 TB these run as a single map-only pass over the corpus — the
+  * engine never materializes intermediate token lists beyond the row being
+  * processed.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (0 for blank text). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token proxy: alpha runs, single digits, single punctuation —
+    * the standard cheap stand-in for subword tokenizer counts.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Number of lowercase whitespace tokens of column `textCol` that appear
+    * in `words` (higher-order filter — codegen-friendly, no UDF).
+    */
+  def stopwordCount(textCol: String, words: Seq[String]): Column = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    size(expr(s"filter(split(lower($textCol), '\\\\s+'), w -> w IN ($set))"))
+  }
+
+  /** Small per-language stopword sets for the n-gram/stopword lang-ID
+    * heuristic. CJK languages are detected by script range instead.
+    */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "un", "est"))
+
+  /** CJK codepoint count (zh/ja signal). */
+  def cjkCount(text: Column): Column =
+    length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", ""))
+
+  /** Language-ID heuristic: stopword score per language (+ CJK chars for
+    * zh); argmax with a fixed priority order on ties (en > es > de > fr >
+    * zh). Returns the 2-letter code.
+    */
+  def langId(textCol: String): Column = {
+    val scores = StopwordSets.map { case (lang, words) =>
+      lang -> stopwordCount(textCol, words)
+    } :+ ("zh" -> cjkCount(col(textCol)))
+    // fixed priority: first language whose score >= all others wins
+    scores.foldRight(lit("und")) { case ((lang, score), rest) =>
+      val isMax = scores.filter(_._1 != lang)
+        .map { case (_, other) => score >= other }
+        .reduce(_ && _)
+      when(isMax && score > 0, lit(lang)).otherwise(rest)
+    }
+  }
+
+  /** Quality score in [0,1]: length, word-shape, punctuation and stopword
+    * ratios combined — the usual cheap pre-filter before expensive dedup /
+    * model scoring. Weights are part of the engine contract.
+    */
+  def qualityScore(textCol: String): Column = {
+    val text = col(textCol)
+    val nTok = tokenCount(text).cast("double")
+    val nChars = length(text).cast("double")
+    val avgWordLen = nChars / greatest(nTok, lit(1.0))
+    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
+    val punctRatio = punct / greatest(nChars, lit(1.0))
+    val sw = stopwordCount(textCol, StopwordSets.head._2).cast("double")
+    val swRatio = sw / greatest(nTok, lit(1.0))
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val wordShape =
+      when(avgWordLen >= 3.0 && avgWordLen <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    val punctScore = when(punctRatio <= 0.2, lit(1.0)).otherwise(lit(0.5))
+    val swScore = least(swRatio * lit(5.0), lit(1.0))
+    lenScore * 0.4 + wordShape * 0.2 + punctScore * 0.2 + swScore * 0.2
+  }
+
+  /** Polynomial rolling-hash fingerprint (custom codegen'd expression). */
+  def fingerprint(text: Column): Column = rolling_hash(text)
+}
