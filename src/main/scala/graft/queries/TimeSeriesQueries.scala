@@ -183,19 +183,22 @@ object TimeSeriesQueries extends QueryPack {
     // ---- P13/P14: calendar + cyclical encodings ----
     Query(
       "q_p13_calendar_features",
+      // `+ 0.0` after every round(): DuckDB's float round keeps IEEE -0.0
+      // (cos(3π/2) ≈ -1.8e-16 → -0.0) while Spark's BigDecimal round gives
+      // +0.0; adding +0.0 normalizes both sides (-0.0 + 0.0 == +0.0).
       (s, dir) =>
         ev(s, dir).select(col("event_id"),
-          round(hourSin(col("ts")), 6).as("hour_sin"),
-          round(hourCos(col("ts")), 6).as("hour_cos"),
-          round(dowSin(col("ts")), 6).as("dow_sin"),
-          round(dowCos(col("ts")), 6).as("dow_cos"),
+          (round(hourSin(col("ts")), 6) + lit(0.0)).as("hour_sin"),
+          (round(hourCos(col("ts")), 6) + lit(0.0)).as("hour_cos"),
+          (round(dowSin(col("ts")), 6) + lit(0.0)).as("dow_sin"),
+          (round(dowCos(col("ts")), 6) + lit(0.0)).as("dow_cos"),
           isWeekend(col("ts")).as("is_weekend"),
           isMarketOpen(col("ts")).as("is_market_open")),
       Some("""SELECT event_id,
-             |  ROUND(SIN(2 * PI() * HOUR(ts) / 24), 6) AS hour_sin,
-             |  ROUND(COS(2 * PI() * HOUR(ts) / 24), 6) AS hour_cos,
-             |  ROUND(SIN(2 * PI() * dayofweek(ts) / 7), 6) AS dow_sin,
-             |  ROUND(COS(2 * PI() * dayofweek(ts) / 7), 6) AS dow_cos,
+             |  ROUND(SIN(2 * PI() * HOUR(ts) / 24), 6) + 0.0 AS hour_sin,
+             |  ROUND(COS(2 * PI() * HOUR(ts) / 24), 6) + 0.0 AS hour_cos,
+             |  ROUND(SIN(2 * PI() * dayofweek(ts) / 7), 6) + 0.0 AS dow_sin,
+             |  ROUND(COS(2 * PI() * dayofweek(ts) / 7), 6) + 0.0 AS dow_cos,
              |  CAST(dayofweek(ts) IN (0, 6) AS INT) AS is_weekend,
              |  CAST(HOUR(ts) >= 8 AND HOUR(ts) < 20 AS INT) AS is_market_open
              |FROM events""".stripMargin),

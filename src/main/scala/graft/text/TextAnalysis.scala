@@ -28,12 +28,14 @@ object TextAnalysis {
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
   /** Number of lowercase whitespace tokens of column `textCol` that appear
-    * in `words` (higher-order filter — codegen-friendly, no UDF).
+    * in `words`. A whitespace-split token equals `w` iff `w` occurs in the
+    * string bounded by whitespace/string-edge on both sides, so this is one
+    * anchored-alternation regex scan per row — no token-array allocation,
+    * no interpreted higher-order lambda (the round-1 langId hot spot).
     */
-  def stopwordCount(textCol: String, words: Seq[String]): Column = {
-    val set = words.map(w => s"'$w'").mkString(", ")
-    size(expr(s"filter(split(lower($textCol), '\\\\s+'), w -> w IN ($set))"))
-  }
+  def stopwordCount(textCol: String, words: Seq[String]): Column =
+    regexp_count(lower(col(textCol)),
+      lit("(?:^|\\s)(?:" + words.mkString("|") + ")(?=\\s|\\z)"))
 
   /** Small per-language stopword sets for the n-gram/stopword lang-ID
     * heuristic. CJK languages are detected by script range instead.
@@ -51,18 +53,25 @@ object TextAnalysis {
   /** Language-ID heuristic: stopword score per language (+ CJK chars for
     * zh); argmax with a fixed priority order on ties (en > es > de > fr >
     * zh). Returns the 2-letter code.
+    *
+    * Each score expression appears exactly ONCE in the plan: the scores go
+    * into an array of (score, -priority, lang) structs and `array_max`
+    * picks the winner by struct ordering (highest score, then earliest
+    * language on ties). A pairwise-comparison fold would re-inline every
+    * score O(n²) times — with the interpreted higher-order `filter` inside,
+    * that dominated the whole corpus pass.
     */
   def langId(textCol: String): Column = {
     val scores = StopwordSets.map { case (lang, words) =>
       lang -> stopwordCount(textCol, words)
     } :+ ("zh" -> cjkCount(col(textCol)))
-    // fixed priority: first language whose score >= all others wins
-    scores.foldRight(lit("und")) { case ((lang, score), rest) =>
-      val isMax = scores.filter(_._1 != lang)
-        .map { case (_, other) => score >= other }
-        .reduce(_ && _)
-      when(isMax && score > 0, lit(lang)).otherwise(rest)
+    val entries = scores.zipWithIndex.map { case ((lang, score), idx) =>
+      struct(score.cast("long").as("score"),
+        lit(-idx).as("neg_pri"), lit(lang).as("lang"))
     }
+    val best = array_max(array(entries: _*))
+    when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
   }
 
   /** Quality score in [0,1]: length, word-shape, punctuation and stopword
