@@ -16,7 +16,8 @@ object SparkEntry {
     Relational,
     TimeSeriesQueries,
     IndicatorQueries,
-    TextQueries
+    TextQueries,
+    VectorQueries
   )
 
   private lazy val (queryMap, oracleMap) = QueryPack.toEntryMaps(packs)

@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native codegen'd vector expressions for the similarity-search operators
+  * (embedding columns are `array<float>`; reference-scale corpora make a
+  * per-row Scala UDF with Row boxing the wrong tool — these stay inside
+  * whole-stage codegen and read the ArrayData buffers directly).
+  *
+  * Both expressions accumulate in DOUBLE in ascending element order, so an
+  * ANSI-SQL oracle can replay them bit-exactly with an explicit left fold
+  * (DuckDB `list_reduce`), the same discipline as [[RollingHash]].
+  */
+object VectorExpressions {
+
+  /** Cosine similarity, accumulated in double, ascending index order.
+    * Returns 0.0 for a zero-norm side (deterministic, no NaN in results).
+    */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"cosine_sim: length mismatch ${n} vs ${b.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Sign-random-projection LSH signature: bit i of the result is
+    * `sign(Σ_j v[j]·r(i,j)) > 0`, with Rademacher hyperplane entries
+    * `r(i,j) ∈ {−1,+1}` drawn from a Knuth multiplicative integer hash of
+    * `k = i·dim + j` — exact integer arithmetic, reproducible in any SQL
+    * engine (no float RNG). Per-bit dot products accumulate in ascending
+    * j, so an explicit-fold oracle matches bit-for-bit.
+    */
+  def lshSignature(v: ArrayData, isFloat: Boolean, nBits: Int): Long = {
+    val dim = v.numElements()
+    val dots = new Array[Double](nBits)
+    var j = 0
+    while (j < dim) {
+      val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+      var i = 0
+      while (i < nBits) {
+        val h = ((i.toLong * dim + j) * 2654435761L) & 0xFFFFFFFFL
+        dots(i) += (if (((h >> 16) & 1L) == 1L) x else -x)
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < nBits) { if (dots(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  private[functions] def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private[functions] def checkVec(dt: DataType, who: String): TypeCheckResult =
+    dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$who requires array<float>/array<double>, got $other")
+    }
+
+  /** Column API. */
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def lsh_signature(v: Column, nBits: Int): Column =
+    ColumnBridge.column(LshSignature(ColumnBridge.expression(v), nBits))
+}
+
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VectorExpressions.checkVec(left.dataType, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VectorExpressions.checkVec(right.dataType, prettyName)
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorExpressions.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      VectorExpressions.isFloatArray(left.dataType),
+      VectorExpressions.isFloatArray(right.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val af = VectorExpressions.isFloatArray(left.dataType)
+    val bf = VectorExpressions.isFloatArray(right.dataType)
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorExpressions.cosine($a, $b, $af, $bf)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+case class LshSignature(child: Expression, nBits: Int)
+    extends UnaryExpression {
+
+  require(nBits >= 1 && nBits <= 63, s"nBits must be in [1,63], got $nBits")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkVec(child.dataType, prettyName)
+
+  protected override def nullSafeEval(input: Any): Any =
+    VectorExpressions.lshSignature(input.asInstanceOf[ArrayData],
+      VectorExpressions.isFloatArray(child.dataType), nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = VectorExpressions.isFloatArray(child.dataType)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorExpressions.lshSignature($c, $f, $nBits)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignature =
+    copy(child = newChild)
+}

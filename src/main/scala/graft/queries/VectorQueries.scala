@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.{Query, QueryPack, Tables}
+import graft.functions.VectorExpressions.lsh_signature
+import graft.vector.VectorSearch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search surface over the `embeddings` table (vec_id BIGINT,
+  * embedding FLOAT[64], label INT).
+  *
+  * Oracle discipline: the LSH signature uses integer-hash Rademacher
+  * hyperplanes and ascending-index double accumulation, so DuckDB replays
+  * it bit-exactly with an explicit `list_reduce` left fold; cosine values
+  * are ROUND(…,6)+0.0 on both sides (last-ulp engine noise + IEEE -0.0).
+  */
+object VectorQueries extends QueryPack {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  private def queryVec(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).where(col("vec_id") === 0)
+
+  /** DuckDB replay of [[graft.functions.VectorExpressions.lshSignature]]:
+    * per bit i, an explicit left fold over ascending j of
+    * emb[j]·r(i,j), r from the same Knuth multiplicative hash.
+    */
+  private def sigSql(nBits: Int, e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $nBits), i ->
+       |  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, len($e)), j ->
+       |    $e[j+1] * (CASE WHEN ((((i*len($e)+j) * 2654435761) % 4294967296) // 65536) % 2 = 1
+       |               THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
+       |    (a,x) -> a + x) > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
+       |  (a,x) -> a + x)""".stripMargin
+
+  override def queries: Seq[Query] = Seq(
+
+    Query(
+      "q_e_cosine_topk",
+      (s, dir) =>
+        VectorSearch.cosineTopK(
+          emb(s, dir).where(col("vec_id") =!= 0), queryVec(s, dir),
+          "vec_id", "embedding", 10),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0)
+             |SELECT e.vec_id, ROUND(list_cosine_similarity(e.emb, q.qv), 6) + 0.0 AS sim
+             |FROM e, q WHERE e.vec_id <> 0
+             |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin),
+      doc = "exact brute-force cosine top-k: broadcast query vector, map-only " +
+        "codegen'd cosine, TakeOrderedAndProject (per-partition heaps, no full sort)"),
+
+    Query(
+      "q_e_lsh_bucket_stats",
+      (s, dir) =>
+        emb(s, dir)
+          .select(lsh_signature(col("embedding"), 16).as("bucket"), col("vec_id"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec_id"))
+          .orderBy("bucket"),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              |sig AS (SELECT vec_id, ${sigSql(16, "emb")} AS bucket FROM e)
+              |SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec_id
+              |FROM sig GROUP BY bucket ORDER BY bucket""".stripMargin),
+      doc = "16-bit sign-random-projection bucket histogram — the hash-partitioned " +
+        "grouping an at-scale ANN index build shuffles on (never all-pairs)"),
+
+    Query(
+      "q_e_ann_lsh_topk",
+      (s, dir) =>
+        VectorSearch.annTopK(
+          emb(s, dir).where(col("vec_id") =!= 0), queryVec(s, dir),
+          "vec_id", "embedding", 10, nBands = 4, bitsPerBand = 8),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              |sig AS (SELECT vec_id, emb, ${sigSql(32, "emb")} AS s FROM e),
+              |bands AS (SELECT vec_id, emb, band, (s >> (8*band)) & 255 AS bv
+              |          FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+              |qb AS (SELECT band, bv FROM bands WHERE vec_id = 0),
+              |cand AS (SELECT DISTINCT b.vec_id, b.emb
+              |         FROM bands b JOIN qb ON b.band = qb.band AND b.bv = qb.bv
+              |         WHERE b.vec_id <> 0),
+              |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0)
+              |SELECT c.vec_id, ROUND(list_cosine_similarity(c.emb, q.qv), 6) + 0.0 AS sim
+              |FROM cand c, q
+              |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin),
+      doc = "LSH-banded ANN: 4 bands × 8 bits, candidates share ≥1 band with the " +
+        "query (banding OR-amplification), exact cosine rerank of the small candidate set")
+  )
+}
