@@ -17,7 +17,8 @@ object SparkEntry {
     TimeSeriesQueries,
     IndicatorQueries,
     TextQueries,
-    VectorQueries
+    VectorQueries,
+    DedupQueries
   )
 
   private lazy val (queryMap, oracleMap) = QueryPack.toEntryMaps(packs)

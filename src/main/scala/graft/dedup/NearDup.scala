@@ -1,0 +1,125 @@
+package graft.dedup
+
+import graft.functions.TextHashes.{min_hash_signature, sim_hash, P}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over a document corpus — the four standard
+  * methods, each shaped so no step is ever all-pairs:
+  *
+  *  - exact n-gram Jaccard: inverted shingle index self-join — pairs are
+  *    generated only for docs sharing a shingle, grouped map-side;
+  *  - MinHash + LSH banding: signature (map-only codegen'd expression) →
+  *    band buckets → candidates from bucket join → exact-Jaccard verify of
+  *    candidates only;
+  *  - SimHash: 31-bit fingerprint → 8-bit band buckets → Hamming verify;
+  *  - embedding-cosine near-dup lives in [[graft.vector.VectorSearch]]
+  *    (same banding skeleton over LSH signatures).
+  *
+  * At 100 TB the only shuffles are on (shingle), (band, band_val) and the
+  * candidate pair keys — cardinality O(corpus), never O(corpus²). Skew note:
+  * a shingle shared by k docs emits k(k−1)/2 pairs; production runs cap
+  * per-shingle fan-out by dropping ultra-common shingles (stop-shingles),
+  * exactly like dropping stopwords — expose `maxDocsPerShingle` for that.
+  */
+object NearDup {
+
+  /** (doc_id, shingle-string) pairs, distinct per doc: word n-grams joined
+    * by single spaces. Shingles as strings (not hashes) so exact-Jaccard
+    * equality is engine-independent.
+    */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocsPerShingle: Option[Int] = None): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val shingles = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(expr(
+        s"transform(sequence(1, size(__toks) - ${n - 1}), i -> " +
+          (0 until n).map(o => s"element_at(__toks, i + $o)")
+            .mkString("concat_ws(' ', ", ", ", ")") + ")"))
+    val d = docs
+      .withColumn("__toks", toks)
+      .select(col(idCol), explode(shingles).as("shingle"))
+      .distinct()
+    maxDocsPerShingle match {
+      case None => d
+      case Some(cap) =>
+        val hot = d.groupBy("shingle").count().where(col("count") > cap)
+        d.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+  }
+
+  /** Exact pairwise n-gram Jaccard ≥ threshold via the inverted index. */
+  def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val d = docShingles(docs, idCol, textCol, n)
+    jaccardOfPairs(d,
+      d.alias("a").join(d.alias("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+        .agg(count(lit(1)).as("n_common")),
+      idCol, threshold)
+  }
+
+  /** MinHash signatures + banded candidate pairs, then exact verify. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val r = k / bands
+    val sig = docs.select(col(idCol),
+      min_hash_signature(col(textCol), n, k).as("__sig"))
+    // band value: left fold (v·8191 + mh) mod P over the band's r values —
+    // integer-exact, replayable in SQL
+    val banded = sig
+      .select(col(idCol), explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("__sig"))
+      .withColumn("band_val", expr(
+        s"aggregate(slice(__sig, band * $r + 1, $r), 0L, (a, x) -> (a * 8191 + x) % $P)"))
+      .drop("__sig")
+    val cand = banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    val d = docShingles(docs, idCol, textCol, n)
+    val inter = cand
+      .join(d.alias("da"), col("doc_a") === col(s"da.$idCol"))
+      .join(d.alias("db"), col("doc_b") === col(s"db.$idCol") &&
+        col("da.shingle") === col("db.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    jaccardOfPairs(d, inter, idCol, threshold)
+  }
+
+  /** Shared tail: |A∩B| → Jaccard with per-doc set sizes, thresholded. */
+  private def jaccardOfPairs(d: DataFrame, inter: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val sizes = d.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 8-bit band buckets on the 31-bit fingerprint,
+    * Hamming-distance verify of bucket-mates only.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sig = docs.select(col(idCol), sim_hash(col(textCol)).as("simhash"))
+    val banded = sig.select(col(idCol), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val", expr("(simhash >> (8 * band)) & 255"))
+    banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

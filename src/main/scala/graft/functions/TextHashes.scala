@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Near-duplicate fingerprints as native codegen'd expressions: MinHash
+  * signatures over word n-gram shingles and 31-bit SimHash — each ONE pass
+  * over the document bytes per row, no token-array materialization, no
+  * UDF boxing. This is the shape that matters at corpus scale: the
+  * expensive part of MinHash-LSH dedup is signature computation over 100 TB
+  * of text, and it runs here as a map-only whole-stage-codegen operator.
+  *
+  * Number discipline (so a DuckDB oracle replays bit-for-bit):
+  *  - token = maximal run of non-whitespace bytes (ASCII \s set — matches
+  *    both engines' `\s+` split on space-separated corpora);
+  *  - shingle hash = the [[RollingHash]] polynomial fold over the tokens
+  *    joined by a single 0x20, mod 2^31−1 — pure integer math;
+  *  - permutation j: `(a_j·h + b_j) mod P` with
+  *    `a_j = ((j+1)·2654435761) mod P` (Knuth multiplicative constant —
+  *    small multipliers like `2j+1` nearly preserve hash ordering and make
+  *    every permutation pick the same min shingle) and
+  *    `b_j = (j·40503·65537 + 12345) mod P`;
+  *  - SimHash bit i = sign of Σ_tokens (±1 by bit i of the token hash).
+  */
+object TextHashes {
+
+  final val P = 2147483647L // 2^31 − 1, same modulus as RollingHash
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == '\f'
+
+  /** Token spans [start, end) of non-whitespace byte runs. */
+  private def tokenSpans(bytes: Array[Byte]): Array[Int] = {
+    val spans = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        spans += i
+        while (i < n && !isWs(bytes(i))) i += 1
+        spans += i
+      }
+    }
+    spans.toArray
+  }
+
+  private def foldToken(h0: Long, bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = h0
+    var i = from
+    while (i < until) {
+      h = (h * 31L + (bytes(i) & 0xff)) % P
+      i += 1
+    }
+    h
+  }
+
+  /** MinHash signature: k minima of permuted n-gram shingle hashes.
+    * Documents with fewer than n tokens get the sentinel signature
+    * (all values = P), keeping the result non-null and total.
+    */
+  def minhash(s: UTF8String, n: Int, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val spans = tokenSpans(bytes)
+    val nTok = spans.length / 2
+    val mins = Array.fill[Long](k)(P)
+    var i = 0
+    while (i + n <= nTok) {
+      var h = 0L
+      var t = 0
+      while (t < n) {
+        if (t > 0) h = (h * 31L + ' '.toLong) % P
+        h = foldToken(h, bytes, spans(2 * (i + t)), spans(2 * (i + t) + 1))
+        t += 1
+      }
+      var j = 0
+      while (j < k) {
+        val a = ((j + 1L) * 2654435761L) % P
+        val b = (j.toLong * 40503L * 65537L + 12345L) % P
+        val p = (a * h + b) % P
+        if (p < mins(j)) mins(j) = p
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 31-bit SimHash over unigram token hashes (with multiplicity). */
+  def simhash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val spans = tokenSpans(bytes)
+    val nTok = spans.length / 2
+    val votes = new Array[Int](31)
+    var i = 0
+    while (i < nTok) {
+      val h = foldToken(0L, bytes, spans(2 * i), spans(2 * i + 1))
+      var b = 0
+      while (b < 31) {
+        votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 31) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Column APIs. */
+  def min_hash_signature(text: Column, n: Int, k: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(text), n, k))
+
+  def sim_hash(text: Column): Column =
+    ColumnBridge.column(SimHash(ColumnBridge.expression(text)))
+
+  private[functions] def checkString(dt: DataType, who: String): TypeCheckResult =
+    if (dt == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$who requires a string argument, got $dt")
+}
+
+case class MinHashSignature(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+
+  require(n >= 1 && k >= 1 && k <= 128, s"bad minhash params n=$n k=$k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "min_hash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.checkString(child.dataType, prettyName)
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashes.minhash(input.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.minhash($c, $n, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+case class SimHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sim_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.checkString(child.dataType, prettyName)
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashes.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.{Query, QueryPack, Tables}
+import graft.dedup.NearDup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate dedup surface over `documents` (SURVEY brief pillar):
+  * exact n-gram Jaccard, MinHash+LSH, SimHash. Every oracle REPLAYS the
+  * full pipeline (integer shingle hashes, affine permutations, band folds)
+  * in DuckDB SQL, so candidate sets — not just final scores — must agree.
+  */
+object DedupQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  // ---- shared oracle SQL fragments -------------------------------------
+  /** Tokens of trim(text), empty strings dropped (matches the byte-scan
+    * tokenizer in [[graft.functions.TextHashes]]).
+    */
+  private val toksCte =
+    """t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks
+      |       FROM documents)""".stripMargin
+
+  /** Distinct (doc_id, 3-gram shingle strings). */
+  private val shingleCtes =
+    s"""$toksCte,
+       |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle FROM t),
+       |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM d GROUP BY 1)""".stripMargin
+
+  /** RollingHash char fold of a string expression (ASCII corpora). */
+  private def foldSql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(generate_series(1, length($e)), c -> CAST(ord($e[c]) AS BIGINT))),
+       |  (a, x) -> (a * 31 + x) % 2147483647)""".stripMargin
+
+  private val jaccardTail =
+    """SELECT i.doc_a, i.doc_b,
+      |  ROUND(i.cnt * 1.0 / (sa.n_sh + sb.n_sh - i.cnt), 4) AS jaccard
+      |FROM inter i JOIN sz sa ON i.doc_a = sa.doc_id
+      |             JOIN sz sb ON i.doc_b = sb.doc_id
+      |WHERE ROUND(i.cnt * 1.0 / (sa.n_sh + sb.n_sh - i.cnt), 4) >= 0.5""".stripMargin
+
+  override def queries: Seq[Query] = Seq(
+
+    Query(
+      "q_d_jaccard_pairs",
+      (s, dir) =>
+        NearDup.exactJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5)
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $shingleCtes,
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+              |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |$jaccardTail
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "exact word-3-gram Jaccard >= 0.5 via inverted shingle index — pairs " +
+        "generated only for docs sharing a shingle, never all-pairs"),
+
+    Query(
+      "q_d_minhash_lsh_pairs",
+      (s, dir) =>
+        NearDup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.5)
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $shingleCtes,
+              |dh AS (SELECT doc_id, ${foldSql("shingle")} AS h FROM d),
+              |hsh AS (SELECT t.doc_id, coalesce(g.hs, CAST([] AS BIGINT[])) AS hs
+              |        FROM t LEFT JOIN (SELECT doc_id, list(h) AS hs FROM dh GROUP BY 1) g USING (doc_id)),
+              |sigt AS (SELECT doc_id, list_transform(range(0, 16), j ->
+              |           CASE WHEN len(hs) = 0 THEN CAST(2147483647 AS BIGINT)
+              |                ELSE list_min(list_transform(hs, h ->
+              |                  ((((j+1) * 2654435761) % 2147483647) * h
+              |                   + ((j*40503*65537 + 12345) % 2147483647)) % 2147483647)) END) AS sig
+              |         FROM hsh),
+              |bnd AS (SELECT doc_id, band,
+              |          list_reduce(list_prepend(CAST(0 AS BIGINT), sig[band*4+1 : band*4+4]),
+              |            (a, x) -> (a * 8191 + x) % 2147483647) AS band_val
+              |        FROM sigt, (SELECT unnest(range(0, 4)) AS band)),
+              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.band_val = b.band_val
+              |                    AND a.doc_id < b.doc_id),
+              |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS cnt
+              |          FROM cand c JOIN d da ON da.doc_id = c.doc_a
+              |                      JOIN d db ON db.doc_id = c.doc_b AND db.shingle = da.shingle
+              |          GROUP BY 1, 2)
+              |$jaccardTail
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "MinHash(16) over 3-gram shingles, 4 bands x 4 rows, bucket-join candidates, " +
+        "exact-Jaccard verify of candidates only — the 100 TB dedup shape; oracle " +
+        "replays signature, banding and verification integer-for-integer"),
+
+    Query(
+      "q_d_simhash_pairs",
+      (s, dir) =>
+        NearDup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6)
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $toksCte,
+              |th AS (SELECT doc_id, list_transform(toks, tk -> ${foldSql("tk")}) AS hs FROM t),
+              |sims AS (SELECT doc_id,
+              |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 31), i ->
+              |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |           list_transform(hs, h -> CASE WHEN (h >> i) & 1 = 1
+              |             THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+              |           (a, x) -> a + x) > 0
+              |    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
+              |  (a, x) -> a + x) AS simhash FROM th),
+              |bnd AS (SELECT doc_id, simhash, band, (simhash >> (8*band)) & 255 AS band_val
+              |        FROM sims, (SELECT unnest(range(0, 4)) AS band))
+              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+              |FROM bnd a JOIN bnd b ON a.band = b.band AND a.band_val = b.band_val
+              |           AND a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "SimHash(31-bit) near-dup pairs: 8-bit band buckets, Hamming <= 6 verify " +
+        "of bucket-mates only")
+  )
+}

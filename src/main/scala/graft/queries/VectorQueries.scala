@@ -84,6 +84,39 @@ object VectorQueries extends QueryPack {
               |FROM cand c, q
               |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin),
       doc = "LSH-banded ANN: 4 bands × 8 bits, candidates share ≥1 band with the " +
-        "query (banding OR-amplification), exact cosine rerank of the small candidate set")
+        "query (banding OR-amplification), exact cosine rerank of the small candidate set"),
+
+    Query(
+      "q_e_embed_neardup_pairs",
+      (s, dir) => {
+        import graft.functions.VectorExpressions.cosine_sim
+        val banded = VectorSearch.withLshBands(emb(s, dir), "embedding",
+          nBands = 8, bitsPerBand = 4)
+        banded.alias("a").join(banded.alias("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_val") === col("b.band_val") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            (round(cosine_sim(col("a.embedding"), col("b.embedding")), 6) + lit(0.0))
+              .as("sim"))
+          .dropDuplicates("vec_a", "vec_b")
+          .where(col("sim") >= 0.3)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              |sig AS (SELECT vec_id, emb, ${sigSql(32, "emb")} AS s FROM e),
+              |bands AS (SELECT vec_id, band, (s >> (4*band)) & 15 AS bv
+              |          FROM sig, (SELECT unnest(range(0, 8)) AS band)),
+              |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+              |                      AND a.vec_id < b.vec_id)
+              |SELECT c.vec_a, c.vec_b,
+              |  ROUND(list_cosine_similarity(ea.emb, eb.emb), 6) + 0.0 AS sim
+              |FROM cand c JOIN e ea ON ea.vec_id = c.vec_a
+              |            JOIN e eb ON eb.vec_id = c.vec_b
+              |WHERE ROUND(list_cosine_similarity(ea.emb, eb.emb), 6) + 0.0 >= 0.3
+              |ORDER BY vec_a, vec_b""".stripMargin),
+      doc = "embedding-cosine near-dup: 8 bands × 4 bits candidate pairs (bucket " +
+        "join, no all-pairs), exact cosine >= 0.3 verify — the vector twin of MinHash dedup")
   )
 }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.dedup.NearDup
+import graft.functions.TextHashes
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the old river bank tonight"), // near-dup of 0
+    (2L, "completely different words describing a very unrelated subject matter entirely here now"),
+    (3L, "another document with its own unique content that shares nothing with others at all"),
+    (4L, "the quick brown fox jumps over the lazy dog near the old river bank today") // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exactJaccardPairs finds the planted near-dup and exact-dup pairs only") {
+    val pairs = NearDup.exactJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (0L, 4L), (1L, 4L)))
+  }
+
+  test("exact-dup pair has jaccard exactly 1.0") {
+    val j = NearDup.exactJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .where($"doc_a" === 0 && $"doc_b" === 4)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("minhashLshPairs recovers the same pairs as exact Jaccard here") {
+    val pairs = NearDup.minhashLshPairs(corpus, "doc_id", "text",
+      n = 3, k = 16, bands = 4, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (0L, 4L), (1L, 4L)))
+  }
+
+  test("simhashPairs: exact dup at hamming 0, near-dup close, others far") {
+    val pairs = NearDup.simhashPairs(corpus, "doc_id", "text", maxHamming = 6)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 4L)) == 0L)
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((0L, 3L)))
+  }
+
+  test("minhash signature: sentinel for short docs, sensitivity to content") {
+    val sig = (t: String) =>
+      TextHashes.minhash(UTF8String.fromString(t), 3, 8).toLongArray().toSeq
+    assert(sig("one two") == Seq.fill(8)(TextHashes.P))
+    assert(sig("a b c d e") == sig("a b c d e"))
+    assert(sig("a b c d e") != sig("a b c d f"))
+  }
+
+  test("identical minhash under duplicated shingles (set semantics)") {
+    val sig = (t: String) =>
+      TextHashes.minhash(UTF8String.fromString(t), 3, 8).toLongArray().toSeq
+    // both docs have shingle set {a b c, b c a, c a b}
+    assert(sig("a b c a b c") == sig("a b c a b c a b c"))
+  }
+}
