@@ -18,7 +18,8 @@ object SparkEntry {
     IndicatorQueries,
     TextQueries,
     VectorQueries,
-    DedupQueries
+    DedupQueries,
+    IngestQueries
   )
 
   private lazy val (queryMap, oracleMap) = QueryPack.toEntryMaps(packs)

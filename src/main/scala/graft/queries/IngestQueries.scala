@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.{Query, QueryPack, Tables}
+import graft.streaming.StreamIngest
+import graft.streaming.StreamIngest.IsoMicros
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Batch faces of the ingest path (SURVEY §2.3 P1/P3/P5/P6/P16/P17): the
+  * same parse functions the streaming queries use, driven from the
+  * `events` table so the DuckDB oracle can check them. The envelope
+  * round-trip builds real WS-shaped JSON (numerics as strings, missing
+  * time fields) inside the query and pushes it through the full
+  * from_json → explode → cast → patch pipeline; the oracle is the
+  * identity projection — if any stage lost information, the hash breaks.
+  */
+object IngestQueries extends QueryPack {
+
+  private def ev(s: SparkSession, dir: String) = Tables(s, dir, "events")
+
+  override def queries: Seq[Query] = Seq(
+
+    // ---- P1/P16: JSON parse of the props metadata column ----
+    Query(
+      "q_p1_parse_props",
+      (s, dir) =>
+        ev(s, dir).select(col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k")),
+      Some("""SELECT event_id, CAST(props->>'k' AS INT) AS k FROM events""".stripMargin),
+      doc = "SURVEY P1/P16: from_json with declared schema over the metadata " +
+        "column — map-only, permissive nulls on corrupt records"),
+
+    // ---- P5+P6+P2+P16: envelope encode → parse → explode → cast → patch ----
+    Query(
+      "q_p5_envelope_roundtrip",
+      (s, dir) => {
+        val tick = struct(
+          lit("update").as("type"),
+          col("event_type").as("product_id"),
+          col("value").cast("string").as("price"),
+          col("event_id").cast("string").as("volume_24h"),
+          when(col("value") >= 1.0, date_format(col("ts"), IsoMicros)).as("time"))
+        val envelopes = ev(s, dir)
+          .select(col("event_type"), tick.as("t"))
+          .groupBy("event_type")
+          .agg(to_json(struct(
+            lit("ticker").as("channel"),
+            lit("2024-01-01T00:00:00.000000Z").as("timestamp"),
+            array(struct(lit("update").as("type"),
+              sort_array(collect_list(col("t"))).as("tickers"))).as("events")
+          )).as("payload"))
+        StreamIngest.parseTickerEnvelopes(envelopes, "payload")
+          .select(
+            col("product_id").as("event_type"),
+            col("volume_24h").cast("long").as("event_id"),
+            col("price"),
+            col("time"))
+      },
+      Some("""SELECT event_type, event_id, value AS price,
+             |  CASE WHEN value < 1.0 THEN TIMESTAMP '2024-01-01 00:00:00' ELSE ts END AS time
+             |FROM events""".stripMargin),
+      doc = "SURVEY P5/P6/P2: WS envelope built with numerics-as-strings and " +
+        "missing time fields, then from_json + double explode + cast + " +
+        "envelope-timestamp patch; oracle = identity projection (lossless round-trip)"),
+
+    // ---- P3: dual-format candle timestamp ----
+    Query(
+      "q_p3_dual_ts",
+      (s, dir) => {
+        val startStr = when(col("event_id") % 2 === 0,
+          unix_timestamp(col("ts")).cast("string"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        ev(s, dir)
+          .withColumn("start", startStr)
+          .select(col("event_id"),
+            StreamIngest.parseCandleTs(col("start")).as("start_time"))
+      },
+      Some("""SELECT event_id, date_trunc('second', ts) AS start_time
+             |FROM events""".stripMargin),
+      doc = "SURVEY P3: when(try_cast(long) ok, epoch).otherwise(text parse) — " +
+        "both branches land on second precision, oracle is date_trunc"),
+
+    // ---- P17: archive object-key formatting ----
+    Query(
+      "q_p17_object_keys",
+      (s, dir) =>
+        ev(s, dir).select(col("event_id"),
+          format_string("ticker/%s/%d.json", col("event_type"),
+            unix_micros(col("ts"))).as("object_key")),
+      Some("""SELECT event_id,
+             |  'ticker/' || event_type || '/' || CAST(epoch_us(ts) AS BIGINT) || '.json' AS object_key
+             |FROM events""".stripMargin),
+      doc = "SURVEY P17: {channel}/{key}/{epoch}.json object-key layout as an " +
+        "expression — the archive sink's partition path (K4)")
+  )
+}

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming ingest — the Spark-native rebuild of the reference's
+  * Kafka→Spark→keyed-store pipeline (SURVEY §2.1 S2/S3, §2.2 K2-K4/K7,
+  * §2.3 P1-P6, §2.7 T1-T4/T7):
+  *
+  *  - fixed string-typed edge schemas (Coinbase sends every numeric as a
+  *    JSON string; cast happens at projection, ref spark_processor.py:107-132);
+  *  - envelope parse: `from_json` → `explode(events)` → `explode(tickers)`
+  *    (the reference flattens producer-side, producer.py:83-106 — here it
+  *    is an engine operator so raw archives replay through the same path);
+  *  - missing-time patch from the envelope timestamp (P6, producer.py:87-91);
+  *  - dual-format candle timestamp (P3, spark_processor.py:192-194);
+  *  - last-writer-wins keyed upsert sink for `foreachBatch`: checkpointed
+  *    offsets + key-deduped state make redelivery and micro-batch replay
+  *    idempotent (T2 — the parquet equivalent of the reference's
+  *    Cassandra PK upsert);
+  *  - optional ticker→candle builder: tumbling event-time window with
+  *    watermark (T3/T4 — the one stateful streaming op the survey adds).
+  *
+  * The same parse functions serve batch (archived JSON) and streaming
+  * (`readStream`) inputs — a DataFrame-in/DataFrame-out contract, so the
+  * whole path is testable against the DuckDB oracle in batch mode and
+  * exercised for streaming semantics with MemoryStream/file sources.
+  */
+object StreamIngest {
+
+  /** Advanced-Trade ticker: 13 fields, all strings at the edge. */
+  val tickerSchema: StructType = StructType(Seq(
+    "type", "product_id", "price", "volume_24h", "low_24h", "high_24h",
+    "low_52w", "high_52w", "price_percent_chg_24h", "volume_percent_chg_24h",
+    "price_change_24h", "volume_change_24h", "time"
+  ).map(StructField(_, StringType)))
+
+  /** Candle: 7 fields, `start` is unix-seconds-as-string OR datetime text. */
+  val candleSchema: StructType = StructType(Seq(
+    "start", "high", "low", "open", "close", "volume", "product_id"
+  ).map(StructField(_, StringType)))
+
+  /** WS message envelope: events[].tickers[] / events[].candles[]. */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("channel", StringType),
+    StructField("timestamp", StringType),
+    StructField("events", ArrayType(StructType(Seq(
+      StructField("type", StringType),
+      StructField("tickers", ArrayType(tickerSchema)),
+      StructField("candles", ArrayType(candleSchema))))))))
+
+  /** Producer time format: ISO-8601 with microseconds, UTC. */
+  val IsoMicros = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+
+  /** P1+P5+P6+P2: envelope JSON column → one typed row per ticker.
+    * Missing per-ticker `time` falls back to the envelope timestamp.
+    */
+  def parseTickerEnvelopes(raw: DataFrame, jsonCol: String): DataFrame =
+    raw
+      .withColumn("__env", from_json(col(jsonCol), envelopeSchema))
+      .select(col("__env.timestamp").as("__msg_time"),
+        explode(col("__env.events")).as("__ev"))
+      .select(col("__msg_time"), explode(col("__ev.tickers")).as("__t"))
+      .select(
+        col("__t.product_id").as("product_id"),
+        to_timestamp(coalesce(col("__t.time"), col("__msg_time")), IsoMicros)
+          .as("time"),
+        col("__t.price").cast("double").as("price"),
+        col("__t.volume_24h").cast("double").as("volume_24h"))
+
+  /** P3: `when(cast(long) ok, from-epoch).otherwise(parse-text)` —
+    * both branches truncate to whole seconds.
+    */
+  def parseCandleTs(c: Column): Column = {
+    val asLong = try_cast(c, "long")
+    when(asLong.isNotNull, timestamp_seconds(asLong))
+      .otherwise(to_timestamp(c))
+  }
+
+  private def try_cast(c: Column, t: String): Column =
+    c.try_cast(t)
+
+  /** Candle-doc JSON column → typed candle rows (ref spark_processor.py:184-200). */
+  def parseCandles(raw: DataFrame, jsonCol: String): DataFrame =
+    raw
+      .withColumn("__c", from_json(col(jsonCol), candleSchema))
+      .select(
+        col("__c.product_id").as("product_id"),
+        parseCandleTs(col("__c.start")).as("start_time"),
+        col("__c.open").cast("double").as("open"),
+        col("__c.high").cast("double").as("high"),
+        col("__c.low").cast("double").as("low"),
+        col("__c.close").cast("double").as("close"),
+        col("__c.volume").cast("double").as("volume"))
+
+  /** K2/K3/T2: last-writer-wins keyed parquet upsert for `foreachBatch`.
+    *
+    * State invariant: one row per key, the one with the highest `seqCol`
+    * (Kafka offset / emit sequence — per-key total order). Replayed
+    * micro-batches (checkpoint recovery) are absorbed: re-upserting rows
+    * already reflected in the state is a no-op, which together with
+    * checkpointed source offsets gives effective exactly-once to storage.
+    *
+    * Test-scale implementation: rewrite state to a temp dir and swap.
+    * On a real deployment the same contract is one `MERGE INTO` against a
+    * transactional table format, or an overwrite of only the key-hash
+    * partitions present in the batch — the calling convention (this
+    * function inside `foreachBatch`) is identical.
+    */
+  def lwwUpsert(statePath: String, keyCols: Seq[String], seqCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = new Path(statePath)
+    val existing =
+      if (fs.exists(state)) Some(spark.read.parquet(statePath)) else None
+    val all = existing.map(batch.unionByName(_)).getOrElse(batch)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    val next = all
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+    val tmp = new Path(statePath + s"__tmp_$batchId")
+    next.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(state)) fs.delete(state, true)
+    fs.rename(tmp, state)
+  }
+
+  /** T3/T4: build OHLC candles from a ticker stream — tumbling event-time
+    * window + watermark; open/close via deterministic min_by/max_by on
+    * event time. Works identically on batch frames (no watermark needed).
+    */
+  def buildCandles(tickers: DataFrame, windowSeconds: Int,
+      watermark: Option[String]): DataFrame = {
+    val src = watermark.fold(tickers)(w => tickers.withWatermark("time", w))
+    src
+      .groupBy(col("product_id"),
+        window(col("time"), s"$windowSeconds seconds"))
+      .agg(
+        min_by(col("price"), col("time")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("time")).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("product_id"), col("window.start").as("start_time"),
+        col("window.end").as("end_time"), col("open"), col("high"),
+        col("low"), col("close"), col("n_ticks"))
+  }
+}

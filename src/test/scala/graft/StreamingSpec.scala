@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val env1 =
+    """{"channel":"ticker","timestamp":"2024-03-01T10:00:00.000000Z","events":[
+      |{"type":"update","tickers":[
+      |{"type":"ticker","product_id":"BTC-USD","price":"50000.5","volume_24h":"123.25","time":"2024-03-01T09:59:58.500000Z"},
+      |{"type":"ticker","product_id":"ETH-USD","price":"3000.25","volume_24h":"456.5"}]}]}""".stripMargin.replaceAll("\n", "")
+
+  test("parseTickerEnvelopes: explode, cast, and missing-time patch") {
+    val df = Seq(env1).toDF("payload")
+    val out = StreamIngest.parseTickerEnvelopes(df, "payload")
+      .orderBy("product_id")
+      .collect()
+    assert(out.length == 2)
+    val btc = out(0)
+    assert(btc.getAs[String]("product_id") == "BTC-USD")
+    assert(btc.getAs[Double]("price") == 50000.5)
+    assert(btc.getAs[java.sql.Timestamp]("time").toInstant.toString
+      == "2024-03-01T09:59:58.500Z")
+    // ETH ticker has no time → patched from envelope timestamp
+    val eth = out(1)
+    assert(eth.getAs[java.sql.Timestamp]("time").toInstant.toString
+      == "2024-03-01T10:00:00Z")
+  }
+
+  test("parseCandleTs: unix-seconds string and datetime string agree") {
+    val df = Seq(("1700000000", "2023-11-14 22:13:20")).toDF("a", "b")
+    val r = df.select(
+      StreamIngest.parseCandleTs($"a").as("ta"),
+      StreamIngest.parseCandleTs($"b").as("tb")).head()
+    assert(r.getTimestamp(0) == r.getTimestamp(1))
+  }
+
+  test("LWW upsert: late candle re-emission converges to last writer (T2/K3)") {
+    val state = tmpDir("lww-state") + "/candles"
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double, Long)] // (product, start, close, seq)
+    val q = ms.toDF().toDF("product_id", "start_time", "close", "seq")
+      .writeStream
+      .foreachBatch(StreamIngest.lwwUpsert(state,
+        Seq("product_id", "start_time"), "seq") _)
+      .option("checkpointLocation", tmpDir("lww-ckpt"))
+      .start()
+    ms.addData(("BTC", 100L, 1.0, 1L), ("BTC", 200L, 2.0, 2L))
+    q.processAllAvailable()
+    // partial candle 100 re-emitted with a later value, plus a duplicate
+    ms.addData(("BTC", 100L, 1.5, 3L), ("BTC", 200L, 2.0, 2L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(state)
+      .select("start_time", "close").as[(Long, Double)].collect().toMap
+    assert(got == Map(100L -> 1.5, 200L -> 2.0))
+  }
+
+  test("LWW upsert is idempotent under micro-batch replay") {
+    val state = tmpDir("lww-replay") + "/t"
+    val batch = Seq(("BTC", 1L, 10.0, 5L), ("ETH", 1L, 20.0, 6L))
+      .toDF("product_id", "start_time", "close", "seq")
+    StreamIngest.lwwUpsert(state, Seq("product_id", "start_time"), "seq")(batch, 0L)
+    val before = spark.read.parquet(state).orderBy("product_id").collect().toSeq
+    // simulate checkpoint-recovery replay of the same batch
+    StreamIngest.lwwUpsert(state, Seq("product_id", "start_time"), "seq")(batch, 0L)
+    val after = spark.read.parquet(state).orderBy("product_id").collect().toSeq
+    assert(before == after && before.size == 2)
+  }
+
+  test("checkpointed file-source resume: no reprocessing, no loss (T7/K7)") {
+    val srcDir = tmpDir("stream-src")
+    val ckpt = tmpDir("stream-ckpt")
+    val state = tmpDir("stream-state") + "/t"
+    def writeFile(name: String, rows: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(srcDir, name),
+        rows.mkString("\n").getBytes)
+
+    writeFile("b1.json", Seq(
+      """{"product_id":"BTC","start":"100","close":"1.0","seq":1}""",
+      """{"product_id":"BTC","start":"200","close":"2.0","seq":2}"""))
+    val schema = "product_id STRING, start STRING, close STRING, seq LONG"
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).json(srcDir)
+        .select(col("product_id"),
+          StreamIngest.parseCandleTs(col("start")).as("start_time"),
+          col("close").cast("double").as("close"), col("seq"))
+        .writeStream
+        .foreachBatch(StreamIngest.lwwUpsert(state,
+          Seq("product_id", "start_time"), "seq") _)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(state).count() == 2)
+    // second file arrives while "down"; restart from the same checkpoint
+    writeFile("b2.json", Seq(
+      """{"product_id":"BTC","start":"200","close":"2.5","seq":3}""",
+      """{"product_id":"ETH","start":"100","close":"9.0","seq":4}"""))
+    run()
+    val got = spark.read.parquet(state)
+      .select("product_id", "close").as[(String, Double)].collect().toSet
+    assert(got == Set(("BTC", 1.0), ("BTC", 2.5), ("ETH", 9.0)))
+  }
+
+  test("buildCandles: watermarked tumbling window emits closed candles (T3/T4)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double, Double)]
+    val ticks = ms.toDF().toDF("time", "product_id", "price", "volume_24h")
+    val outDir = tmpDir("candles-out")
+    val q = StreamIngest.buildCandles(ticks, 60, Some("10 seconds"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", tmpDir("candles-ckpt"))
+      .outputMode("append")
+      .start()
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    ms.addData(
+      (ts("2024-03-01T10:00:05Z"), "BTC", 100.0, 1.0),
+      (ts("2024-03-01T10:00:20Z"), "BTC", 105.0, 1.0),
+      (ts("2024-03-01T10:00:50Z"), "BTC", 95.0, 1.0))
+    q.processAllAvailable()
+    // advance event time far past the watermark to close the first window
+    ms.addData((ts("2024-03-01T10:03:00Z"), "BTC", 99.0, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+      .where(col("start_time") === ts("2024-03-01T10:00:00Z"))
+      .select("open", "high", "low", "close", "n_ticks").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDouble(0) == 100.0 && r.getDouble(1) == 105.0 &&
+      r.getDouble(2) == 95.0 && r.getDouble(3) == 95.0 && r.getLong(4) == 3L)
+  }
+}
