@@ -19,7 +19,8 @@ object SparkEntry {
     TextQueries,
     VectorQueries,
     DedupQueries,
-    IngestQueries
+    IngestQueries,
+    ServingQueries
   )
 
   private lazy val (queryMap, oracleMap) = QueryPack.toEntryMaps(packs)

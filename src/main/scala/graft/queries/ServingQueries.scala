@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.{Query, QueryPack, Tables}
+import graft.serve.Serving
+import graft.ts.TimeSeriesOps.resampleOhlcv
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Serving-path surface (SURVEY W13/W15, U1/U2/U3/U5, J1/J2, P16): the
+  * window→inference→fan-out→overlay/metrics spine of the reference's
+  * prediction service, driven from `events` so DuckDB can replay it.
+  */
+object ServingQueries extends QueryPack {
+
+  private val K = "event_type"
+  private def ev(s: SparkSession, dir: String) = Tables(s, dir, "events")
+
+  /** Fixed serving cutoff inside every SF's data range (Jan 2024). */
+  private val Cutoff = "2024-01-24 00:00:00"
+
+  /** Shared J1 pipeline: hourly candles → last pre-cutoff candle per key →
+    * 36 hourly-horizon predictions (deterministic drift surrogate) →
+    * inner join back to actual candles at target time.
+    */
+  private def overlay(s: SparkSession, dir: String): DataFrame = {
+    val candles = resampleOhlcv(ev(s, dir), K, "ts", "event_id",
+      "value", "value", 3600)
+      .select(col(K), col("bucket_start"), col("close"))
+    val wDesc = Window.partitionBy(col(K)).orderBy(col("bucket_start").desc)
+    val base = candles
+      .where(col("bucket_start") < lit(Cutoff).cast("timestamp"))
+      .withColumn("__rn", row_number().over(wDesc))
+      .where(col("__rn") === 1)
+      .select(col(K), col("bucket_start").as("base_ts"),
+        col("close").as("base_close"))
+    val preds = base
+      .select(col(K), col("base_ts"), col("base_close"),
+        explode(sequence(lit(1), lit(36))).as("horizon"))
+      .withColumn("target_ts",
+        expr("timestampadd(SECOND, horizon * 3600, base_ts)"))
+      .withColumn("pred",
+        col("base_close") * (lit(1.0) + lit(0.002) * col("horizon")))
+    val actuals = candles.select(col(K).as("__act_key"),
+      col("bucket_start").as("__act_ts"), col("close").as("actual_close"))
+    preds.join(actuals,
+        col(K) === col("__act_key") && col("target_ts") === col("__act_ts"))
+      .select(col(K), col("horizon"), col("target_ts"),
+        col("pred"), col("actual_close"))
+  }
+
+  private val overlaySql =
+    s"""c AS (SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+       |        last(value ORDER BY ts, event_id) AS close
+       |      FROM events GROUP BY 1, 2),
+       |b AS (SELECT event_type, bucket_start AS base_ts, close AS base_close,
+       |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket_start DESC) AS rn
+       |      FROM c WHERE bucket_start < TIMESTAMP '$Cutoff'),
+       |p AS (SELECT event_type, base_ts, base_close, unnest(range(1, 37)) AS horizon
+       |      FROM b WHERE rn = 1),
+       |o AS (SELECT p.event_type, p.horizon,
+       |        p.base_ts + p.horizon * INTERVAL 1 HOUR AS target_ts,
+       |        p.base_close * (1 + 0.002 * p.horizon) AS pred, c.close AS actual_close
+       |      FROM p JOIN c ON c.event_type = p.event_type
+       |                   AND c.bucket_start = p.base_ts + p.horizon * INTERVAL 1 HOUR)""".stripMargin
+
+  override def queries: Seq[Query] = Seq(
+
+    // ---- W13: sliding training windows ----
+    Query(
+      "q_w13_windows",
+      (s, dir) =>
+        Serving.slidingWindows(ev(s, dir), K, "ts", "event_id",
+          "value", "value", 288, 36)
+          .select(col(K), col("event_id"),
+            size(col("x")).as("x_len"), size(col("y")).as("y_len"),
+            element_at(col("x"), 1).as("x_first"),
+            element_at(col("x"), 288).as("x_last"),
+            element_at(col("y"), 1).as("y_first"),
+            element_at(col("y"), 36).as("y_last")),
+      Some("""WITH t AS (
+             |  SELECT event_type, event_id, value,
+             |    COUNT(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |      ROWS BETWEEN CURRENT ROW AND 287 FOLLOWING) AS x_len,
+             |    COUNT(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |      ROWS BETWEEN 288 FOLLOWING AND 323 FOLLOWING) AS y_len,
+             |    LEAD(value, 287) OVER w AS x_last,
+             |    LEAD(value, 288) OVER w AS y_first,
+             |    LEAD(value, 323) OVER w AS y_last
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+             |SELECT event_type, event_id, x_len, y_len,
+             |  value AS x_first, x_last, y_first, y_last
+             |FROM t WHERE x_len = 288 AND y_len = 36""".stripMargin),
+      doc = "SURVEY W13: 288-in/36-out sliding windows via collect_list row " +
+        "frames, complete windows only; oracle pins frame boundaries via lead/count"),
+
+    // ---- U1+W15+U5+P16: latest window → surrogate forward → fan-out ----
+    Query(
+      "q_u1_window_inference",
+      (s, dir) =>
+        Serving.predictLatest(ev(s, dir), K, "ts", "event_id",
+          "value", 288, 36, 300, "surrogate-v1")
+          .select(col(K), col("horizon"), col("target_ts"),
+            (round(col("predicted_price"), 6) + lit(0.0)).as("predicted_price"),
+            (round(col("confidence_lower"), 6) + lit(0.0)).as("confidence_lower"),
+            (round(col("confidence_upper"), 6) + lit(0.0)).as("confidence_upper"),
+            col("metadata")),
+      Some("""WITH s AS (SELECT event_type, MAX(ts) AS last_ts,
+             |             list(value ORDER BY ts, event_id) AS vs
+             |           FROM events GROUP BY 1),
+             |tl AS (SELECT event_type, last_ts, vs[len(vs)-287:] AS tail
+             |       FROM s WHERE len(vs) >= 288),
+             |wm AS (SELECT event_type, last_ts,
+             |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(range(1, 289), i -> tail[i] * i)),
+             |           (a, x) -> a + x) / 41616.0 AS m
+             |       FROM tl)
+             |SELECT event_type, horizon,
+             |  last_ts + horizon * INTERVAL 300 SECOND AS target_ts,
+             |  ROUND(m * (1 + 0.001 * horizon), 6) + 0.0 AS predicted_price,
+             |  ROUND(m * (1 + 0.001 * horizon) * 0.95, 6) + 0.0 AS confidence_lower,
+             |  ROUND(m * (1 + 0.001 * horizon) * 1.05, 6) + 0.0 AS confidence_upper,
+             |  '{"model":"surrogate-v1","horizon":' || horizon || '}' AS metadata
+             |FROM wm, (SELECT unnest(range(1, 37)) AS horizon)""".stripMargin),
+      doc = "SURVEY U1/W15/U5/P16: newest 288-row window per key, UDF forward " +
+        "pass (ascending-index weighted mean — the ONNX/linear-algebra slot), " +
+        "36-horizon fan-out with ±5% default confidence and JSON metadata; " +
+        "oracle replays the fold bit-exactly"),
+
+    // ---- U2: scaler transform + inverse round-trip ----
+    Query(
+      "q_u2_scale_roundtrip",
+      (s, dir) => {
+        val e = ev(s, dir)
+        // params rounded to 6 BEFORE use so both engines feed identical
+        // doubles into the transform (exact-percentile ulps differ)
+        val params = e.groupBy(col(K)).agg(
+          round(expr("percentile(value, 0.5)"), 6).as("center"),
+          round(expr("percentile(value, 0.75) - percentile(value, 0.25)"), 6)
+            .as("scale"))
+        Serving.robustScale(e, params, K, "value")
+          .withColumn("inv_err",
+            Serving.robustInverse(col("value_scaled"), col("center"),
+              col("scale")) - col("value"))
+          .select(col(K), col("event_id"),
+            (round(col("value_scaled"), 6) + lit(0.0)).as("value_scaled"),
+            (round(col("inv_err"), 6) + lit(0.0)).as("inv_err"))
+      },
+      Some("""WITH p AS (SELECT event_type,
+             |    ROUND(quantile_cont(value, 0.5), 6) AS center,
+             |    ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS scale
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_type, e.event_id,
+             |  ROUND(CASE WHEN p.scale <> 0 THEN (e.value - p.center) / p.scale
+             |             ELSE 0.0 END, 6) + 0.0 AS value_scaled,
+             |  ROUND(CASE WHEN p.scale <> 0
+             |             THEN ((e.value - p.center) / p.scale) * p.scale + p.center
+             |             ELSE p.center END - e.value, 6) + 0.0 AS inv_err
+             |FROM events e JOIN p USING (event_type)""".stripMargin),
+      doc = "SURVEY U2/U3/J3: robust-scale transform + inverse as column " +
+        "arithmetic over a broadcast params table; zero-IQR guarded; inv_err " +
+        "column proves inverse(transform(x)) == x to 1e-6"),
+
+    // ---- J1: actual-vs-predicted overlay join ----
+    Query(
+      "q_j1_overlay_join",
+      (s, dir) =>
+        overlay(s, dir)
+          .select(col(K), col("horizon"), col("target_ts"),
+            (round(col("pred"), 6) + lit(0.0)).as("predicted_price"),
+            col("actual_close"))
+          .orderBy(K, "horizon"),
+      Some(s"""WITH $overlaySql
+              |SELECT event_type, horizon, target_ts,
+              |  ROUND(pred, 6) + 0.0 AS predicted_price, actual_close
+              |FROM o ORDER BY 1, 2""".stripMargin),
+      doc = "SURVEY J1: predictions-vs-candles overlay — equi-join on " +
+        "(key, target bucket), the Grafana dual-target panel shape"),
+
+    // ---- J2: per-horizon prediction-quality metrics join ----
+    Query(
+      "q_j2_horizon_metrics",
+      (s, dir) =>
+        overlay(s, dir)
+          .groupBy(col("horizon"))
+          .agg(
+            round(avg(abs(col("pred") - col("actual_close"))), 4).as("mae"),
+            round(sqrt(avg(pow(col("pred") - col("actual_close"), 2))), 4)
+              .as("rmse"),
+            count(lit(1)).as("sample_count"))
+          .orderBy("horizon"),
+      Some(s"""WITH $overlaySql
+              |SELECT horizon,
+              |  ROUND(AVG(ABS(pred - actual_close)), 4) AS mae,
+              |  ROUND(SQRT(AVG((pred - actual_close) * (pred - actual_close))), 4) AS rmse,
+              |  COUNT(*) AS sample_count
+              |FROM o GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "SURVEY J2/A9: predictions joined to later-arriving actuals, " +
+        "grouped per horizon — the model_metrics table build")
+  )
+}
