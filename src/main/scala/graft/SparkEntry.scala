@@ -20,7 +20,8 @@ object SparkEntry {
     VectorQueries,
     DedupQueries,
     IngestQueries,
-    ServingQueries
+    ServingQueries,
+    FeatureQueries
   )
 
   private lazy val (queryMap, oracleMap) = QueryPack.toEntryMaps(packs)
