@@ -21,7 +21,9 @@ object SparkEntry {
     DedupQueries,
     IngestQueries,
     ServingQueries,
-    FeatureQueries
+    FeatureQueries,
+    SqlQueries,
+    ApproxQueries
   )
 
   private lazy val (queryMap, oracleMap) = QueryPack.toEntryMaps(packs)

@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.{Query, QueryPack, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-safe approximate-percentile variants of A4/A5/P9 (VERDICT r1 #4:
+  * exact `percentile` buffers every group value in executor memory — the
+  * one operator in the r1 surface that cannot survive 100 TB groups).
+  *
+  * `approx_percentile(col, p, 10000)` (Greenwald-Khanna) holds an
+  * O(accuracy·log n) sketch per group and merges map-side: rank error
+  * ≤ n/10000 (documented engine contract). The approx values cannot
+  * hash-match DuckDB's different sketch, so these queries are declared
+  * rows-only; AccuracySpec pins them within rank-error bounds of the
+  * exact result, and the exact twins (q_a4/q_a5/q_p9) keep full oracle
+  * parity at sf0.01.
+  */
+object ApproxQueries extends QueryPack {
+
+  private def ev(s: SparkSession, dir: String) = Tables(s, dir, "events")
+
+  /** Accuracy parameter: rank error ≤ n/10000. */
+  val Accuracy = 10000
+
+  override def queries: Seq[Query] = Seq(
+
+    Query(
+      "q_a4_quantiles_approx",
+      (s, dir) =>
+        ev(s, dir).groupBy(col("event_type")).agg(
+          round(expr(s"approx_percentile(value, 0.25, $Accuracy)"), 4).as("q25"),
+          round(expr(s"approx_percentile(value, 0.5, $Accuracy)"), 4).as("q50"),
+          round(expr(s"approx_percentile(value, 0.75, $Accuracy)"), 4).as("q75"))
+          .orderBy("event_type"),
+      None,
+      doc = "SURVEY A4 at scale: mergeable quantile sketch, O(1e4·log n) " +
+        "state per group instead of O(n) exact-percentile buffers"),
+
+    Query(
+      "q_a5_robust_scaler_approx",
+      (s, dir) =>
+        ev(s, dir).groupBy(col("event_type")).agg(
+          round(expr(s"approx_percentile(value, 0.5, $Accuracy)"), 4).as("center"),
+          round(expr(s"approx_percentile(value, 0.75, $Accuracy) - " +
+            s"approx_percentile(value, 0.25, $Accuracy)"), 4).as("scale"))
+          .orderBy("event_type"),
+      None,
+      doc = "SURVEY A5 at scale: robust-scaler fit from the sketch — the " +
+        "params table a 100 TB fit job would produce"),
+
+    Query(
+      "q_p9_winsorize_approx",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val bounds = e.groupBy(col("event_type")).agg(
+          expr(s"approx_percentile(value, 0.01, $Accuracy)").as("__q_lo"),
+          expr(s"approx_percentile(value, 0.99, $Accuracy)").as("__q_hi"))
+        e.join(broadcast(bounds), "event_type")
+          .select(col("event_type"), col("event_id"),
+            round(least(greatest(col("value"), col("__q_lo")), col("__q_hi")), 4)
+              .as("value_clipped"))
+      },
+      None,
+      doc = "SURVEY P9 at scale: winsorize with sketch bounds — same broadcast " +
+        "join-back shape as the exact twin, executor memory bounded")
+  )
+}

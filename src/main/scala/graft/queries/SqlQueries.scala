@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.{Query, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** S8: the Grafana-style text-SQL entry surface. Each query here is ONE
+  * SQL string executed verbatim by BOTH engines — `spark.sql` over the
+  * registered temp views and DuckDB over the same parquet — proving the
+  * dashboard path (§3.3: parse → Catalyst analyze/optimize → pruned scan)
+  * end-to-end, not just the DataFrame API.
+  */
+object SqlQueries extends QueryPack {
+
+  private def sqlQuery(name: String, text: String, doc: String): Query =
+    Query(name,
+      (s, dir) => { Tables.registerAll(s, dir); s.sql(text) },
+      Some(text), doc)
+
+  override def queries: Seq[Query] = Seq(
+
+    sqlQuery("q_sql_range_scan",
+      """SELECT event_id, ts, value FROM events
+        |WHERE event_type = 'purchase'
+        |  AND ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-12 00:00:00'""".stripMargin,
+      doc = "S8/S4: Grafana panel time-range scan as shared SQL text — Catalyst " +
+        "pushes the key and time predicates into the parquet scan"),
+
+    sqlQuery("q_sql_latest_n",
+      """SELECT event_id, ts, value FROM events
+        |WHERE event_type = 'purchase'
+        |ORDER BY ts DESC, event_id DESC LIMIT 50""".stripMargin,
+      doc = "S8/S5: latest-N retrieval as shared SQL text — " +
+        "TakeOrderedAndProject, no full sort"),
+
+    sqlQuery("q_sql_availability",
+      """SELECT event_type, MIN(ts) AS min_ts, MAX(ts) AS max_ts, COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+      doc = "S8/A3: availability summary as shared SQL text"),
+
+    sqlQuery("q_sql_topk_orders",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+      doc = "S8: top-k over the fact table as shared SQL text")
+  )
+}

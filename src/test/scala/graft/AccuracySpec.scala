@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the approx-percentile variants within their documented rank-error
+  * bound of the exact result (the approx queries are rows-only in the
+  * oracle harness — engines' sketches differ — so this is their
+  * correctness gate).
+  */
+class AccuracySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  test("approx_percentile within rank-error bound of exact percentile") {
+    val n = 50000
+    val df = (1 to n).map(i => ("k", i.toDouble)).toDF("k", "v")
+    val r = df.groupBy("k").agg(
+      expr("percentile(v, 0.5)").as("exact"),
+      expr(s"approx_percentile(v, 0.5, ${graft.queries.ApproxQueries.Accuracy})")
+        .as("approx")).head()
+    val (exact, approx) = (r.getDouble(1), r.getDouble(2))
+    // rank error <= n/accuracy -> value error <= that many unit steps
+    val maxRankErr = n.toDouble / graft.queries.ApproxQueries.Accuracy
+    assert(math.abs(exact - approx) <= maxRankErr + 1,
+      s"exact=$exact approx=$approx bound=$maxRankErr")
+  }
+
+  test("winsorize approx bounds clip to within rank error of exact bounds") {
+    val n = 10000
+    val df = (1 to n).map(i => ("k", i.toDouble)).toDF("k", "v")
+    val exact = df.groupBy("k").agg(
+      expr("percentile(v, 0.01)").as("lo"), expr("percentile(v, 0.99)").as("hi"))
+      .head()
+    val approx = df.groupBy("k").agg(
+      expr("approx_percentile(v, 0.01, 10000)").as("lo"),
+      expr("approx_percentile(v, 0.99, 10000)").as("hi")).head()
+    assert(math.abs(exact.getDouble(1) - approx.getDouble(1)) <= n / 10000.0 + 1)
+    assert(math.abs(exact.getDouble(2) - approx.getDouble(2)) <= n / 10000.0 + 1)
+  }
+}
