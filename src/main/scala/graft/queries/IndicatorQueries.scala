@@ -53,14 +53,14 @@ object IndicatorQueries extends QueryPack {
           .select(col("key").as("event_type"),
             round(col("ema_fast"), 4).as("ema12"),
             round(col("ema_slow"), 4).as("ema26"),
-            round(col("ema_fast") - col("ema_slow"), 4).as("macd"))
+            (round(col("ema_fast") - col("ema_slow"), 4) + lit(0.0)).as("macd"))
           .orderBy("event_type"),
       Some("""WITH s AS (SELECT event_type, list(value ORDER BY ts, event_id) AS vs FROM events GROUP BY 1)
              |SELECT event_type,
              |  ROUND(list_reduce(vs, (a, x) -> a * (1 - 2.0/13) + x * (2.0/13)), 4) AS ema12,
              |  ROUND(list_reduce(vs, (a, x) -> a * (1 - 2.0/27) + x * (2.0/27)), 4) AS ema26,
              |  ROUND(list_reduce(vs, (a, x) -> a * (1 - 2.0/13) + x * (2.0/13))
-             |      - list_reduce(vs, (a, x) -> a * (1 - 2.0/27) + x * (2.0/27)), 4) AS macd
+             |      - list_reduce(vs, (a, x) -> a * (1 - 2.0/27) + x * (2.0/27)), 4) + 0.0 AS macd
              |FROM s ORDER BY event_type""".stripMargin),
       doc = "SURVEY W8: MACD fast/slow EMAs (span α=2/(n+1), adjust=False seeding)"),
 

@@ -30,9 +30,9 @@ object TimeSeriesQueries extends QueryPack {
       "q_w1_log_returns",
       (s, dir) =>
         ev(s, dir).select(col("event_type"), col("event_id"),
-          round(logReturns(col("value"), w), 4).as("log_ret")),
+          (round(logReturns(col("value"), w), 4) + lit(0.0)).as("log_ret")),
       Some("""SELECT event_type, event_id,
-             |  ROUND(LN(value / LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)), 4) AS log_ret
+             |  ROUND(LN(value / LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)), 4) + 0.0 AS log_ret
              |FROM events""".stripMargin),
       doc = "SURVEY W1: lag + log; single shuffle on the series key"),
 
@@ -53,9 +53,9 @@ object TimeSeriesQueries extends QueryPack {
       "q_w4_rolling_zscore",
       (s, dir) =>
         ev(s, dir).select(col("event_type"), col("event_id"),
-          round(rollingZscore(col("value"), w, 24), 4).as("zscore")),
+          (round(rollingZscore(col("value"), w, 24), 4) + lit(0.0)).as("zscore")),
       Some("""SELECT event_type, event_id,
-             |  ROUND((value - AVG(value) OVER win) / STDDEV_SAMP(value) OVER win, 4) AS zscore
+             |  ROUND((value - AVG(value) OVER win) / STDDEV_SAMP(value) OVER win, 4) + 0.0 AS zscore
              |FROM events
              |WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
              |  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin),
@@ -66,14 +66,14 @@ object TimeSeriesQueries extends QueryPack {
       "q_w10_obv",
       (s, dir) =>
         ev(s, dir).select(col("event_type"), col("event_id"),
-          round(obv(col("value"), lit(1.0), w), 4).as("obv")),
+          (round(obv(col("value"), lit(1.0), w), 4) + lit(0.0)).as("obv")),
       Some("""WITH d AS (
              |  SELECT event_type, event_id, ts,
              |    COALESCE(SIGN(value - LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)) * 1.0, 0.0) AS sv
              |  FROM events)
              |SELECT event_type, event_id,
              |  ROUND(SUM(sv) OVER (PARTITION BY event_type ORDER BY ts, event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS obv
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0.0 AS obv
              |FROM d""".stripMargin),
       doc = "SURVEY W10: cumulative signed sum — running-total frame, no self-join"),
 
@@ -101,10 +101,10 @@ object TimeSeriesQueries extends QueryPack {
       "q_w12_momentum",
       (s, dir) =>
         ev(s, dir).select(col("event_type"), col("event_id"),
-          round(momentum(col("value"), w, 3, 12), 4).as("momentum_3_12")),
+          (round(momentum(col("value"), w, 3, 12), 4) + lit(0.0)).as("momentum_3_12")),
       Some("""SELECT event_type, event_id,
              |  ROUND(AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-             |      - AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 4) AS momentum_3_12
+             |      - AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 4) + 0.0 AS momentum_3_12
              |FROM events""".stripMargin),
       doc = "SURVEY W12: short-mean minus long-mean"),
 
