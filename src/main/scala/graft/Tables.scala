@@ -14,16 +14,43 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") {
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val raw = if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses natively.
       // Read nanos as long and floor-truncate to micros — the same value
       // DuckDB produces when it reads the file (ns → us truncation), so
-      // oracle SQL can reference `ts` unmodified.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
+      // oracle SQL can reference `ts` unmodified. Conf is set once per
+      // session (idempotent guard — no mutation race if queries ever run
+      // concurrently in one session, VERDICT r1 #7).
+      if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path)
         .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    } else spark.read.parquet(path)
+    maybeParallelize(spark, raw, path)
+  }
+
+  /** The driver testdata ships ONE row group per file, so a bare scan is
+    * one task no matter how many cores the session has — per-row map work
+    * (JSON parse, language-ID, MinHash/SimHash/LSH signatures) and
+    * map-side partial aggregation would run 1-of-32. Round-robin
+    * repartition to the session parallelism when the file is below one
+    * default split (decided from file size — no plan materialization).
+    * On a real deployment inputs span many row groups (partitions ≫
+    * cores) and this is a no-op; Catalyst still pushes filters through
+    * Repartition into the scan.
+    */
+  private val sizeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def maybeParallelize(spark: SparkSession, df: DataFrame,
+      path: String): DataFrame = {
+    val bytes = sizeCache.getOrElseUpdate(path, new java.io.File(path).length)
+    if (bytes < 32L * 1024 * 1024)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
 
   /** Register every table as a temp view so `spark.sql` text mirrors the
     * DuckDB oracle text for SQL-surface parity (SURVEY §3.3).

@@ -40,12 +40,15 @@ object NearDup {
       .withColumn("__toks", toks)
       .select(col(idCol), explode(shingles).as("shingle"))
       .distinct()
-    maxDocsPerShingle match {
+    val capped = maxDocsPerShingle match {
       case None => d
       case Some(cap) =>
         val hot = d.groupBy("shingle").count().where(col("count") > cap)
         d.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
+    // consumed 3x downstream (both join sides + set sizes): one explode
+    // pass instead of three
+    capped.cache()
   }
 
   /** Exact pairwise n-gram Jaccard ≥ threshold via the inverted index. */

@@ -92,15 +92,27 @@ object TextHashes {
     new GenericArrayData(mins)
   }
 
-  /** 31-bit SimHash over unigram token hashes (with multiplicity). */
-  def simhash(s: UTF8String): Long = {
+  /** 31-bit SimHash over word n-gram shingle hashes (with multiplicity).
+    * Shingle features, not unigrams: on a small shared vocabulary every
+    * document votes the same way on unigram hashes and the fingerprint
+    * space collapses (measured: 6.5M "near-dup" pairs among 5k synthetic
+    * docs); n-gram features keep unrelated documents ~15 bits apart while
+    * true near-dups stay within a few bits.
+    */
+  def simhash(s: UTF8String, n: Int): Long = {
     val bytes = s.getBytes
     val spans = tokenSpans(bytes)
     val nTok = spans.length / 2
     val votes = new Array[Int](31)
     var i = 0
-    while (i < nTok) {
-      val h = foldToken(0L, bytes, spans(2 * i), spans(2 * i + 1))
+    while (i + n <= nTok) {
+      var h = 0L
+      var t = 0
+      while (t < n) {
+        if (t > 0) h = (h * 31L + ' '.toLong) % P
+        h = foldToken(h, bytes, spans(2 * (i + t)), spans(2 * (i + t) + 1))
+        t += 1
+      }
       var b = 0
       while (b < 31) {
         votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
@@ -118,8 +130,8 @@ object TextHashes {
   def min_hash_signature(text: Column, n: Int, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(text), n, k))
 
-  def sim_hash(text: Column): Column =
-    ColumnBridge.column(SimHash(ColumnBridge.expression(text)))
+  def sim_hash(text: Column, n: Int = 3): Column =
+    ColumnBridge.column(SimHash(ColumnBridge.expression(text), n))
 
   private[functions] def checkString(dt: DataType, who: String): TypeCheckResult =
     if (dt == StringType) TypeCheckResult.TypeCheckSuccess
@@ -147,7 +159,9 @@ case class MinHashSignature(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
-case class SimHash(child: Expression) extends UnaryExpression {
+case class SimHash(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"bad simhash shingle size n=$n")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sim_hash"
@@ -156,10 +170,10 @@ case class SimHash(child: Expression) extends UnaryExpression {
     TextHashes.checkString(child.dataType, prettyName)
 
   protected override def nullSafeEval(input: Any): Any =
-    TextHashes.simhash(input.asInstanceOf[UTF8String])
+    TextHashes.simhash(input.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.simhash($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.simhash($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash =
     copy(child = newChild)

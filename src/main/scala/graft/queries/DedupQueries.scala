@@ -98,7 +98,10 @@ object DedupQueries extends QueryPack {
         NearDup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6)
           .orderBy("doc_a", "doc_b"),
       Some(s"""WITH $toksCte,
-              |th AS (SELECT doc_id, list_transform(toks, tk -> ${foldSql("tk")}) AS hs FROM t),
+              |th AS (SELECT doc_id, list_transform(
+              |         list_transform(range(1, len(toks)-1),
+              |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+              |         sg -> ${foldSql("sg")}) AS hs FROM t),
               |sims AS (SELECT doc_id,
               |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 31), i ->
               |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -115,7 +118,7 @@ object DedupQueries extends QueryPack {
               |           AND a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
               |ORDER BY doc_a, doc_b""".stripMargin),
-      doc = "SimHash(31-bit) near-dup pairs: 8-bit band buckets, Hamming <= 6 verify " +
-        "of bucket-mates only")
+      doc = "SimHash(31-bit over 3-gram shingles) near-dup pairs: 8-bit band " +
+        "buckets, Hamming <= 6 verify of bucket-mates only")
   )
 }

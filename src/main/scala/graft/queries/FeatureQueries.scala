@@ -24,9 +24,12 @@ object FeatureQueries extends QueryPack {
     Query(
       "q_feature_frame_26",
       (s, dir) => {
+        // cache: enhance() reads its input twice (window chain + the
+        // indicator mapPartitions pass) — one resample instead of two
         val hourly = resampleOhlcv(ev(s, dir), K, "ts", "event_id",
             "value", "value", 3600)
           .withColumn("bucket_id", unix_timestamp(col("bucket_start")))
+          .cache()
         FeatureFrame.enhance(hourly, K, "bucket_start", "bucket_id")
           .select(col(K), col("bucket_start"),
             col("open"), col("high"), col("low"), col("close"),

@@ -21,9 +21,17 @@ object ServingQueries extends QueryPack {
 
   /** Shared J1 pipeline: hourly candles → last pre-cutoff candle per key →
     * 36 hourly-horizon predictions (deterministic drift surrogate) →
-    * inner join back to actual candles at target time.
+    * inner join back to actual candles at target time. The (tiny) result
+    * is cached per (session, dir) so q_j1 and q_j2 share one resample
+    * pass instead of duplicating the fact-table scan.
     */
-  private def overlay(s: SparkSession, dir: String): DataFrame = {
+  private val overlayCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def overlay(s: SparkSession, dir: String): DataFrame =
+    overlayCache.getOrElseUpdate((s, dir), buildOverlay(s, dir).cache())
+
+  private def buildOverlay(s: SparkSession, dir: String): DataFrame = {
     val candles = resampleOhlcv(ev(s, dir), K, "ts", "event_id",
       "value", "value", 3600)
       .select(col(K), col("bucket_start"), col("close"))

@@ -91,7 +91,7 @@ object VectorQueries extends QueryPack {
       (s, dir) => {
         import graft.functions.VectorExpressions.cosine_sim
         val banded = VectorSearch.withLshBands(emb(s, dir), "embedding",
-          nBands = 8, bitsPerBand = 4)
+          nBands = 4, bitsPerBand = 12)
         banded.alias("a").join(banded.alias("b"),
             col("a.band") === col("b.band") &&
               col("a.band_val") === col("b.band_val") &&
@@ -104,9 +104,9 @@ object VectorQueries extends QueryPack {
           .orderBy("vec_a", "vec_b")
       },
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-              |sig AS (SELECT vec_id, emb, ${sigSql(32, "emb")} AS s FROM e),
-              |bands AS (SELECT vec_id, band, (s >> (4*band)) & 15 AS bv
-              |          FROM sig, (SELECT unnest(range(0, 8)) AS band)),
+              |sig AS (SELECT vec_id, emb, ${sigSql(48, "emb")} AS s FROM e),
+              |bands AS (SELECT vec_id, band, (s >> (12*band)) & 4095 AS bv
+              |          FROM sig, (SELECT unnest(range(0, 4)) AS band)),
               |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
               |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
               |                      AND a.vec_id < b.vec_id)
@@ -116,7 +116,8 @@ object VectorQueries extends QueryPack {
               |            JOIN e eb ON eb.vec_id = c.vec_b
               |WHERE ROUND(list_cosine_similarity(ea.emb, eb.emb), 6) + 0.0 >= 0.3
               |ORDER BY vec_a, vec_b""".stripMargin),
-      doc = "embedding-cosine near-dup: 8 bands × 4 bits candidate pairs (bucket " +
-        "join, no all-pairs), exact cosine >= 0.3 verify — the vector twin of MinHash dedup")
+      doc = "embedding-cosine near-dup: 4 bands × 12 bits candidate pairs (bucket " +
+        "join, no all-pairs; candidate count stays O(n·2^-12) per band at any " +
+        "corpus size), exact cosine >= 0.3 verify — the vector twin of MinHash dedup")
   )
 }
