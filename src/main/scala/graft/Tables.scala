@@ -57,4 +57,15 @@ object Tables {
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** S7: driver-rows→frame adapter (reference data_loader.py:232-265 —
+    * building a frame from fetched storage rows). Declared schema, no
+    * inference; the entry point tests and small fixtures go through.
+    */
+  def fromRows(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row],
+      ddl: String): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
 }

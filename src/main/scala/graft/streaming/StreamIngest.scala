@@ -130,6 +130,28 @@ object StreamIngest {
     fs.rename(tmp, state)
   }
 
+  /** K1: keyed-JSON producer payload — `(key, value)` in the exact shape
+    * `writeStream.format("kafka")` publishes (key = partition routing,
+    * value = the row as one JSON document). Kept broker-independent so
+    * batch tests can round-trip the payload through the parse path.
+    */
+  def kafkaPayload(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** K4/P17: raw-JSON archive sink — one JSON doc per record, directory
+    * layout {channel}/{product_id}/ via partitionBy (the engine's S3
+    * object-key scheme). Returns the started query.
+    */
+  def startArchiveSink(parsed: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    parsed.writeStream
+      .format("json")
+      .partitionBy("channel", "product_id")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** T3/T4: build OHLC candles from a ticker stream — tumbling event-time
     * window + watermark; open/close via deterministic min_by/max_by on
     * event time. Works identically on batch frames (no watermark needed).

@@ -115,6 +115,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(("BTC", 1.0), ("BTC", 2.5), ("ETH", 9.0)))
   }
 
+  test("kafkaPayload round-trips through the candle parse path (K1)") {
+    val rows = Seq(("1700000000", "10.5", "9.5", "10.0", "10.2", "3.5", "BTC"))
+      .toDF("start", "high", "low", "open", "close", "volume", "product_id")
+    val payload = StreamIngest.kafkaPayload(rows, "product_id")
+    val out = payload.collect().head
+    assert(out.getString(0) == "BTC")
+    val back = StreamIngest.parseCandles(payload, "value").head()
+    assert(back.getAs[String]("product_id") == "BTC")
+    assert(back.getAs[Double]("close") == 10.2)
+    assert(back.getAs[java.sql.Timestamp]("start_time").toInstant.toString
+      == "2023-11-14T22:13:20Z")
+  }
+
+  test("archive sink: one JSON doc per record, {channel}/{product} layout (K4/P17)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val parsed = StreamIngest.parseCandles(ms.toDF().toDF("value"), "value")
+      .withColumn("channel", lit("candles"))
+    val out = tmpDir("archive-out")
+    val q = StreamIngest.startArchiveSink(parsed, out, tmpDir("archive-ckpt"))
+    ms.addData(
+      """{"start":"100","close":"1.0","open":"1.0","high":"1.0","low":"1.0","volume":"1","product_id":"BTC"}""",
+      """{"start":"200","close":"2.0","open":"2.0","high":"2.0","low":"2.0","volume":"1","product_id":"ETH"}""")
+    q.processAllAvailable()
+    q.stop()
+    val chans = new java.io.File(out).listFiles().map(_.getName)
+    assert(chans.contains("channel=candles"))
+    val prods = new java.io.File(out, "channel=candles").listFiles().map(_.getName)
+    assert(prods.toSet.intersect(Set("product_id=BTC", "product_id=ETH")).size == 2)
+    assert(spark.read.json(out + "/channel=candles/product_id=BTC").count() == 1)
+  }
+
+  test("processing-time trigger drains the polling micro-batch loop (T6)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double, Long)]
+    val state = tmpDir("t6-state") + "/t"
+    val q = ms.toDF().toDF("product_id", "start_time", "close", "seq")
+      .writeStream
+      .foreachBatch(StreamIngest.lwwUpsert(state,
+        Seq("product_id", "start_time"), "seq") _)
+      .option("checkpointLocation", tmpDir("t6-ckpt"))
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    ms.addData(("BTC", 1L, 5.0, 1L))
+    q.processAllAvailable()
+    ms.addData(("BTC", 2L, 6.0, 2L))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(state).count() == 2)
+  }
+
+  test("rows-to-frame adapter builds a typed frame from driver rows (S7)") {
+    import org.apache.spark.sql.Row
+    val df = Tables.fromRows(spark,
+      Seq(Row("BTC", 1.0), Row("ETH", 2.0)),
+      "product_id STRING, price DOUBLE")
+    assert(df.schema.fieldNames.toSeq == Seq("product_id", "price"))
+    assert(df.where($"price" > 1.5).count() == 1)
+  }
+
   test("buildCandles: watermarked tumbling window emits closed candles (T3/T4)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, Double, Double)]
