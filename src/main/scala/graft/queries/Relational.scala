@@ -206,6 +206,35 @@ object Relational extends QueryPack {
              |  CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents
              |FROM events WHERE event_type IN ('purchase','error')
              |ORDER BY event_id""".stripMargin),
-      doc = "SURVEY §2.3 P2-P4: cast/when-otherwise/filter — all codegen'd in one WholeStageCodegen span")
+      doc = "SURVEY §2.3 P2-P4: cast/when-otherwise/filter — all codegen'd in one WholeStageCodegen span"),
+
+    // ---- J4: unionByName of differently-shaped per-thread results ----
+    Query(
+      "q_j4_union_by_name",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val purchases = e.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(round(sum(col("value")), 2).as("spend"),
+            count(lit(1)).as("n"))
+          .withColumn("kind", lit("purchase"))
+        val clicks = e.where(col("event_type") === "click")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("kind", lit("click"))
+        // different column sets and order — union aligns by name,
+        // missing columns null-filled (reference J4: per-product thread
+        // results merged into one frame)
+        purchases.unionByName(clicks, allowMissingColumns = true)
+          .orderBy("user_id", "kind")
+      },
+      Some("""SELECT user_id, ROUND(SUM(value), 2) AS spend, COUNT(*) AS n, 'purchase' AS kind
+             |FROM events WHERE event_type = 'purchase' GROUP BY user_id
+             |UNION ALL BY NAME
+             |SELECT user_id, COUNT(*) AS n, 'click' AS kind
+             |FROM events WHERE event_type = 'click' GROUP BY user_id
+             |ORDER BY user_id, kind""".stripMargin),
+      doc = "SURVEY J4: unionByName(allowMissingColumns) — name-aligned union " +
+        "of per-thread result shapes, null-filling the missing columns")
   )
 }

@@ -130,6 +130,31 @@ object StreamIngest {
     fs.rename(tmp, state)
   }
 
+  /** S2/S3 + K2/K3 + K7 + T7: the production ingest wiring — Kafka source
+    * from earliest offsets, envelope/candle parse, checkpointed LWW upsert.
+    * Compiles against core Spark; running it needs the
+    * spark-sql-kafka connector on the cluster classpath (not shipped in
+    * this container, so the identical parse/sink semantics are covered by
+    * the MemoryStream/file-source suites instead).
+    */
+  def startKafkaTickerIngest(spark: org.apache.spark.sql.SparkSession,
+      brokers: String, topic: String, statePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("value").cast("string").as("json"))
+    val parsed = parseTickerEnvelopes(raw, "json")
+      .withColumn("__seq", col("time").cast("double")) // per-key LWW order
+    parsed.writeStream
+      .foreachBatch(lwwUpsert(statePath, Seq("product_id", "time"), "__seq") _)
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** K1: keyed-JSON producer payload — `(key, value)` in the exact shape
     * `writeStream.format("kafka")` publishes (key = partition routing,
     * value = the row as one JSON document). Kept broker-independent so
