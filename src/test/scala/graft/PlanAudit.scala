@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only plan audit (Test scope): prints condensed physical plans of
+  * scale-sensitive queries so shuffle/join/pushdown shape is reviewable.
+  * Run: sbt "Test/runMain graft.PlanAudit"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val interesting = Seq("q_e_cosine_topk", "q_e_ann_lsh_topk",
+      "q_p9_winsorize", "q_scan_range", "q_latest_n",
+      "q_d_minhash_lsh_pairs", "q_j1_overlay_join", "q_u1_window_inference",
+      "q_sql_range_scan")
+    interesting.foreach { name =>
+      println(s"\n================ $name ================")
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString()
+      // condensed: node lines only
+      plan.split("\n").filter(l => l.contains("(") || l.trim.startsWith("+-") ||
+        l.trim.startsWith(":") || l.trim.startsWith("*")).take(40)
+        .foreach(println)
+    }
+    spark.stop()
+  }
+}

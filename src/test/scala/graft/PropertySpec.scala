@@ -1,0 +1,94 @@
+package graft
+
+import graft.serve.Serving
+import graft.ts.TimeSeriesOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY §5.4): resample invariants, scaler round-trip,
+  * window-count identity — checked over ScalaCheck-generated series with
+  * a fixed seed (deterministic in CI, no bridge artifact needed offline).
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val seriesGen: Gen[List[Double]] =
+    Gen.chooseNum(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0.01, 1000.0)))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("resample invariants: low=min <= open,close <= high=max; volume conserved") {
+    samples(seriesGen, 8).foreach { vs =>
+      val df = vs.zipWithIndex
+        .map { case (v, i) => ("k", i.toLong * 600, i.toLong, v) }
+        .toDF("k", "epoch", "id", "v")
+        .withColumn("ts", timestamp_seconds(col("epoch")))
+      val r = TimeSeriesOps.resampleOhlcv(df, "k", "ts", "id", "v", "v", 3600)
+        .collect()
+      r.foreach { row =>
+        val (o, h, l, c) = (row.getAs[Double]("open"), row.getAs[Double]("high"),
+          row.getAs[Double]("low"), row.getAs[Double]("close"))
+        assert(l <= o && o <= h && l <= c && c <= h)
+      }
+      val volSum = r.map(_.getAs[Double]("volume")).sum
+      assert(math.abs(volSum - vs.sum) < 1e-6 * math.max(1.0, vs.sum.abs))
+      assert(r.map(_.getAs[Long]("n_rows")).sum == vs.length)
+    }
+  }
+
+  test("scaler round-trip: inverse(transform(x)) == x when IQR > 0") {
+    samples(seriesGen, 8).filter(_.distinct.length > 3).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+        .toDF("k", "id", "v")
+      val params = df.groupBy("k").agg(
+        expr("percentile(v, 0.5)").as("center"),
+        expr("percentile(v, 0.75) - percentile(v, 0.25)").as("scale"))
+      val out = Serving.robustScale(df, params, "k", "v")
+        .withColumn("back",
+          Serving.robustInverse(col("v_scaled"), col("center"), col("scale")))
+        .select("v", "back").as[(Double, Double)].collect()
+      out.foreach { case (v, back) =>
+        assert(math.abs(v - back) <= 1e-9 * math.max(1.0, v.abs))
+      }
+    }
+  }
+
+  test("window count identity: len = n - seq - pred + 1 per key") {
+    val cases = for {
+      n <- samples(Gen.chooseNum(1, 40), 4)
+      seq <- samples(Gen.chooseNum(1, 6), 2)
+      pred <- samples(Gen.chooseNum(1, 4), 2)
+    } yield (n, seq, pred)
+    cases.foreach { case (n, seq, pred) =>
+      val df = (1 to n).map(i => ("k", i.toLong, i.toLong, i.toDouble))
+        .toDF("k", "ts", "id", "v")
+      val got = Serving.slidingWindows(df, "k", "ts", "id", "v", "v",
+        seq, pred).count()
+      assert(got == math.max(0, n - seq - pred + 1),
+        s"n=$n seq=$seq pred=$pred got=$got")
+    }
+  }
+
+  test("ffill leaves no internal nulls and carries the last non-null forward") {
+    samples(seriesGen, 8).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) =>
+        ("k", i.toLong, if (i % 3 == 1) None else Some(v))
+      }.toDF("k", "id", "v")
+      val w = TimeSeriesOps.keyedOrder("k", "id", "id")
+      val filled = df.withColumn("f", TimeSeriesOps.ffill(col("v"), w))
+        .orderBy("id").select("v", "f")
+        .as[(Option[Double], Option[Double])].collect()
+      var last: Option[Double] = None
+      filled.foreach { case (v, f) =>
+        if (v.isDefined) last = v
+        assert(f == last)
+      }
+    }
+  }
+}
