@@ -63,6 +63,22 @@ object ApproxQueries extends QueryPack {
       },
       None,
       doc = "SURVEY P9 at scale: winsorize with sketch bounds — same broadcast " +
-        "join-back shape as the exact twin, executor memory bounded")
+        "join-back shape as the exact twin, executor memory bounded"),
+
+    Query(
+      "q_a3_salted_summary",
+      (s, dir) =>
+        graft.ops.SkewSafe.saltedSummary(ev(s, dir), "event_type",
+          "event_id", "value", buckets = 32)
+          .select(col("event_type"),
+            round(col("sum_value"), 2).as("sum_value"), col("n"),
+            col("min_value"), col("max_value"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n,
+             |  MIN(value) AS min_value, MAX(value) AS max_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "skew-safe A3: two-phase salted aggregation (32 sub-groups per " +
+        "key, combine partials) — identical result to the direct groupBy, " +
+        "oracle is the direct SQL; the hot-key shuffle mitigation at 100 TB")
   )
 }

@@ -87,6 +87,33 @@ object VectorQueries extends QueryPack {
         "query (banding OR-amplification), exact cosine rerank of the small candidate set"),
 
     Query(
+      "q_e_ivf_topk",
+      (s, dir) =>
+        VectorSearch.ivfTopK(
+          emb(s, dir).where(col("vec_id") =!= 0), queryVec(s, dir),
+          "vec_id", "embedding", 10, nCells = 16, nProbe = 4),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |cents AS (SELECT vec_id AS cid, emb AS cemb FROM e
+             |          WHERE vec_id < 16 AND vec_id <> 0),
+             |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+             |asg AS (SELECT e.vec_id, e.emb,
+             |          (SELECT c.cid FROM cents c
+             |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid
+             |           LIMIT 1) AS cell
+             |        FROM e WHERE e.vec_id <> 0),
+             |probes AS (SELECT c.cid FROM cents c, q
+             |           ORDER BY list_cosine_similarity(q.qv, c.cemb) DESC, c.cid
+             |           LIMIT 4),
+             |cand AS (SELECT a.vec_id, a.emb FROM asg a
+             |         WHERE a.cell IN (SELECT cid FROM probes))
+             |SELECT c.vec_id, ROUND(list_cosine_similarity(c.emb, q.qv), 6) + 0.0 AS sim
+             |FROM cand c, q ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin),
+      doc = "IVF ANN: deterministic coarse quantizer (16 cells, replayable in " +
+        "SQL; k-means|| slots in for production), map-only cell assignment " +
+        "over closure-broadcast centroids, probe 4 cells, exact rerank of " +
+        "members only — the inverted-file scale path next to the LSH one"),
+
+    Query(
       "q_e_embed_neardup_pairs",
       (s, dir) => {
         import graft.functions.VectorExpressions.cosine_sim

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *    candidate set. The band join shuffles on (band, band_value) — never
   *    all-pairs, which is the property that survives a 100× scale-up.
   */
-object VectorSearch {
+object VectorSearch extends Serializable {
 
   /** Exact cosine top-k of `vecs` against the single row in `query`. */
   def cosineTopK(vecs: DataFrame, query: DataFrame, idCol: String,
@@ -65,4 +65,64 @@ object VectorSearch {
     cosineTopK(
       annCandidates(vecs, query, idCol, vecCol, nBands, bitsPerBand),
       query, idCol, vecCol, k)
+
+  // ---- IVF (inverted-file) ANN ------------------------------------------
+
+  /** Double cosine with ascending-index accumulation (same numeric
+    * contract as the codegen'd [[graft.functions.CosineSim]]).
+    */
+  private def cosSeq(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** IVF ANN: coarse quantizer cells → probe the closest `nProbe` cells →
+    * exact rerank of their members only.
+    *
+    * The quantizer here is deterministic (centroids = the `nCells`
+    * lowest-id vectors) so the whole index build is replayable in ANSI
+    * SQL; a production build trains them with k-means|| — everything
+    * downstream is unchanged. Cell ASSIGNMENT is map-only: centroids are
+    * a closure-broadcast array (MB-scale for ≤64k cells, the J3 posture),
+    * so the corpus is never joined against the centroid table — the
+    * n×nCells shuffle a join-based argmax would cost at 10^9 vectors is
+    * the difference between IVF working and not working at scale.
+    */
+  def ivfTopK(vecs: DataFrame, query: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centroids = vecs
+      .where(col(idCol) < nCells)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    require(centroids.nonEmpty, "no centroid rows (idCol < nCells empty)")
+
+    def bestCell(v: Seq[Float]): Long = {
+      var best = centroids(0)._1; var bestSim = cosSeq(v, centroids(0)._2)
+      var i = 1
+      while (i < centroids.length) {
+        val s = cosSeq(v, centroids(i)._2)
+        if (s > bestSim) { bestSim = s; best = centroids(i)._1 } // ties → lowest id
+        i += 1
+      }
+      best
+    }
+    val assign = udf(bestCell _)
+
+    val qv = query.select(col(vecCol)).as[Seq[Float]].head()
+    val probed = centroids.map { case (cid, c) => (cid, cosSeq(qv, c)) }
+      .sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
+
+    val cand = vecs
+      .withColumn("__cell", assign(col(vecCol)))
+      .where(col("__cell").isin(probed: _*))
+    cosineTopK(cand, query, idCol, vecCol, k)
+  }
 }

@@ -53,6 +53,21 @@ class VectorSpec extends AnyFunSuite {
       s"planted near-dup should be rank 1, got ${top.toSeq}")
   }
 
+  test("ivfTopK finds a planted near-duplicate and beats empty recall") {
+    val base = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val near = base.map(x => x + 0.005f)
+    val rows = Seq((40L, base), (41L, near)) ++
+      (0L to 39L).map(k => (k, Array.tabulate(64)(i =>
+        math.cos(i * 0.31 * (k + 2)).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" === 40)
+    val top = VectorSearch.ivfTopK(df.where($"vec_id" =!= 40), q,
+      "vec_id", "embedding", 3, nCells = 8, nProbe = 3)
+      .select("vec_id").as[Long].collect()
+    assert(top.headOption.contains(41L),
+      s"planted near-dup should be rank 1, got ${top.toSeq}")
+  }
+
   test("cosineTopK exact ranking on a small frame") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)),
