@@ -71,6 +71,23 @@ object StreamIngest {
         col("__t.price").cast("double").as("price"),
         col("__t.volume_24h").cast("double").as("volume_24h"))
 
+  /** SURVEY §1.3: permissive-nulls parse WITH an explicit corrupt-record
+    * column — unparseable JSON keeps the raw payload in `_corrupt` and
+    * nulls the struct instead of failing the batch (the schema-evolution
+    * posture: two ticker generations coexist upstream). `from_json`
+    * yields null on malformed input; the raw text is retained alongside
+    * so a quarantine sink can archive it.
+    */
+  def parseWithCorruptColumn(raw: DataFrame, jsonCol: String,
+      schema: StructType): DataFrame = {
+    val withCorrupt = schema.add(StructField("_corrupt", StringType))
+    raw
+      .withColumn("__parsed", from_json(col(jsonCol), withCorrupt,
+        Map("columnNameOfCorruptRecord" -> "_corrupt", "mode" -> "PERMISSIVE")))
+      .select(col("__parsed").as("data"),
+        col("__parsed._corrupt").as("_corrupt"))
+  }
+
   /** P3: `when(cast(long) ok, from-epoch).otherwise(parse-text)` —
     * both branches truncate to whole seconds.
     */

@@ -115,6 +115,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(("BTC", 1.0), ("BTC", 2.5), ("ETH", 9.0)))
   }
 
+  test("corrupt records are quarantined to a column, not dropped or fatal") {
+    val rows = Seq(
+      """{"start":"100","close":"1.0","open":"1","high":"1","low":"1","volume":"1","product_id":"BTC"}""",
+      """{not json at all""",
+      """[1,2,3]""").toDF("value")
+    val parsed = StreamIngest.parseWithCorruptColumn(rows, "value",
+      StreamIngest.candleSchema)
+    assert(parsed.count() == 3)
+    val good = parsed.where($"_corrupt".isNull)
+    assert(good.count() == 1 &&
+      good.select("data.product_id").as[String].head() == "BTC")
+    val bad = parsed.where($"_corrupt".isNotNull).select("_corrupt")
+      .as[String].collect()
+    assert(bad.toSet == Set("""{not json at all""", "[1,2,3]"))
+  }
+
+  test("metrics append write accumulates evaluation rows (K6)") {
+    val out = tmpDir("metrics") + "/m"
+    val m1 = Seq(("BTC", 1, 0.5, 10L)).toDF("product_id", "horizon", "mae", "n")
+    val m2 = Seq(("BTC", 2, 0.7, 10L)).toDF("product_id", "horizon", "mae", "n")
+    m1.write.mode("append").parquet(out)
+    m2.write.mode("append").parquet(out)
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("kafkaPayload round-trips through the candle parse path (K1)") {
     val rows = Seq(("1700000000", "10.5", "9.5", "10.0", "10.2", "3.5", "BTC"))
       .toDF("start", "high", "low", "open", "close", "volume", "product_id")
