@@ -23,7 +23,7 @@ object DedupQueries extends QueryPack {
       |       FROM documents)""".stripMargin
 
   /** Distinct (doc_id, 3-gram shingle strings). */
-  private val shingleCtes =
+  private[queries] val shingleCtes =
     s"""$toksCte,
        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-1),
        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle FROM t),

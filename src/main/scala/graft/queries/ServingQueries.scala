@@ -170,6 +170,36 @@ object ServingQueries extends QueryPack {
         "arithmetic over a broadcast params table; zero-IQR guarded; inv_err " +
         "column proves inverse(transform(x)) == x to 1e-6"),
 
+    // ---- U2 (min-max half): indicator-group scaling round-trip ----
+    Query(
+      "q_u2_minmax_roundtrip",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val params = e.groupBy(col(K)).agg(
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        Serving.minMaxScale(e, params, K, "value", -1.0, 1.0)
+          .withColumn("inv_err",
+            Serving.minMaxInverse(col("value_mm"), col("vmin"), col("vmax"),
+              -1.0, 1.0) - col("value"))
+          .select(col(K), col("event_id"),
+            (round(col("value_mm"), 6) + lit(0.0)).as("value_mm"),
+            (round(col("inv_err"), 6) + lit(0.0)).as("inv_err"))
+      },
+      Some("""WITH p AS (SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_type, e.event_id,
+             |  ROUND(CASE WHEN p.vmax > p.vmin
+             |             THEN -1.0 + (e.value - p.vmin) * 2.0 / (p.vmax - p.vmin)
+             |             ELSE -1.0 END, 6) + 0.0 AS value_mm,
+             |  ROUND(CASE WHEN p.vmax > p.vmin
+             |             THEN ((-1.0 + (e.value - p.vmin) * 2.0 / (p.vmax - p.vmin)) - -1.0)
+             |                  * (p.vmax - p.vmin) / 2.0 + p.vmin
+             |             ELSE p.vmin END - e.value, 6) + 0.0 AS inv_err
+             |FROM events e JOIN p USING (event_type)""".stripMargin),
+      doc = "SURVEY U2/A6-apply: MinMax(-1,1) transform + inverse from the " +
+        "fitted params table (broadcast, degenerate-range guarded); inv_err " +
+        "proves the round-trip to 1e-6"),
+
     // ---- J1: actual-vs-predicted overlay join ----
     Query(
       "q_j1_overlay_join",

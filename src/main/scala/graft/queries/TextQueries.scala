@@ -11,14 +11,38 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries extends QueryPack {
 
-  // SQL fragments shared by the DuckDB oracles.
+  // SQL fragments shared by the DuckDB oracles (and the corpus-filter
+  // integration query).
   private def swLen(set: Seq[String]): String =
     s"len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN (${set.map(w => s"'$w'").mkString(", ")})))"
-  private val swEn = swLen(StopwordSets(0)._2)
-  private val swEs = swLen(StopwordSets(1)._2)
-  private val swDe = swLen(StopwordSets(2)._2)
-  private val swFr = swLen(StopwordSets(3)._2)
-  private val cjk = "length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g'))"
+  private[queries] val swEn = swLen(StopwordSets(0)._2)
+  private[queries] val swEs = swLen(StopwordSets(1)._2)
+  private[queries] val swDe = swLen(StopwordSets(2)._2)
+  private[queries] val swFr = swLen(StopwordSets(3)._2)
+  private[queries] val cjk = "length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g'))"
+
+  /** Token count / quality-score expression texts (same shapes as the
+    * Spark columns in [[graft.text.TextAnalysis]]).
+    */
+  private[queries] val nTokSql =
+    "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+
+  private[queries] val qualityExprSql: String =
+    s"""LEAST($nTokSql / 100.0, 1.0) * 0.4
+       |  + (CASE WHEN length(text) * 1.0 / GREATEST($nTokSql, 1.0)
+       |          BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+       |  + (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / GREATEST(length(text), 1.0) <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+       |  + LEAST($swEn * 1.0 / GREATEST($nTokSql, 1.0) * 5.0, 1.0) * 0.2""".stripMargin
+
+  /** Language-ID argmax CASE over pre-computed s_en..s_zh columns. */
+  private[queries] val langCaseSql =
+    """CASE
+      |      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh AND s_en > 0 THEN 'en'
+      |      WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+      |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+      |      WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+      |      WHEN s_zh >= s_en AND s_zh >= s_es AND s_zh >= s_de AND s_zh >= s_fr AND s_zh > 0 THEN 'zh'
+      |      ELSE 'und' END""".stripMargin
 
   override def queries: Seq[Query] = Seq(
 
@@ -87,6 +111,53 @@ object TextQueries extends QueryPack {
              |    (a, x) -> (a * 31 + x) % 2147483647) AS fp
              |FROM documents""".stripMargin),
       doc = "document fingerprint: custom codegen'd rolling-hash Expression; oracle replays the byte fold"),
+
+    // ---- the LLM-corpus cleaning pipeline as ONE declarative plan ----
+    Query(
+      "q_t_corpus_filter",
+      (s, dir) => {
+        import graft.dedup.NearDup
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val scored = docs
+          .withColumn("n_tokens", tokenCount(col("text")))
+          .withColumn("quality", qualityScore("text"))
+          .withColumn("lang_pred", langId("text"))
+          .withColumn("__canon",
+            min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        val ndVictims = NearDup
+          .exactJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+          .select(col("doc_b"))
+        scored
+          .where(col("doc_id") === col("__canon"))
+          .join(ndVictims, col("doc_id") === col("doc_b"), "left_anti")
+          .where(col("quality") >= 0.4 && col("n_tokens") >= 20 &&
+            col("lang_pred") === "en")
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("quality"), 4).as("quality"))
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, text, $nTokSql AS n_tokens,
+              |    $qualityExprSql AS quality,
+              |    $swEn AS s_en, $swEs AS s_es, $swDe AS s_de, $swFr AS s_fr, $cjk AS s_zh,
+              |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+              |  FROM documents),
+              |${DedupQueries.shingleCtes},
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+              |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |nd AS (SELECT i.doc_b FROM inter i
+              |       JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id
+              |       WHERE ROUND(i.cnt * 1.0 / (sa.n_sh + sb.n_sh - i.cnt), 4) >= 0.5)
+              |SELECT doc_id, n_tokens, ROUND(quality, 4) AS quality
+              |FROM scored
+              |WHERE doc_id = canon AND quality >= 0.4 AND n_tokens >= 20
+              |  AND $langCaseSql = 'en'
+              |  AND doc_id NOT IN (SELECT doc_b FROM nd)""".stripMargin),
+      doc = "the corpus-cleaning pipeline composed as one plan: quality + " +
+        "language filters, exact-dup canonicalization (min doc_id per content " +
+        "hash), near-dup victim removal via the Jaccard pair miner — every " +
+        "signal one map/shuffle stage, the shape of a real pretraining sweep"),
 
     Query(
       "q_d_exact_dedup",

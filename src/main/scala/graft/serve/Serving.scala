@@ -105,6 +105,27 @@ object Serving {
   def robustInverse(c: Column, center: Column, scale: Column): Column =
     when(scale =!= 0.0, c * scale + center).otherwise(center)
 
+  /** A6-apply half of U2: min-max scale into [lo, hi] from a per-key
+    * (key, vmin, vmax) params table — the reference's indicator
+    * (-1,1) / time (0,1) feature groups (data_loader.py:37-38).
+    * Degenerate range → lo.
+    */
+  def minMaxScale(df: DataFrame, params: DataFrame, key: String,
+      valueCol: String, lo: Double, hi: Double): DataFrame =
+    df.join(broadcast(params), key)
+      .withColumn(valueCol + "_mm",
+        when(col("vmax") > col("vmin"),
+          lit(lo) + (col(valueCol) - col("vmin")) * lit(hi - lo) /
+            (col("vmax") - col("vmin")))
+          .otherwise(lit(lo)))
+
+  /** U2 min-max inverse: `(x − lo)·(vmax − vmin)/(hi − lo) + vmin`. */
+  def minMaxInverse(c: Column, vmin: Column, vmax: Column,
+      lo: Double, hi: Double): Column =
+    when(vmax > vmin,
+      (c - lit(lo)) * (vmax - vmin) / lit(hi - lo) + vmin)
+      .otherwise(vmin)
+
   /** U4: input validation before inference (predictor.py:346-371). */
   def validateInput(df: DataFrame, requiredCols: Seq[String],
       minRows: Long): Seq[String] = {
