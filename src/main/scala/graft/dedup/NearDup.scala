@@ -64,6 +64,53 @@ object NearDup {
       idCol, threshold)
   }
 
+  /** Exact Jaccard ≥ t with PREFIX FILTERING (PPJoin-style) — same result
+    * set as [[exactJaccardPairs]], far fewer candidate pairs:
+    *
+    *  - global shingle order = ascending document frequency (rarest
+    *    first), ties by shingle text;
+    *  - each doc indexes only its first `|x| − ceil(t·|x|) + 1` shingles
+    *    in that order. Pigeonhole: a pair with J ≥ t must share at least
+    *    one prefix shingle of BOTH docs, because J ≥ t ⇒
+    *    c ≥ t/(1+t)·(nₐ+n_b) ≥ t·min(nₐ,n_b) > skipped-suffix size;
+    *  - the length filter `t·nₐ ≤ n_b ≤ nₐ/t` prunes size-incompatible
+    *    pairs before verification;
+    *  - full exact-intersection verify of surviving candidates only.
+    *
+    * At 100 TB this is the difference between the inverted index joining
+    * on EVERY shared shingle (frequent shingles dominate pair fan-out)
+    * and joining only on rare prefixes.
+    */
+  def exactJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val d = docShingles(docs, idCol, textCol, n)
+    val sizes = d.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    // global rarity order: document frequency asc, shingle text asc
+    val freq = d.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__df"), col("shingle"))
+    val prefix = d
+      .join(freq, "shingle")
+      .join(sizes, idCol)
+      .withColumn("__rk", row_number().over(rankW))
+      .where(col("__rk") <=
+        col("n_sh") - ceil(col("n_sh") * threshold) + lit(1))
+      .select(col(idCol), col("shingle"), col("n_sh"))
+    val cand = prefix.alias("a").join(prefix.alias("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          col("b.n_sh") >= ceil(col("a.n_sh") * threshold) &&
+          col("a.n_sh") >= ceil(col("b.n_sh") * threshold))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(d.alias("da"), col("doc_a") === col(s"da.$idCol"))
+      .join(d.alias("db"), col("doc_b") === col(s"db.$idCol") &&
+        col("da.shingle") === col("db.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    jaccardOfPairs(d, inter, idCol, threshold)
+  }
+
   /** MinHash signatures + banded candidate pairs, then exact verify. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {

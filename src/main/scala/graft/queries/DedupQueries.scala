@@ -48,7 +48,10 @@ object DedupQueries extends QueryPack {
     Query(
       "q_d_jaccard_pairs",
       (s, dir) =>
-        NearDup.exactJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5)
+        // prefix-filtered path: identical result set to the plain inverted
+        // index (equality asserted in DedupSpec), joins only on rare
+        // prefix shingles — the PPJoin-style shape that holds at 100 TB
+        NearDup.exactJaccardPairsPrefix(docs(s, dir), "doc_id", "text", 3, 0.5)
           .orderBy("doc_a", "doc_b"),
       Some(s"""WITH $shingleCtes,
               |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt

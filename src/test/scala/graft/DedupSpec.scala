@@ -31,6 +31,24 @@ class DedupSpec extends AnyFunSuite {
     assert(j == 1.0)
   }
 
+  test("prefix-filtered Jaccard equals the plain inverted-index join") {
+    // planted corpus
+    val a = NearDup.exactJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val b = NearDup.exactJaccardPairsPrefix(corpus, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(a == b)
+    // driver testdata (500 docs, 25 planted near-dup pairs)
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+    val ea = NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val eb = NearDup.exactJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(ea == eb && ea.size == 25)
+  }
+
   test("minhashLshPairs recovers the same pairs as exact Jaccard here") {
     val pairs = NearDup.minhashLshPairs(corpus, "doc_id", "text",
       n = 3, k = 16, bands = 4, threshold = 0.5)
