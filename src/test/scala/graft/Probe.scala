@@ -26,8 +26,17 @@ object Probe {
     val ev = Tables(spark, dir, "events")
     docs.count(); ev.count() // warm
 
-    time("simhash pairs full") {
-      graft.dedup.NearDup.simhashPairs(docs, "doc_id", "text", 6).count()
+    time("jaccard plain") {
+      graft.dedup.NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
+    }
+    time("jaccard prefix") {
+      graft.dedup.NearDup.exactJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5).count()
+    }
+    time("jaccard plain again") {
+      graft.dedup.NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
+    }
+    time("jaccard prefix again") {
+      graft.dedup.NearDup.exactJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5).count()
     }
     time("langid confusion") {
       SparkEntry.queries("q_t_langid_confusion")(spark, dir).count()
