@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scaling probe (Test scope): replicates the sf0.1 tables 10×
+  * (deterministic id/ts jitter, multiple output files → real scan
+  * parallelism) into /tmp, then times representative operators at 1× and
+  * 10× to measure how throughput scales with input size on local[32].
+  * Run: SPARK_GRAFT_CPUS=32 sbt "Test/runMain graft.ScaleProbe"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val base = "/root/testdata/sf0.1"
+    val big = "/tmp/graft_sf1_synth"
+
+    // ---- build the 10x tables once ----
+    if (!new java.io.File(big + "/events.parquet").exists()) {
+      val ev = Tables(spark, base, "events")
+      ev.crossJoin(spark.range(10).toDF("rep"))
+        .withColumn("event_id", col("event_id") * 10 + col("rep"))
+        // original layout stores ts as INT64 nanos (Tables reads it via
+        // nanosAsLong) — mirror it so the same loader path applies
+        .withColumn("ts",
+          (unix_micros(expr("ts + make_interval(0,0,0,0,0,0, rep * 0.001)"))
+            * 1000L).as("ts"))
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(big + "/events.parquet")
+      val docs = Tables(spark, base, "documents")
+      docs.crossJoin(spark.range(10).toDF("rep"))
+        .withColumn("doc_id", col("doc_id") * 10 + col("rep"))
+        // vary text per replica so dedup work isn't degenerate
+        .withColumn("text", concat(col("text"), lit(" rep"), col("rep")))
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(big + "/documents.parquet")
+      // embeddings/others: symlink-substitute by copying references
+      Seq("embeddings", "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem").foreach { t =>
+        Tables(spark, base, t).write.mode("overwrite")
+          .parquet(s"$big/$t.parquet")
+      }
+    }
+
+    def time(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-34s ${s}%7.2f s   rows=$n")
+      s
+    }
+
+    val ops: Seq[(String, String => DataFrame)] = Seq(
+      "resample_ohlcv" -> (dir => SparkEntry.queries("q_a1_resample_ohlcv")(spark, dir)),
+      "winsorize" -> (dir => SparkEntry.queries("q_p9_winsorize")(spark, dir)),
+      "rolling_zscore" -> (dir => SparkEntry.queries("q_w4_rolling_zscore")(spark, dir)),
+      "indicators_series" -> (dir => SparkEntry.queries("q_w7w9_indicator_series")(spark, dir)),
+      "langid" -> (dir => SparkEntry.queries("q_t_langid_confusion")(spark, dir)),
+      "minhash_lsh" -> (dir => SparkEntry.queries("q_d_minhash_lsh_pairs")(spark, dir)),
+      "w13_windows" -> (dir => SparkEntry.queries("q_w13_windows")(spark, dir)),
+      "u2_scale_roundtrip" -> (dir => SparkEntry.queries("q_u2_scale_roundtrip")(spark, dir))
+    )
+
+    println("== warmup ==")
+    ops.foreach { case (n, f) => f(base).count() }
+    println("== 1x (sf0.1) ==")
+    val t1 = ops.map { case (n, f) => n -> time(n)(f(base).count()) }.toMap
+    println("== 10x (synthetic) ==")
+    val t10 = ops.map { case (n, f) => n -> time(n)(f(big).count()) }.toMap
+    println("== scaling factor (10x time / 1x time; 10.0 = linear) ==")
+    ops.foreach { case (n, _) =>
+      println(f"$n%-34s ${t10(n) / t1(n)}%5.1f x")
+    }
+    spark.stop()
+  }
+}
