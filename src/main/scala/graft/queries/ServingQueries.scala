@@ -216,6 +216,39 @@ object ServingQueries extends QueryPack {
       doc = "SURVEY J1: predictions-vs-candles overlay — equi-join on " +
         "(key, target bucket), the Grafana dual-target panel shape"),
 
+    // ---- J1 tolerant variant: as-of join ----
+    Query(
+      "q_j1_asof_join",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val left = e.where(col("event_id") % 2 === 0)
+          .select(col("event_id"), col(K), col("ts"))
+        // right must be unique per (key, ts): keep-latest dedup (LWW)
+        val dw = Window.partitionBy(col(K), col("ts"))
+          .orderBy(col("event_id").desc)
+        val right = e.where(col("event_id") % 2 === 1)
+          .withColumn("__rn", row_number().over(dw))
+          .where(col("__rn") === 1).drop("__rn")
+        graft.ops.AsofJoin.asofJoin(left, right, K, "ts", "ts",
+            Seq("value"), toleranceSeconds = Some(3600L))
+          .select(col("event_id"), col(K), col("ts"),
+            col("matched_ts"), col("matched_value"))
+      },
+      Some("""WITH l0 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+             |r0 AS (SELECT * FROM events WHERE event_id % 2 = 1),
+             |r1 AS (SELECT * FROM (
+             |         SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, ts
+             |           ORDER BY event_id DESC) AS rn FROM r0) WHERE rn = 1)
+             |SELECT l0.event_id, l0.event_type, l0.ts,
+             |  r1.ts AS matched_ts, r1.value AS matched_value
+             |FROM l0 ASOF JOIN r1
+             |  ON l0.event_type = r1.event_type AND l0.ts >= r1.ts
+             |WHERE l0.ts - r1.ts <= INTERVAL 1 HOUR""".stripMargin),
+      doc = "SURVEY J1 tolerant variant: as-of join — union+tag, ONE " +
+        "shuffle+sort per key, last(ignoreNulls) running carry (no " +
+        "range-condition join, no per-key cartesian); 1-hour tolerance; " +
+        "oracle is DuckDB's native ASOF JOIN"),
+
     // ---- J2: per-horizon prediction-quality metrics join ----
     Query(
       "q_j2_horizon_metrics",
