@@ -251,6 +251,36 @@ object TimeSeriesQueries extends QueryPack {
              |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       doc = "SURVEY W18: first 80% of time-ordered rows per key — no shuffle across time"),
 
+    // ---- T5 (beyond parity): session windows ----
+    Query(
+      "q_t5_session_windows",
+      (s, dir) =>
+        ev(s, dir)
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .select(col("user_id"), col("sw.start").as("session_start"),
+            col("sw.end").as("session_end"), col("n_events"), col("sum_value")),
+      Some("""WITH s AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN LAG(ts) OVER w IS NULL
+             |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+             |      FROM s)
+             |SELECT user_id, MIN(ts) AS session_start,
+             |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+             |FROM g GROUP BY user_id, grp""".stripMargin),
+      doc = "T5 (engine extension beyond reference parity): session windows " +
+        "with a 30-min inactivity gap — session_window() in batch; oracle is " +
+        "the gaps-and-islands rewrite; same operator runs streaming with a " +
+        "watermark (StreamingSpec)"),
+
     // ---- A4: quantiles ----
     Query(
       "q_a4_quantiles",

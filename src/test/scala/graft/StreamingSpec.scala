@@ -200,6 +200,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.where($"price" > 1.5).count() == 1)
   }
 
+  test("session_window closes sessions after the gap in a stream (T5)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val outDir = tmpDir("sess-out")
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val q = ms.toDF().toDF("time", "user_id", "value")
+      .withWatermark("time", "10 seconds")
+      .groupBy(col("user_id"), session_window(col("time"), "60 seconds").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("sw.start").as("start"), col("n"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", tmpDir("sess-ckpt"))
+      .outputMode("append")
+      .start()
+    ms.addData(
+      (ts("2024-03-01T10:00:00Z"), 1L, 1.0),
+      (ts("2024-03-01T10:00:30Z"), 1L, 1.0), // same session (gap 30s < 60s)
+      (ts("2024-03-01T10:02:00Z"), 1L, 1.0)) // new session (gap 90s)
+    q.processAllAvailable()
+    ms.addData((ts("2024-03-01T10:10:00Z"), 1L, 1.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+      .select("start", "n").as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(out(ts("2024-03-01T10:00:00Z")) == 2L)
+    assert(out(ts("2024-03-01T10:02:00Z")) == 1L)
+  }
+
   test("buildCandles: watermarked tumbling window emits closed candles (T3/T4)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, Double, Double)]
