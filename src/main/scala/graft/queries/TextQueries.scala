@@ -112,6 +112,46 @@ object TextQueries extends QueryPack {
              |FROM documents""".stripMargin),
       doc = "document fingerprint: custom codegen'd rolling-hash Expression; oracle replays the byte fold"),
 
+    Query(
+      "q_t_top_terms",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+          .where(col("term") =!= "")
+          .groupBy("term")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term"))
+          .limit(20),
+      Some("""SELECT term, COUNT(*) AS n
+             |FROM (SELECT unnest(list_filter(
+             |        string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS term
+             |      FROM documents)
+             |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin),
+      doc = "corpus heavy hitters: token explode -> count -> top-k " +
+        "(map-side partial counts absorb the token blow-up; " +
+        "TakeOrderedAndProject for the top slice)"),
+
+    Query(
+      "q_u4_data_profile",
+      (s, dir) =>
+        Tables(s, dir, "documents").agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("text").isNull.cast("long")).as("null_text"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          round(avg(col("n_chars")), 2).as("avg_chars")),
+      Some("""SELECT COUNT(*) AS n_rows,
+             |  SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+             |  COUNT(DISTINCT lang) AS n_langs,
+             |  COUNT(DISTINCT source) AS n_sources,
+             |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+             |  ROUND(AVG(n_chars), 2) AS avg_chars
+             |FROM documents""".stripMargin),
+      doc = "SURVEY U4 as a corpus profile: null/cardinality/range summary in " +
+        "one aggregation pass — the validation gate before any training sweep"),
+
     // ---- the LLM-corpus cleaning pipeline as ONE declarative plan ----
     Query(
       "q_t_corpus_filter",
