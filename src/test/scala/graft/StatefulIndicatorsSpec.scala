@@ -33,8 +33,9 @@ class StatefulIndicatorsSpec extends AnyFunSuite {
     val all = (0 until 90).map(i => tick(if (i % 2 == 0) "BTC" else "ETH", i))
     // deliver in 3 batches, shuffled within each (iterator order is
     // unordered inside a micro-batch; the fold sorts)
+    val rnd = new scala.util.Random(42)
     all.grouped(30).foreach { batch =>
-      ms.addData(scala.util.Random.shuffle(batch): _*)
+      ms.addData(rnd.shuffle(batch): _*)
       q.processAllAvailable()
     }
     q.stop()
