@@ -66,6 +66,18 @@ object ApproxQueries extends QueryPack {
         "join-back shape as the exact twin, executor memory bounded"),
 
     Query(
+      "q_a2_distinct_approx",
+      (s, dir) =>
+        ev(s, dir).groupBy(col("event_type")).agg(
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+          .orderBy("event_type"),
+      None,
+      doc = "SURVEY A2 at scale: HyperLogLog++ distinct-user counts (rsd 1%) " +
+        "— O(kB) sketch per group vs the exact distinct's full shuffle of " +
+        "the key universe; rows-only (engines' sketches differ), bounds " +
+        "pinned in AccuracySpec"),
+
+    Query(
       "q_a3_salted_summary",
       (s, dir) =>
         graft.ops.SkewSafe.saltedSummary(ev(s, dir), "event_type",

@@ -281,6 +281,47 @@ object TimeSeriesQueries extends QueryPack {
         "the gaps-and-islands rewrite; same operator runs streaming with a " +
         "watermark (StreamingSpec)"),
 
+    // ---- A4 companion: fixed-width histogram profile ----
+    Query(
+      "q_a4_histogram",
+      (s, dir) =>
+        ev(s, dir)
+          .withColumn("bucket",
+            floor(col("value") / lit(50.0)).cast("long"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .orderBy("event_type", "bucket"),
+      Some("""SELECT event_type, CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+             |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "value-distribution histogram: fixed-width buckets as integer " +
+        "math (deterministic across engines), one grouped pass — the " +
+        "profiling companion to the exact quantiles"),
+
+    // ---- W-family extension: rolling correlation ----
+    Query(
+      "q_w_rolling_corr",
+      (s, dir) => {
+        val lagged = lag(col("value"), 1).over(w)
+        ev(s, dir)
+          .withColumn("prev", lagged)
+          .where(col("prev").isNotNull)
+          .select(col("event_type"), col("event_id"),
+            (round(corr(col("value"), col("prev")).over(trailing(w, 24)), 4)
+              + lit(0.0)).as("corr_24"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_type, event_id, ts, value,
+             |    LAG(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+             |  FROM events)
+             |SELECT event_type, event_id,
+             |  ROUND(CORR(value, prev) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 4) + 0.0 AS corr_24
+             |FROM p WHERE prev IS NOT NULL""".stripMargin),
+      doc = "rolling autocorrelation(lag 1) over trailing 24 rows — the " +
+        "regime-shift signal; corr as a window aggregate, same sorted partition"),
+
     // ---- A4: quantiles ----
     Query(
       "q_a4_quantiles",

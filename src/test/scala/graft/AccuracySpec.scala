@@ -26,6 +26,17 @@ class AccuracySpec extends AnyFunSuite {
       s"exact=$exact approx=$approx bound=$maxRankErr")
   }
 
+  test("approx_count_distinct within rsd bound of the exact count") {
+    val n = 20000
+    val df = (1 to n).map(i => ("k", (i % 4321).toLong)).toDF("k", "u")
+    val r = df.groupBy("k").agg(
+      countDistinct($"u").as("exact"),
+      expr("approx_count_distinct(u, 0.01)").as("approx")).head()
+    val (exact, approx) = (r.getLong(1), r.getLong(2))
+    assert(math.abs(exact - approx) <= exact * 0.05,
+      s"exact=$exact approx=$approx")
+  }
+
   test("winsorize approx bounds clip to within rank error of exact bounds") {
     val n = 10000
     val df = (1 to n).map(i => ("k", i.toDouble)).toDF("k", "v")
