@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graftbridge.FunctionBridge
+
+/** The engine's Catalyst extension point: exposes the native codegen'd
+  * expressions as SQL functions, so text SQL (Grafana-style S8 surface)
+  * can call them exactly like built-ins.
+  *
+  * Two hooks, same builders:
+  *  - deployment: `spark.sql.extensions=graft.GraftExtensions` (or
+  *    `builder.withExtensions(new GraftExtensions)`);
+  *  - live session: `GraftExtensions.register(spark)` — what
+  *    `Tables.registerAll` calls so the oracle-checked SQL queries can
+  *    use the functions in any harness-provided session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+        b))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, who: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$who expects a literal int argument, got $other")
+  }
+
+  /** name → expression builder, shared by both registration hooks. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "rolling_hash" -> ((args: Seq[Expression]) => RollingHash(args.head)),
+    "cosine_sim" -> ((args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    "lsh_signature" -> ((args: Seq[Expression]) =>
+      LshSignature(args(0), intArg(args(1), "lsh_signature"))),
+    "min_hash_signature" -> ((args: Seq[Expression]) =>
+      MinHashSignature(args(0), intArg(args(1), "min_hash_signature"),
+        intArg(args(2), "min_hash_signature"))),
+    "sim_hash" -> ((args: Seq[Expression]) =>
+      SimHash(args(0), intArg(args(1), "sim_hash"))))
+
+  /** Register on a live session (idempotent — replaces same-name entries). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      FunctionBridge.register(spark, name, b)
+    }
+}

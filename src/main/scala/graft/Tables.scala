@@ -52,11 +52,14 @@ object Tables {
     else df
   }
 
-  /** Register every table as a temp view so `spark.sql` text mirrors the
-    * DuckDB oracle text for SQL-surface parity (SURVEY §3.3).
+  /** Register every table as a temp view (so `spark.sql` text mirrors the
+    * DuckDB oracle text, SURVEY §3.3) plus the engine's native SQL
+    * functions (rolling_hash, cosine_sim, …) on the session.
     */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
     all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+    graft.GraftExtensions.register(spark)
+  }
 
   /** S7: driver-rows→frame adapter (reference data_loader.py:232-265 —
     * building a frame from fetched storage rows). Declared schema, no

@@ -40,6 +40,22 @@ object SqlQueries extends QueryPack {
     sqlQuery("q_sql_topk_orders",
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
-      doc = "S8: top-k over the fact table as shared SQL text")
+      doc = "S8: top-k over the fact table as shared SQL text"),
+
+    // custom native expression callable from text SQL (registered via
+    // GraftExtensions / FunctionBridge); the DuckDB oracle replays the
+    // byte fold — one query, two engines, three function surfaces
+    Query("q_sql_native_fingerprint",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("SELECT doc_id, rolling_hash(text) AS fp FROM documents")
+      },
+      Some("""SELECT doc_id,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(generate_series(1, length(text)), c -> CAST(ord(text[c]) AS BIGINT))),
+             |    (a, x) -> (a * 31 + x) % 2147483647) AS fp
+             |FROM documents""".stripMargin),
+      doc = "S8 + custom Expression: the codegen'd rolling_hash invoked from " +
+        "spark.sql text via the session function registry (GraftExtensions)")
   )
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  test("live-session registration: native functions callable from SQL") {
+    GraftExtensions.register(spark)
+    Seq((1L, "hello world")).toDF("id", "text").createOrReplaceTempView("t_ext")
+    val r = spark.sql(
+      """SELECT rolling_hash(text) AS h, sim_hash(text, 1) AS s,
+        |  min_hash_signature(text, 1, 4) AS m FROM t_ext""".stripMargin).head()
+    val viaColumn = Seq("hello world").toDF("text")
+      .select(graft.functions.RollingHash.rolling_hash($"text")).as[Long].head()
+    assert(r.getLong(0) == viaColumn)
+    assert(r.getSeq[Long](2).length == 4)
+  }
+
+  test("builder-time injection: spark.sql.extensions path") {
+    // a fresh SparkSession over the same SparkContext, with extensions
+    SparkSession.clearActiveSession()
+    val fresh = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    try {
+      import fresh.implicits._
+      Seq(("abc", "abd")).toDF("a", "b").createOrReplaceTempView("t_ext2")
+      val sim = fresh.sql(
+        "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head()
+      assert(sim.getDouble(0) == 1.0)
+      assert(fresh.sql("SELECT rolling_hash('a') AS h").head().getLong(0) == 97L)
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("literal-arg validation fails clearly") {
+    GraftExtensions.register(spark)
+    Seq("x").toDF("text").createOrReplaceTempView("t_ext3")
+    val e = intercept[Exception] {
+      spark.sql("SELECT sim_hash(text, length(text)) FROM t_ext3").collect()
+    }
+    assert(e.getMessage.contains("literal int"))
+  }
+}
