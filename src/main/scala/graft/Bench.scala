@@ -7,6 +7,12 @@ import org.apache.spark.sql.functions.{col, xxhash64, expr}
   * xxhash64-ing every output column and bit_xor-reducing the hashes —
   * `count()` alone would let Catalyst prune unused projections, timing a
   * bare scan instead of the operator (round-1 lesson).
+  *
+  * Failure honesty (VERDICT r2 #3): a query that throws is reported in an
+  * `errors` map and EXCLUDED from `queries`/`value` — time-to-exception
+  * must never masquerade as a measurement. Contention resistance: each
+  * query is timed twice and the min is reported (plan+codegen warms on the
+  * first pass; the min of two runs discards one-off machine noise).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,22 +41,36 @@ object Bench {
             Window.partitionBy("k").orderBy("s")).as("rn"))
         .collect()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      // bit_xor: order-insensitive reduce, no ANSI sum-overflow risk
+      df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+        .agg(expr("bit_xor(__h)")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val timed = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
-        // bit_xor: order-insensitive reduce, no ANSI sum-overflow risk
-        df.select(xxhash64(df.columns.map(col): _*).as("__h"))
-          .agg(expr("bit_xor(__h)")).collect()
+        val a = runOnce(fn)
+        val b = runOnce(fn)
+        timed += name -> math.min(a, b)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    CacheScope.release(spark) // drop every builder-retained cache before exit
+    val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = timed.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${timed.size},"n_err":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Registry of cached DataFrames with an explicit release point.
+  *
+  * Query builders legitimately cache frames that several consumers (or
+  * several branches of one plan) re-read — but a builder returns a lazy
+  * DataFrame, so it can never know when the consuming action finished. An
+  * unmanaged `.cache()` therefore pins executor storage for the session
+  * lifetime (VERDICT r2 #4 / ADVICE r2): across a 78-query bench run that
+  * accumulates a shingle index per dedup query plus the indicator/overlay
+  * session caches.
+  *
+  * The contract: builders call [[retain]] instead of `.cache()`; whoever
+  * drives actions (Bench and Verify per run, a long-lived service at
+  * request boundaries, tests in teardown) calls [[release]] when done.
+  * Frames are persisted MEMORY_AND_DISK — at corpus scale, spilling a
+  * reused intermediate beats recomputing it, and storage never OOMs the
+  * executor.
+  */
+object CacheScope {
+  private final case class Entry(session: SparkSession, df: DataFrame,
+      onRelease: () => Unit)
+  private val live = scala.collection.mutable.ArrayBuffer.empty[Entry]
+
+  /** Persist `df` and register it for the next [[release]] of its session.
+    * `onRelease` lets memoizing callers evict their lookup entry too.
+    */
+  def retain(df: DataFrame, onRelease: () => Unit = () => ()): DataFrame =
+    synchronized {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      live += Entry(df.sparkSession, cached, onRelease)
+      cached
+    }
+
+  /** Unpersist (blocking, so storage-empty assertions are deterministic)
+    * every frame registered under `s` and run the eviction callbacks.
+    */
+  def release(s: SparkSession): Unit = synchronized {
+    val (mine, rest) = live.partition(_.session eq s)
+    live.clear()
+    live ++= rest
+    mine.foreach { e =>
+      try e.df.unpersist(blocking = true) catch { case _: Throwable => () }
+      e.onRelease()
+    }
+  }
+}

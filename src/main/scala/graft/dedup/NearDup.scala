@@ -47,8 +47,8 @@ object NearDup {
         d.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
     // consumed 3x downstream (both join sides + set sizes): one explode
-    // pass instead of three
-    capped.cache()
+    // pass instead of three; released by the run harness via CacheScope
+    graft.CacheScope.retain(capped)
   }
 
   /** Exact pairwise n-gram Jaccard ≥ threshold via the inverted index. */

@@ -26,10 +26,10 @@ object FeatureQueries extends QueryPack {
       (s, dir) => {
         // cache: enhance() reads its input twice (window chain + the
         // indicator mapPartitions pass) — one resample instead of two
-        val hourly = resampleOhlcv(ev(s, dir), K, "ts", "event_id",
+        val hourly = graft.CacheScope.retain(
+          resampleOhlcv(ev(s, dir), K, "ts", "event_id",
             "value", "value", 3600)
-          .withColumn("bucket_id", unix_timestamp(col("bucket_start")))
-          .cache()
+            .withColumn("bucket_id", unix_timestamp(col("bucket_start"))))
         FeatureFrame.enhance(hourly, K, "bucket_start", "bucket_id")
           .select(col(K), col("bucket_start"),
             col("open"), col("high"), col("low"), col("close"),
@@ -60,11 +60,15 @@ object FeatureQueries extends QueryPack {
              |  FROM events GROUP BY 1, 2),
              |f AS (
              |  SELECT *,
-             |    LN(close / LAG(close) OVER w) AS lr,
-             |    close / AVG(close) OVER w24 AS price_ma_ratio,
-             |    (high - low) / close AS price_spread,
-             |    (volume - AVG(volume) OVER w24) / STDDEV_SAMP(volume) OVER w24 AS volume_zscore,
-             |    volume / AVG(volume) OVER w24 AS volume_ma_ratio,
+             |    CASE WHEN close > 0 AND LAG(close) OVER w > 0
+             |         THEN LN(close / LAG(close) OVER w) END AS lr,
+             |    CASE WHEN AVG(close) OVER w24 <> 0
+             |         THEN close / AVG(close) OVER w24 END AS price_ma_ratio,
+             |    CASE WHEN close <> 0 THEN (high - low) / close END AS price_spread,
+             |    CASE WHEN STDDEV_SAMP(volume) OVER w24 <> 0
+             |         THEN (volume - AVG(volume) OVER w24) / STDDEV_SAMP(volume) OVER w24 END AS volume_zscore,
+             |    CASE WHEN AVG(volume) OVER w24 <> 0
+             |         THEN volume / AVG(volume) OVER w24 END AS volume_ma_ratio,
              |    LN(1 + volume * close) AS liquidity,
              |    AVG(close) OVER w3 - AVG(close) OVER w6 AS momentum_3_6,
              |    AVG(close) OVER w6 - AVG(close) OVER w12 AS momentum_6_12,
@@ -159,8 +163,10 @@ object FeatureQueries extends QueryPack {
       },
       Some("""WITH r AS (
              |  SELECT event_type, event_id, ts,
-             |    LN(value / LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)) AS lr
-             |  FROM events)
+             |    CASE WHEN value > 0 AND LAG(value) OVER w > 0
+             |         THEN LN(value / LAG(value) OVER w) END AS lr
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
              |SELECT event_type, event_id,
              |  ROUND(SQRT(AVG(lr * lr) OVER (PARTITION BY event_type ORDER BY ts, event_id
              |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)), 6) + 0.0 AS resid_vol_24

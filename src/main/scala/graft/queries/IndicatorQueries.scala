@@ -27,8 +27,10 @@ object IndicatorQueries extends QueryPack {
 
   private def finals(s: SparkSession, dir: String) =
     finalsCache.getOrElseUpdate((s, dir),
-      Indicators.finals(Tables(s, dir, "events"), "event_type", "ts",
-        "event_id", "value").cache())
+      graft.CacheScope.retain(
+        Indicators.finals(Tables(s, dir, "events"), "event_type", "ts",
+          "event_id", "value"),
+        onRelease = () => finalsCache.remove((s, dir))))
 
   override def queries: Seq[Query] = Seq(
 

@@ -29,7 +29,9 @@ object ServingQueries extends QueryPack {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def overlay(s: SparkSession, dir: String): DataFrame =
-    overlayCache.getOrElseUpdate((s, dir), buildOverlay(s, dir).cache())
+    overlayCache.getOrElseUpdate((s, dir),
+      graft.CacheScope.retain(buildOverlay(s, dir),
+        onRelease = () => overlayCache.remove((s, dir))))
 
   private def buildOverlay(s: SparkSession, dir: String): DataFrame = {
     val candles = resampleOhlcv(ev(s, dir), K, "ts", "event_id",

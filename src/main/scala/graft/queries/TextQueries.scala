@@ -143,7 +143,7 @@ object TextQueries extends QueryPack {
           max(col("n_chars")).as("max_chars"),
           round(avg(col("n_chars")), 2).as("avg_chars")),
       Some("""SELECT COUNT(*) AS n_rows,
-             |  SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+             |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
              |  COUNT(DISTINCT lang) AS n_langs,
              |  COUNT(DISTINCT source) AS n_sources,
              |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,

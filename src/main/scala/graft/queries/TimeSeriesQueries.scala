@@ -32,9 +32,12 @@ object TimeSeriesQueries extends QueryPack {
         ev(s, dir).select(col("event_type"), col("event_id"),
           (round(logReturns(col("value"), w), 4) + lit(0.0)).as("log_ret")),
       Some("""SELECT event_type, event_id,
-             |  ROUND(LN(value / LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)), 4) + 0.0 AS log_ret
-             |FROM events""".stripMargin),
-      doc = "SURVEY W1: lag + log; single shuffle on the series key"),
+             |  ROUND(CASE WHEN value > 0 AND LAG(value) OVER w > 0
+             |             THEN LN(value / LAG(value) OVER w) END, 4) + 0.0 AS log_ret
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)""".stripMargin),
+      doc = "SURVEY W1: lag + log; single shuffle on the series key; " +
+        "null on non-positive ticks (ANSI-safe, same CASE in the oracle)"),
 
     // ---- W2: price / trailing-mean ratio ----
     Query(
@@ -43,9 +46,11 @@ object TimeSeriesQueries extends QueryPack {
         ev(s, dir).select(col("event_type"), col("event_id"),
           round(maRatio(col("value"), w, 24), 4).as("ma_ratio")),
       Some("""SELECT event_type, event_id,
-             |  ROUND(value / AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
-             |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 4) AS ma_ratio
-             |FROM events""".stripMargin),
+             |  ROUND(CASE WHEN AVG(value) OVER win <> 0
+             |             THEN value / AVG(value) OVER win END, 4) AS ma_ratio
+             |FROM events
+             |WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+             |  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin),
       doc = "SURVEY W2: rolling(24, min_periods=1).mean() ratio"),
 
     // ---- W4: rolling z-score ----
@@ -55,7 +60,9 @@ object TimeSeriesQueries extends QueryPack {
         ev(s, dir).select(col("event_type"), col("event_id"),
           (round(rollingZscore(col("value"), w, 24), 4) + lit(0.0)).as("zscore")),
       Some("""SELECT event_type, event_id,
-             |  ROUND((value - AVG(value) OVER win) / STDDEV_SAMP(value) OVER win, 4) + 0.0 AS zscore
+             |  ROUND(CASE WHEN STDDEV_SAMP(value) OVER win <> 0
+             |             THEN (value - AVG(value) OVER win) / STDDEV_SAMP(value) OVER win
+             |        END, 4) + 0.0 AS zscore
              |FROM events
              |WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
              |  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin),
@@ -89,8 +96,10 @@ object TimeSeriesQueries extends QueryPack {
       },
       Some("""WITH r AS (
              |  SELECT event_type, event_id, ts,
-             |    LN(value / LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)) AS lr
-             |  FROM events)
+             |    CASE WHEN value > 0 AND LAG(value) OVER w > 0
+             |         THEN LN(value / LAG(value) OVER w) END AS lr
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
              |SELECT event_type, event_id,
              |  ROUND(STDDEV_SAMP(lr) OVER (PARTITION BY event_type ORDER BY ts, event_id
              |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 4) AS volatility_12
@@ -373,8 +382,8 @@ object TimeSeriesQueries extends QueryPack {
         pred.groupBy(col("event_type")).agg(
           round(avg(abs(col("value") - col("pred"))), 4).as("mae"),
           round(sqrt(avg(pow(col("value") - col("pred"), 2))), 4).as("rmse"),
-          round(avg(lit(2) * abs(col("value") - col("pred")) /
-            (abs(col("value")) + abs(col("pred")))), 4).as("smape"),
+          round(avg(safeDiv(lit(2) * abs(col("value") - col("pred")),
+            abs(col("value")) + abs(col("pred")))), 4).as("smape"),
           round(avg((signum(col("value") - col("pred")) ===
             signum(col("pred") - col("prev2"))).cast("int")), 4).as("dir_acc"),
           count(lit(1)).as("sample_count"))
@@ -388,7 +397,8 @@ object TimeSeriesQueries extends QueryPack {
              |SELECT event_type,
              |  ROUND(AVG(ABS(value - pred)), 4) AS mae,
              |  ROUND(SQRT(AVG((value - pred) * (value - pred))), 4) AS rmse,
-             |  ROUND(AVG(2 * ABS(value - pred) / (ABS(value) + ABS(pred))), 4) AS smape,
+             |  ROUND(AVG(CASE WHEN ABS(value) + ABS(pred) <> 0
+             |                 THEN 2 * ABS(value - pred) / (ABS(value) + ABS(pred)) END), 4) AS smape,
              |  ROUND(AVG(CAST(SIGN(value - pred) = SIGN(pred - prev2) AS INT)), 4) AS dir_acc,
              |  COUNT(*) AS sample_count
              |FROM p WHERE pred IS NOT NULL AND prev2 IS NOT NULL

@@ -135,12 +135,16 @@ object Serving {
     else {
       val n = df.count()
       val sizeErr = if (n < minRows) Seq(s"need >= $minRows rows, got $n") else Nil
-      val nullCounts = df.select(requiredCols.map(c =>
-        sum(col(c).isNull.cast("long")).as(c)): _*).head()
-      val nullErr = requiredCols.zipWithIndex
-        .filter { case (_, i) => nullCounts.getLong(i) > 0 }
-        .map { case (c, i) => s"column $c has ${nullCounts.getLong(i)} nulls" }
-      sizeErr ++ nullErr
+      if (n == 0) sizeErr // sum() over zero rows is null — nothing to scan
+      else {
+        val nullCounts = df.select(requiredCols.map(c =>
+          sum(col(c).isNull.cast("long")).as(c)): _*).head()
+        val nullErr = requiredCols.zipWithIndex
+          .filter { case (_, i) =>
+            !nullCounts.isNullAt(i) && nullCounts.getLong(i) > 0 }
+          .map { case (c, i) => s"column $c has ${nullCounts.getLong(i)} nulls" }
+        sizeErr ++ nullErr
+      }
     }
   }
 

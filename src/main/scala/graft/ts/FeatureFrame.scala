@@ -37,7 +37,7 @@ object FeatureFrame {
   def enhance(df: DataFrame, key: String, ts: String, id: String,
       dropWarmup: Boolean = true): DataFrame = {
     val w = keyedOrder(key, ts, id)
-    val lr = log(col("close") / lag(col("close"), 1).over(w))
+    val lr = logReturns(col("close"), w)
 
     val ind = Indicators.compute(df, key, ts, id,
         "high", "low", "close", "volume")
@@ -46,7 +46,7 @@ object FeatureFrame {
 
     val base = df
       .withColumn("price_ma_ratio", maRatio(col("close"), w, 24))
-      .withColumn("price_spread", (col("high") - col("low")) / col("close"))
+      .withColumn("price_spread", safeDiv(col("high") - col("low"), col("close")))
       .withColumn("volume_zscore", rollingZscore(col("volume"), w, 24))
       .withColumn("volume_ma_ratio", maRatio(col("volume"), w, 24))
       .withColumn("liquidity", log1p(col("volume") * col("close")))

@@ -34,20 +34,38 @@ object TimeSeriesOps {
   def runningFrame(w: WindowSpec): WindowSpec =
     w.rowsBetween(Window.unboundedPreceding, 0)
 
+  /** ANSI-safe ratio: null when the denominator is 0 (or null). Spark 4's
+    * default ANSI mode throws DIVIDE_BY_ZERO on double/0 — at 100 TB a
+    * single zero tick must yield a null feature, not kill the job. The
+    * null-on-zero posture is replayed in every oracle with
+    * `CASE WHEN denom = 0 THEN NULL` (DuckDB's IEEE float division would
+    * otherwise give ±inf). CaseWhen evaluates the branch lazily, so the
+    * division never runs when the guard is false.
+    */
+  def safeDiv(num: Column, den: Column): Column =
+    when(den =!= 0.0, num / den)
+
   // ---- W1: log returns -----------------------------------------------
   /** log1p(pct_change) == log(x_t / x_{t-1}); null on the first row of a key
-    * (pandas pct_change head behavior, SURVEY §7.3).
+    * (pandas pct_change head behavior, SURVEY §7.3) and on any non-positive
+    * tick (zero/negative price has no defined log return; an unguarded
+    * divide or log would be an ANSI runtime error at scale).
     */
-  def logReturns(price: Column, w: WindowSpec): Column =
-    log(price / lag(price, 1).over(w))
+  def logReturns(price: Column, w: WindowSpec): Column = {
+    val prev = lag(price, 1).over(w)
+    when(price > 0.0 && prev > 0.0, log(price / prev))
+  }
 
   // ---- W2/W5: value / trailing-mean ratio ------------------------------
   def maRatio(c: Column, w: WindowSpec, n: Int): Column =
-    c / avg(c).over(trailing(w, n))
+    safeDiv(c, avg(c).over(trailing(w, n)))
 
   // ---- W4: rolling z-score ---------------------------------------------
+  /** null when the trailing stddev is 0 (constant window) or undefined
+    * (single row) — same posture as pandas' 0/0→NaN, minus the NaN.
+    */
   def rollingZscore(c: Column, w: WindowSpec, n: Int): Column =
-    (c - avg(c).over(trailing(w, n))) / stddev_samp(c).over(trailing(w, n))
+    safeDiv(c - avg(c).over(trailing(w, n)), stddev_samp(c).over(trailing(w, n)))
 
   // ---- W10: on-balance volume (running signed sum) -----------------------
   def obv(price: Column, volume: Column, w: WindowSpec): Column = {

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cache lifecycle (VERDICT r2 #4): builder-retained caches must all drop
+  * on CacheScope.release — no storage pinned after a run completes, and
+  * memoizing query packs must rebuild (not serve an unpersisted frame) on
+  * next use.
+  */
+class CacheScopeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  test("retain caches, release unpersists everything and runs eviction callbacks") {
+    var evicted = false
+    val df = CacheScope.retain(
+      Seq(1, 2, 3).toDF("x"), onRelease = () => evicted = true)
+    df.count()
+    assert(df.storageLevel.useMemory || df.storageLevel.useDisk)
+    CacheScope.release(spark)
+    assert(evicted)
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
+  test("a full dedup + indicator query pass leaves no pinned storage after release") {
+    val sf = "/root/testdata/sf0.001"
+    // delta vs baseline: other suites may hold their own (non-CacheScope)
+    // test fixtures cached in the shared session
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    // both paths cache internally: docShingles (dedup) + finals (indicators)
+    SparkEntry.queries("q_d_jaccard_pairs")(spark, sf).collect()
+    SparkEntry.queries("q_w7_rsi_final")(spark, sf).collect()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- baseline).nonEmpty,
+      "expected live caches mid-run")
+    CacheScope.release(spark)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- baseline).isEmpty,
+      "caches still pinned after release")
+    // memoized packs rebuild cleanly after eviction
+    assert(SparkEntry.queries("q_w7_rsi_final")(spark, sf).collect().nonEmpty)
+    CacheScope.release(spark)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- baseline).isEmpty)
+  }
+}
