@@ -23,7 +23,8 @@ object SparkEntry {
     ServingQueries,
     FeatureQueries,
     SqlQueries,
-    ApproxQueries
+    ApproxQueries,
+    MultimodalQueries
   )
 
   private lazy val (queryMap, oracleMap) = QueryPack.toEntryMaps(packs)

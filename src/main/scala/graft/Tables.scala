@@ -46,7 +46,17 @@ object Tables {
 
   private def maybeParallelize(spark: SparkSession, df: DataFrame,
       path: String): DataFrame = {
-    val bytes = sizeCache.getOrElseUpdate(path, new java.io.File(path).length)
+    // Size through the Hadoop FileSystem so hdfs:// and s3a:// paths (and
+    // directory-style parquet) report true content length — java.io.File
+    // returns 0/4K for those, which would force the repartition exactly
+    // where it must not happen. Unresolvable path → Long.MaxValue: the
+    // scan will fail with its own error, without adding a shuffle here.
+    val bytes = sizeCache.getOrElseUpdate(path, {
+      val p = new org.apache.hadoop.fs.Path(path)
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      catch { case _: java.io.IOException => Long.MaxValue }
+    })
     if (bytes < 32L * 1024 * 1024)
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
@@ -59,7 +69,20 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
     all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
     graft.GraftExtensions.register(spark)
+    registeredDir(spark) = sfDir
   }
+
+  private val registeredDir =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
+  /** Once-per-session view registration — `registerAll` is idempotent but
+    * re-resolves ten parquet footers per call, which the q_sql_* queries
+    * would otherwise pay on every execution. Tracks the CURRENT dir per
+    * session (not a seen-set): switching dirs re-registers, so views
+    * always point at the dir of the most recent call.
+    */
+  def ensureRegistered(spark: SparkSession, sfDir: String): Unit =
+    if (!registeredDir.get(spark).contains(sfDir)) registerAll(spark, sfDir)
 
   /** S7: driver-rows→frame adapter (reference data_loader.py:232-265 —
     * building a frame from fetched storage rows). Declared schema, no

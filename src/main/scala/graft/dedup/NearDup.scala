@@ -156,6 +156,14 @@ object NearDup {
 
   /** SimHash near-dup pairs: 8-bit band buckets on the 31-bit fingerprint,
     * Hamming-distance verify of bucket-mates only.
+    *
+    * RECALL CAVEAT (probabilistic by design, standard SimHash banding): 4
+    * bands guarantee a shared band only for pairs within Hamming distance
+    * 3 (pigeonhole); pairs at distance 4..`maxHamming` whose differing
+    * bits land in 4 distinct bands are missed. The oracle replays the
+    * same banding, so driver parity holds; callers needing exact recall
+    * at distance d must use ≥ d+1 bands (or cap `maxHamming` at
+    * bands−1 = 3).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {

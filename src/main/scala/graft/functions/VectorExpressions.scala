@@ -64,6 +64,36 @@ object VectorExpressions {
     sig
   }
 
+  /** IVF coarse-quantizer assignment: id of the centroid with the highest
+    * cosine similarity to `v` (ties → the earliest array slot, i.e. the
+    * lowest id when `cents`/`ids` are sorted ascending). Same double-
+    * accumulation contract as [[cosine]], so swapping this in for a Scala
+    * UDF changes no result bits — only removes the Row boxing from the
+    * corpus-wide assignment pass.
+    */
+  def bestCell(v: ArrayData, isFloat: Boolean,
+      cents: Array[Array[Float]], ids: Array[Long]): Long = {
+    val dim = v.numElements()
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val y = cent(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val s = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      if (s > bestSim) { bestSim = s; best = c }
+      c += 1
+    }
+    ids(best)
+  }
+
   private[functions] def isFloatArray(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -84,6 +114,9 @@ object VectorExpressions {
 
   def lsh_signature(v: Column, nBits: Int): Column =
     ColumnBridge.column(LshSignature(ColumnBridge.expression(v), nBits))
+
+  def best_cell(v: Column, cents: Array[Array[Float]], ids: Array[Long]): Column =
+    ColumnBridge.column(BestCell(ColumnBridge.expression(v), cents, ids))
 }
 
 case class CosineSim(left: Expression, right: Expression)
@@ -137,5 +170,40 @@ case class LshSignature(child: Expression, nBits: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): LshSignature =
+    copy(child = newChild)
+}
+
+/** IVF cell assignment as a codegen'd expression: the centroid table rides
+  * into the generated code as a reference object (the broadcast-closure J3
+  * posture — MB-scale for ≤64k cells), so the corpus-wide pass stays inside
+  * whole-stage codegen with no Row boxing and no join against the centroid
+  * table (an n×nCells shuffle at 10^9 vectors).
+  */
+case class BestCell(child: Expression,
+    cents: Array[Array[Float]], ids: Array[Long])
+    extends UnaryExpression {
+
+  require(cents.nonEmpty && cents.length == ids.length,
+    s"best_cell: ${cents.length} centroids vs ${ids.length} ids")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "best_cell"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkVec(child.dataType, prettyName)
+
+  protected override def nullSafeEval(input: Any): Any =
+    VectorExpressions.bestCell(input.asInstanceOf[ArrayData],
+      VectorExpressions.isFloatArray(child.dataType), cents, ids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = VectorExpressions.isFloatArray(child.dataType)
+    val cRef = ctx.addReferenceObj("bestCellCents", cents, "float[][]")
+    val iRef = ctx.addReferenceObj("bestCellIds", ids, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorExpressions.bestCell($c, $f, $cRef, $iRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BestCell =
     copy(child = newChild)
 }

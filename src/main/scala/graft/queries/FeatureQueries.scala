@@ -19,11 +19,10 @@ object FeatureQueries extends QueryPack {
   private val K = "event_type"
   private def ev(s: SparkSession, dir: String) = Tables(s, dir, "events")
 
-  override def queries: Seq[Query] = Seq(
-
-    Query(
-      "q_feature_frame_26",
-      (s, dir) => {
+  /** The rounded 26-column frame — shared by the DataFrame-API query and
+    * the SQL-view face (`q_sql_feature_frame`).
+    */
+  def frame26(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
         // cache: enhance() reads its input twice (window chain + the
         // indicator mapPartitions pass) — one resample instead of two
         val hourly = graft.CacheScope.retain(
@@ -51,8 +50,12 @@ object FeatureQueries extends QueryPack {
             (round(col("dow_sin"), 6) + lit(0.0)).as("dow_sin"),
             (round(col("dow_cos"), 6) + lit(0.0)).as("dow_cos"),
             col("is_weekend"), col("is_market_open"))
-      },
-      Some("""WITH c AS (
+  }
+
+  /** DuckDB replay of [[frame26]] (recursive rsi/macd/atr columns excluded
+    * — no closed SQL form; golden-tested in ScalaTest).
+    */
+  val frame26Oracle: String = """WITH c AS (
              |  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
              |    first(value ORDER BY ts, event_id) AS open, MAX(value) AS high,
              |    MIN(value) AS low, last(value ORDER BY ts, event_id) AS close,
@@ -113,11 +116,36 @@ object FeatureQueries extends QueryPack {
              |  ROUND(COS(2 * PI() * dayofweek(bucket_start) / 7), 6) + 0.0 AS dow_cos,
              |  CAST(dayofweek(bucket_start) IN (0, 6) AS INT) AS is_weekend,
              |  CAST(HOUR(bucket_start) >= 8 AND HOUR(bucket_start) < 20 AS INT) AS is_market_open
-             |FROM g WHERE rn > 33""".stripMargin),
+             |FROM g WHERE rn > 33""".stripMargin
+
+  override def queries: Seq[Query] = Seq(
+
+    Query(
+      "q_feature_frame_26",
+      (s, dir) => frame26(s, dir),
+      Some(frame26Oracle),
       doc = "SURVEY §7.4.2: the 26-feature frame (W1-W12, P13-P15, W3/W6 " +
         "included) over hourly resampled OHLCV, positional warmup cut = " +
         "reference dropna(); recursive rsi/macd/atr columns golden-tested " +
         "in ScalaTest (no closed SQL form)"),
+
+    // ---- the same contract reachable from TEXT SQL (S8 × §7.4.2) ----
+    Query(
+      "q_sql_feature_frame",
+      (s, dir) => {
+        frame26(s, dir).createOrReplaceTempView("feature_frame_26")
+        s.sql("""SELECT event_type, bucket_start, close, log_returns,
+                |  volatility_24, momentum_3_6, is_market_open
+                |FROM feature_frame_26
+                |WHERE is_weekend = 0""".stripMargin)
+      },
+      Some(s"""SELECT event_type, bucket_start, close, log_returns,
+             |  volatility_24, momentum_3_6, is_market_open
+             |FROM ($frame26Oracle) feature_frame_26
+             |WHERE is_weekend = 0""".stripMargin),
+      doc = "S8 polish: the 26-feature parity frame registered as a view and " +
+        "queried through spark.sql text — the training-data contract is " +
+        "reachable from the dashboard SQL surface, not only the DataFrame API"),
 
     // ---- W16: rolling and per-step eval MSE ----
     Query(

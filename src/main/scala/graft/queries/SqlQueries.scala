@@ -13,7 +13,7 @@ object SqlQueries extends QueryPack {
 
   private def sqlQuery(name: String, text: String, doc: String): Query =
     Query(name,
-      (s, dir) => { Tables.registerAll(s, dir); s.sql(text) },
+      (s, dir) => { Tables.ensureRegistered(s, dir); s.sql(text) },
       Some(text), doc)
 
   override def queries: Seq[Query] = Seq(

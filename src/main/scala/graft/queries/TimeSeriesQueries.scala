@@ -169,6 +169,26 @@ object TimeSeriesQueries extends QueryPack {
              |FROM events""".stripMargin),
       doc = "SURVEY P10/P12: zero→null scrub + pandas ffill = last(ignoreNulls) over running frame"),
 
+    // ---- P12 (back-fill half): pandas bfill ----
+    Query(
+      "q_p12_bfill",
+      (s, dir) => {
+        val uw = keyedOrder("user_id", "ts", "event_id")
+        val scrubbed = when(col("value") < 1.0, lit(null)).otherwise(col("value"))
+        ev(s, dir)
+          .withColumn("v", scrubbed)
+          .select(col("user_id"), col("event_id"),
+            bfill(col("v"), uw).as("value_bfill"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  first_value(CASE WHEN value < 1.0 THEN NULL ELSE value END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value_bfill
+             |FROM events""".stripMargin),
+      doc = "SURVEY P12: pandas bfill = first(ignoreNulls) over the forward " +
+        "frame — reference runs ffill().bfill() (data_loader.py:75); " +
+        "this closes the back-fill half"),
+
     // ---- P11: rolling-median fill ----
     Query(
       "q_p11_rolling_median_fill",

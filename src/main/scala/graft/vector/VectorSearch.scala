@@ -88,11 +88,14 @@ object VectorSearch extends Serializable {
     * The quantizer here is deterministic (centroids = the `nCells`
     * lowest-id vectors) so the whole index build is replayable in ANSI
     * SQL; a production build trains them with k-means|| — everything
-    * downstream is unchanged. Cell ASSIGNMENT is map-only: centroids are
-    * a closure-broadcast array (MB-scale for ≤64k cells, the J3 posture),
-    * so the corpus is never joined against the centroid table — the
-    * n×nCells shuffle a join-based argmax would cost at 10^9 vectors is
-    * the difference between IVF working and not working at scale.
+    * downstream is unchanged. Cell ASSIGNMENT is map-only: centroids ride
+    * into the codegen'd [[graft.functions.BestCell]] expression as a
+    * reference array (MB-scale for ≤64k cells, the J3 posture), so the
+    * corpus is never joined against the centroid table — the n×nCells
+    * shuffle a join-based argmax would cost at 10^9 vectors is the
+    * difference between IVF working and not working at scale — and the
+    * assignment pass stays inside whole-stage codegen (no ScalaUDF Row
+    * boxing).
     */
   def ivfTopK(vecs: DataFrame, query: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int, nProbe: Int): DataFrame = {
@@ -103,25 +106,16 @@ object VectorSearch extends Serializable {
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])].collect().sortBy(_._1)
     require(centroids.nonEmpty, "no centroid rows (idCol < nCells empty)")
-
-    def bestCell(v: Seq[Float]): Long = {
-      var best = centroids(0)._1; var bestSim = cosSeq(v, centroids(0)._2)
-      var i = 1
-      while (i < centroids.length) {
-        val s = cosSeq(v, centroids(i)._2)
-        if (s > bestSim) { bestSim = s; best = centroids(i)._1 } // ties → lowest id
-        i += 1
-      }
-      best
-    }
-    val assign = udf(bestCell _)
+    val cents = centroids.map(_._2.toArray)
+    val ids = centroids.map(_._1)
 
     val qv = query.select(col(vecCol)).as[Seq[Float]].head()
     val probed = centroids.map { case (cid, c) => (cid, cosSeq(qv, c)) }
       .sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
 
     val cand = vecs
-      .withColumn("__cell", assign(col(vecCol)))
+      .withColumn("__cell",
+        graft.functions.VectorExpressions.best_cell(col(vecCol), cents, ids))
       .where(col("__cell").isin(probed: _*))
     cosineTopK(cand, query, idCol, vecCol, k)
   }

@@ -52,6 +52,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(aud.forall(_.sample_rate == 16000))
   }
 
+  test("q_m_embed_bucket_profile: pinned values (rows-only driver query)") {
+    // The byte-histogram embedding → LSH banding path has no SQL oracle;
+    // this pin is its correctness anchor (approx-twin convention).
+    val rows = SparkEntry.queries("q_m_embed_bucket_profile")(spark, "")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((0, 8L, 500L), (1, 16L, 500L), (2, 8L, 500L), (3, 16L, 500L)))
+  }
+
   test("sampleFrames: every Nth frame, one row each, only video") {
     val frames = sampleFrames(media, 2).collect()
     val byId = frames.groupBy(_.media_id)

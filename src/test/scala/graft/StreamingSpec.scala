@@ -78,6 +78,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(before == after && before.size == 2)
   }
 
+  test("partitioned LWW upsert: same results as the rewrite sink, " +
+      "touched buckets only") {
+    val state = tmpDir("lww-part") + "/t"
+    val up = StreamIngest.lwwUpsertPartitioned(state,
+      Seq("product_id", "start_time"), "seq", nBuckets = 8) _
+    up(Seq(("BTC", 100L, 1.0, 1L), ("BTC", 200L, 2.0, 2L), ("ETH", 100L, 9.0, 3L))
+      .toDF("product_id", "start_time", "close", "seq"), 0L)
+    // later correction for one key + a stale redelivery that must lose
+    up(Seq(("BTC", 100L, 1.5, 4L), ("BTC", 200L, 0.0, 1L))
+      .toDF("product_id", "start_time", "close", "seq"), 1L)
+    val got = StreamIngest.readLwwState(spark, state)
+      .select("product_id", "start_time", "close")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("BTC", 100L, 1.5), ("BTC", 200L, 2.0), ("ETH", 100L, 9.0)))
+    // replay idempotence: re-upserting an absorbed batch changes nothing
+    up(Seq(("BTC", 100L, 1.5, 4L))
+      .toDF("product_id", "start_time", "close", "seq"), 1L)
+    assert(StreamIngest.readLwwState(spark, state)
+      .select("product_id", "start_time", "close")
+      .as[(String, Long, Double)].collect().toSet == got)
+    // state is bucket-partitioned on disk (the partition-overwrite layout)
+    val dirs = new java.io.File(state).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("__bucket="))
+    assert(dirs.nonEmpty && dirs.length <= 8)
+  }
+
+  test("kafka wiring is guarded: absent connector fails loud, not weird") {
+    assert(!StreamIngest.kafkaConnectorAvailable) // this container ships none
+    val e = intercept[IllegalArgumentException] {
+      StreamIngest.startKafkaTickerIngest(spark, "b:9092", "t",
+        tmpDir("kx") + "/s", tmpDir("kx-ck"))
+    }
+    assert(e.getMessage.contains("spark-sql-kafka"))
+  }
+
   test("checkpointed file-source resume: no reprocessing, no loss (T7/K7)") {
     val srcDir = tmpDir("stream-src")
     val ckpt = tmpDir("stream-ckpt")

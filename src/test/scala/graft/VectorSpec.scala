@@ -68,6 +68,20 @@ class VectorSpec extends AnyFunSuite {
       s"planted near-dup should be rank 1, got ${top.toSeq}")
   }
 
+  test("ivfTopK cell assignment is codegen'd — no ScalaUDF in the plan") {
+    val rows = (0L to 39L).map(k => (k, Array.tabulate(64)(i =>
+      math.cos(i * 0.31 * (k + 2)).toFloat)))
+    // RDD-backed (not a LocalRelation) so Catalyst can't constant-fold
+    // the assignment away before the plan is inspectable
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2))
+      .toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" === 0)
+    val plan = VectorSearch.ivfTopK(df, q, "vec_id", "embedding", 3,
+      nCells = 8, nProbe = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"ScalaUDF found in plan:\n$plan")
+    assert(plan.contains("best_cell"), s"best_cell missing from plan:\n$plan")
+  }
+
   test("cosineTopK exact ranking on a small frame") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)),
