@@ -24,7 +24,8 @@ object SparkEntry {
     FeatureQueries,
     SqlQueries,
     ApproxQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    SamplingQueries
   )
 
   private lazy val (queryMap, oracleMap) = QueryPack.toEntryMaps(packs)

@@ -154,6 +154,57 @@ object NearDup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected near-dup pair list — the step
+    * that turns pairwise matches into DUPLICATE GROUPS so a corpus can be
+    * collapsed to one canonical doc per group (pairs alone over-delete:
+    * a≈b and b≈c must land in ONE group even when a≉c directly).
+    *
+    * Iterative min-label propagation: every node starts labeled with its
+    * own id; each round takes the min of its own and its neighbors'
+    * labels; fixpoint = component-minimum everywhere. Rounds needed =
+    * graph diameter, which for near-dup clusters (near-cliques by
+    * construction — members pairwise-similar) is 1-3; `maxIter` bounds
+    * pathological chains. Each round is one shuffle on the edge key plus
+    * one on node — never materializes anything super-linear in |edges|.
+    * At 10^9-node scale the same loop with pointer-jumping (label joins
+    * labels) drops to O(log n) rounds; plain propagation is the right
+    * trade for shallow dedup graphs.
+    *
+    * Output: (node, group_id) for every node appearing in ≥1 pair;
+    * group_id = min node id of the component. Deterministic.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = graft.CacheScope.retain(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    // Each round references `labels` twice (join side + carry-through), so
+    // the logical plan would DOUBLE per round without lineage truncation —
+    // localCheckpoint materializes the round and restarts the plan from a
+    // leaf (on a cluster with failure-tolerance needs, swap for reliable
+    // checkpoint(); same contract).
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("group_id", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("group_id")), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("group_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("group_id").as("old_id"),
+          least(col("group_id"), coalesce(col("nbr_min"), col("group_id")))
+            .as("group_id"))
+        .localCheckpoint()
+      converged = next.where(col("group_id") =!= col("old_id")).isEmpty
+      labels = next.select("node", "group_id")
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup pairs: 8-bit band buckets on the 31-bit fingerprint,
     * Hamming-distance verify of bucket-mates only.
     *

@@ -98,6 +98,35 @@ object DedupQueries extends QueryPack {
         "replays signature, banding and verification integer-for-integer"),
 
     Query(
+      "q_d_dedup_groups",
+      (s, dir) => {
+        val pairs = NearDup.exactJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5)
+        NearDup.connectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("group_id"),
+            (col("node") === col("group_id")).cast("int").as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $shingleCtes,
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+              |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |pairs AS ($jaccardTail),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |          UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(node, lbl) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+              |SELECT node AS doc_id, MIN(lbl) AS group_id,
+              |  CAST(node = MIN(lbl) AS INT) AS is_canonical
+              |FROM reach GROUP BY node
+              |ORDER BY doc_id""".stripMargin),
+      doc = "near-dup pairs -> duplicate GROUPS via connected components " +
+        "(min-label propagation, O(diameter) rounds); group_id = component " +
+        "min, is_canonical marks the survivor each group keeps. Oracle = " +
+        "recursive-CTE transitive closure over the replayed pair list"),
+
+    Query(
       "q_d_simhash_pairs",
       (s, dir) =>
         NearDup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6)

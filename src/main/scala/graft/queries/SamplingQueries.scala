@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.{Query, QueryPack, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic training-data sampling — the knob a pretraining sweep
+  * turns to hit a domain mix (e.g. downsample crawl, upsample code).
+  *
+  * The sample decision is a pure integer hash of the row key
+  * (`(id mod p) * 48271 mod p`, p = 2^31−1 — the Lehmer/MINSTD
+  * multiplier), NOT `rand()`: the same row is kept or dropped on every
+  * run, on every executor, at every scale — reproducible data recipes
+  * and exact SQL replay. Map-only: the filter evaluates inside the scan
+  * stage with zero shuffles; at 100 TB the sample never materializes the
+  * unsampled corpus anywhere.
+  *
+  * Per-stratum rates compose as a CASE over the stratum column (broadcast
+  * by literal — no join). Rates here: purchase 50%, view 25%, click 10%,
+  * everything else 5% — an intentional "keep conversions, thin the
+  * firehose" shape.
+  */
+object SamplingQueries extends QueryPack {
+
+  private val P = 2147483647L // 2^31 - 1 (prime)
+
+  private def ev(s: SparkSession, dir: String) = Tables(s, dir, "events")
+
+  /** Uniform [0, P) integer hash of a long key — overflow-safe under ANSI
+    * (operands stay below 2^47 after the inner mod).
+    */
+  private def keyHash(c: Column): Column = pmod(pmod(c, lit(P)) * lit(48271L), lit(P))
+
+  // Integer keep-thresholds (floor(rate * P)) as EXACT literals on both
+  // sides — a float rate*P would cast-round differently in the two
+  // engines at the boundary value. purchase 50%, view 25%, click 10%,
+  // else 5%.
+  private val thrExpr: Column =
+    when(col("event_type") === "purchase", lit(1073741823L))
+      .when(col("event_type") === "view", lit(536870911L))
+      .when(col("event_type") === "click", lit(214748364L))
+      .otherwise(lit(107374182L))
+
+  private val thrSql =
+    """CASE event_type WHEN 'purchase' THEN 1073741823 WHEN 'view' THEN 536870911
+      |     WHEN 'click' THEN 214748364 ELSE 107374182 END""".stripMargin
+
+  override def queries: Seq[Query] = Seq(
+
+    Query(
+      "q_s_stratified_sample",
+      (s, dir) =>
+        ev(s, dir)
+          .where(keyHash(col("event_id")) < thrExpr)
+          .select(col("event_id"), col("event_type"), col("value")),
+      Some(s"""SELECT event_id, event_type, value FROM events
+              |WHERE (event_id % $P) * 48271 % $P < ($thrSql)""".stripMargin),
+      doc = "deterministic stratified sample: per-stratum keep rates via an " +
+        "integer Lehmer hash of the key — reproducible (no rand()), map-only, " +
+        "pushed into the scan stage; the training-data mix knob"),
+
+    Query(
+      "q_s_sample_rates",
+      (s, dir) => {
+        val base = ev(s, dir)
+          .withColumn("kept",
+            (keyHash(col("event_id")) < thrExpr).cast("int"))
+        base.groupBy("event_type")
+          .agg(count(lit(1)).as("n_total"), sum("kept").as("n_kept"),
+            (round(sum("kept") / count(lit(1)), 4) + lit(0.0))
+              .as("achieved_rate"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n_total,
+              |  CAST(SUM(CASE WHEN (event_id % $P) * 48271 % $P < ($thrSql)
+              |        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  ROUND(SUM(CASE WHEN (event_id % $P) * 48271 % $P < ($thrSql)
+              |        THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) + 0.0 AS achieved_rate
+              |FROM events GROUP BY event_type
+              |ORDER BY event_type""".stripMargin),
+      doc = "audit face of the stratified sample: achieved vs target rate per " +
+        "stratum — one partial-agg pass, the mix report a data recipe ships with")
+  )
+}

@@ -60,6 +60,40 @@ object TextQueries extends QueryPack {
       doc = "token counting: whitespace + BPE-ish regex proxy; map-only, exact ints"),
 
     Query(
+      "q_t_sequence_pack",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Contiguous greedy packing: within each source shard (ordered by
+        // doc_id), bin = floor(tokens-before-me / budget) — the streaming
+        // packer's assignment, one window pass per shard, no global sort.
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            tokenCount(col("text")).as("n_tokens"))
+          .withColumn("cum_before",
+            coalesce(sum("n_tokens").over(w), lit(0L)))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            expr("cum_before DIV 256").as("pack_id"))
+      },
+      Some("""WITH tc AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |  FROM tc)
+             |SELECT doc_id, source, n_tokens, cum_before // 256 AS pack_id
+             |FROM c""".stripMargin),
+      doc = "sequence packing for training batches: per-source-shard " +
+        "contiguous fill to a 256-token budget via one windowed cumsum — " +
+        "shards pack independently (partitionBy), so 100 TB packs with one " +
+        "shuffle on source and zero global coordination"),
+
+    Query(
       "q_t_langid_confusion",
       (s, dir) =>
         Tables(s, dir, "documents")

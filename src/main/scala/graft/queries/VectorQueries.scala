@@ -114,6 +114,23 @@ object VectorQueries extends QueryPack {
         "members only — the inverted-file scale path next to the LSH one"),
 
     Query(
+      "q_e_ivf_trained_topk",
+      (s, dir) => {
+        val base = emb(s, dir).where(col("vec_id") =!= 0)
+        val trained = VectorSearch.trainCentroids(base, "vec_id", "embedding",
+          nCells = 16, iters = 3)
+        VectorSearch.ivfTopKWith(base, queryVec(s, dir),
+          "vec_id", "embedding", 10, nProbe = 4, trained)
+      },
+      oracle = None, // Lloyd means over float partitions have no practical
+                     // closed SQL form; recall pinned in VectorSpec against
+                     // the exact brute-force top-k (approx-twin convention)
+      doc = "IVF with k-means(Lloyd)-TRAINED centroids: 3 refinement rounds " +
+        "(assignment via the codegen'd best_cell pass + one (cell,dim) " +
+        "partial-agg shuffle per round), then the same probe-and-rerank — " +
+        "the production index-build next to the SQL-replayable seeded twin"),
+
+    Query(
       "q_e_embed_neardup_pairs",
       (s, dir) => {
         import graft.functions.VectorExpressions.cosine_sim

@@ -99,18 +99,69 @@ object VectorSearch extends Serializable {
     */
   def ivfTopK(vecs: DataFrame, query: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val centroids = seedCentroids(vecs, idCol, vecCol, nCells)
+    ivfTopKWith(vecs, query, idCol, vecCol, k, nProbe, centroids)
+  }
+
+  /** Deterministic quantizer seed: the `nCells` lowest-id vectors (what
+    * makes the whole index build replayable in ANSI SQL). [[trainCentroids]]
+    * refines these with Lloyd iterations for a production index.
+    */
+  def seedCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): Array[(Long, Array[Float])] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val centroids = vecs
       .where(col(idCol) < nCells)
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map { case (i, v) => (i, v.toArray) }
     require(centroids.nonEmpty, "no centroid rows (idCol < nCells empty)")
-    val cents = centroids.map(_._2.toArray)
+    centroids
+  }
+
+  /** Lloyd k-means refinement of the IVF coarse quantizer (cosine
+    * assignment, per-dimension mean update). Per iteration: one map-only
+    * assignment pass via the codegen'd [[graft.functions.BestCell]]
+    * expression, then ONE partial-aggregated shuffle keyed on
+    * (cell, dim) — never a corpus×centroids join. The update collect is
+    * O(nCells·dim) rows (bounded by config, the J3 posture). Cells that
+    * lose all members keep their previous centroid. Deterministic: fixed
+    * seed, fixed iteration count, no RNG.
+    */
+  def trainCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int): Array[(Long, Array[Float])] = {
+    var cents = seedCentroids(vecs, idCol, vecCol, nCells)
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("__cell",
+        graft.functions.VectorExpressions.best_cell(
+          col(vecCol), cents.map(_._2), cents.map(_._1)))
+      val means = assigned
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("__cell", "pos").agg(avg(col("v")).as("m"))
+        .collect() // O(nCells * dim)
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+        }
+      cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
+    }
+    cents
+  }
+
+  /** IVF probe-and-rerank against an explicit centroid table (seeded or
+    * k-means-trained — everything downstream is identical).
+    */
+  def ivfTopKWith(vecs: DataFrame, query: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int,
+      centroids: Array[(Long, Array[Float])]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = centroids.map(_._2)
     val ids = centroids.map(_._1)
 
     val qv = query.select(col(vecCol)).as[Seq[Float]].head()
-    val probed = centroids.map { case (cid, c) => (cid, cosSeq(qv, c)) }
+    val probed = centroids.map { case (cid, c) => (cid, cosSeq(qv, c.toSeq)) }
       .sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
 
     val cand = vecs

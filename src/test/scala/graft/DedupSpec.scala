@@ -65,6 +65,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)) && !pairs.contains((0L, 3L)))
   }
 
+  test("connectedComponents: transitive chains collapse into one group") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (1 and 3 not directly paired) + isolated pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("doc_a", "doc_b")
+    val got = NearDup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // a longer chain still converges (diameter > 1 round)
+    val chain = (1L to 10L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val got2 = NearDup.connectedComponents(chain, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got2.values.toSet == Set(1L) && got2.size == 10)
+  }
+
   test("minhash signature: sentinel for short docs, sensitivity to content") {
     val sig = (t: String) =>
       TextHashes.minhash(UTF8String.fromString(t), 3, 8).toLongArray().toSeq

@@ -82,6 +82,53 @@ class VectorSpec extends AnyFunSuite {
     assert(plan.contains("best_cell"), s"best_cell missing from plan:\n$plan")
   }
 
+  test("trainCentroids: Lloyd refinement separates planted clusters") {
+    // 3 tight clusters around near-orthogonal directions, ids interleaved
+    // so the seed (lowest 3 ids) starts with one member of each cluster
+    val dirs = Seq(
+      Array.tabulate(32)(i => if (i < 11) 1.0f else 0.01f),
+      Array.tabulate(32)(i => if (i >= 11 && i < 22) 1.0f else 0.01f),
+      Array.tabulate(32)(i => if (i >= 22) 1.0f else 0.01f))
+    val rows = (0L until 30L).map { id =>
+      val c = (id % 3).toInt
+      (id, dirs(c).zipWithIndex.map { case (x, i) =>
+        x + 0.02f * math.sin(id * 3.1 + i).toFloat })
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2))
+      .toDF("vec_id", "embedding")
+    val trained = VectorSearch.trainCentroids(df, "vec_id", "embedding",
+      nCells = 3, iters = 4)
+    assert(trained.length == 3 && trained.map(_._2.length).forall(_ == 32))
+    // after training, assignment must equal the planted clustering
+    val assigned = df.withColumn("cell",
+      graft.functions.VectorExpressions.best_cell(col("embedding"),
+        trained.map(_._2), trained.map(_._1)))
+      .select("vec_id", "cell").as[(Long, Long)].collect()
+    val byCluster = assigned.groupBy(_._1 % 3).view.mapValues(_.map(_._2).toSet)
+    assert(byCluster.values.forall(_.size == 1),
+      s"each planted cluster should map to exactly one cell: $byCluster")
+    assert(byCluster.values.flatten.toSet.size == 3,
+      "distinct clusters must land in distinct cells")
+    // determinism: same input -> bit-identical centroids
+    val again = VectorSearch.trainCentroids(df, "vec_id", "embedding", 3, 4)
+    assert(trained.zip(again).forall { case ((i1, c1), (i2, c2)) =>
+      i1 == i2 && c1.sameElements(c2) })
+  }
+
+  test("q_e_ivf_trained_topk: recall vs exact brute force (rows-only query)") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q_e_cosine_topk")(spark, dir)
+      .select("vec_id").as[Long].collect().toSeq
+    val trained = SparkEntry.queries("q_e_ivf_trained_topk")(spark, dir)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(trained.size == 10)
+    // the true nearest neighbor must survive probe-and-rerank
+    assert(trained.head == exact.head,
+      s"trained IVF lost the top-1: got ${trained.head}, want ${exact.head}")
+    assert(trained.toSet.intersect(exact.toSet).size >= 5,
+      s"recall@10 too low: ${trained.toSet.intersect(exact.toSet).size}/10")
+  }
+
   test("cosineTopK exact ranking on a small frame") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)),
