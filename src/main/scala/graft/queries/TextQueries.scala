@@ -233,6 +233,74 @@ object TextQueries extends QueryPack {
         "hash), near-dup victim removal via the Jaccard pair miner — every " +
         "signal one map/shuffle stage, the shape of a real pretraining sweep"),
 
+    // ---- the flagship end-to-end prep: filter → collapse → sample ----
+    Query(
+      "q_t_corpus_prep",
+      (s, dir) => {
+        import graft.dedup.NearDup
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val scored = docs
+          .withColumn("n_tokens", tokenCount(col("text")))
+          .withColumn("quality", qualityScore("text"))
+          .withColumn("__canon",
+            min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        // near-dup pairs → GROUPS (transitive), keep each group's canonical
+        val groups = NearDup.connectedComponents(
+          NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+          "doc_a", "doc_b")
+        // deterministic per-source sample: src0 keep all, src1 half, rest 25%
+        val thr = when(col("source") === "src0", lit(2147483647L))
+          .when(col("source") === "src1", lit(1073741823L))
+          .otherwise(lit(536870911L))
+        val keyHash =
+          pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(48271L),
+            lit(2147483647L))
+        scored
+          .join(groups, scored("doc_id") === groups("node"), "left")
+          .where(col("node").isNull || col("doc_id") === col("group_id"))
+          .where(col("doc_id") === col("__canon") &&
+            col("quality") >= 0.4 && col("n_tokens") >= 20)
+          .where(keyHash < thr)
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            (round(col("quality"), 4) + lit(0.0)).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE scored AS (
+              |  SELECT doc_id, source, $nTokSql AS n_tokens,
+              |    $qualityExprSql AS quality,
+              |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+              |  FROM documents),
+              |${DedupQueries.shingleCtes},
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+              |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+              |          JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id
+              |          WHERE ROUND(i.cnt * 1.0 / (sa.n_sh + sb.n_sh - i.cnt), 4) >= 0.5),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |          UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(node, lbl) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+              |grp AS (SELECT node, MIN(lbl) AS group_id FROM reach GROUP BY node)
+              |SELECT doc_id, source, n_tokens, ROUND(quality, 4) + 0.0 AS quality
+              |FROM scored LEFT JOIN grp ON scored.doc_id = grp.node
+              |WHERE doc_id = canon
+              |  AND (node IS NULL OR doc_id = group_id)
+              |  AND quality >= 0.4 AND n_tokens >= 20
+              |  AND (doc_id % 2147483647) * 48271 % 2147483647 <
+              |      CASE source WHEN 'src0' THEN 2147483647
+              |           WHEN 'src1' THEN 1073741823 ELSE 536870911 END
+              |ORDER BY doc_id""".stripMargin),
+      doc = "FLAGSHIP end-to-end prep: quality gate, exact-dup " +
+        "canonicalization, TRANSITIVE near-dup group collapse (connected " +
+        "components, not just victim drop — a~b~c keeps exactly one doc), " +
+        "then a deterministic per-source sample — the whole 100 TB " +
+        "pretraining sweep as one declarative plan; oracle replays every " +
+        "stage including the recursive closure"),
+
     Query(
       "q_d_exact_dedup",
       (s, dir) =>

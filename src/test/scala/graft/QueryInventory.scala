@@ -16,7 +16,9 @@ object QueryInventory {
       "Serving path" -> queries.ServingQueries,
       "Feature frame & eval" -> queries.FeatureQueries,
       "SQL text surface" -> queries.SqlQueries,
-      "Scale variants" -> queries.ApproxQueries)
+      "Scale variants" -> queries.ApproxQueries,
+      "Multimodal" -> queries.MultimodalQueries,
+      "Deterministic sampling" -> queries.SamplingQueries)
     val sb = new StringBuilder
     sb.append("# QUERIES — the declared operator surface\n\n")
     sb.append("Auto-generated from `SparkEntry` metadata ")
