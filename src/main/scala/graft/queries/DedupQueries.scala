@@ -30,6 +30,22 @@ object DedupQueries extends QueryPack {
        |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM d GROUP BY 1)""".stripMargin
 
+  /** [[shingleCtes]] with the stop-shingle cap: shingles shared by more
+    * than `cap` docs are dropped from the index AND the set sizes, exactly
+    * like [[graft.dedup.NearDup.docShingles]] with `maxDocsPerShingle` —
+    * the skew knob the group-collapse queries run with (a replica-heavy or
+    * Zipfian corpus otherwise fans a hot shingle into k²/2 pairs).
+    */
+  private[queries] def cappedShingleCtes(cap: Int): String =
+    s"""$toksCte,
+       |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle FROM t),
+       |d0 AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |d AS (SELECT d0.doc_id, d0.shingle FROM d0
+       |      JOIN (SELECT shingle FROM d0 GROUP BY shingle
+       |            HAVING COUNT(*) <= $cap) ok USING (shingle)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM d GROUP BY 1)""".stripMargin
+
   /** RollingHash char fold of a string expression (ASCII corpora). */
   private def foldSql(e: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -100,13 +116,14 @@ object DedupQueries extends QueryPack {
     Query(
       "q_d_dedup_groups",
       (s, dir) => {
-        val pairs = NearDup.exactJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5)
+        val pairs = NearDup.exactJaccardPairs(docs(s, dir), "doc_id", "text",
+          3, 0.5, maxDocsPerShingle = Some(64))
         NearDup.connectedComponents(pairs, "doc_a", "doc_b")
           .select(col("node").as("doc_id"), col("group_id"),
             (col("node") === col("group_id")).cast("int").as("is_canonical"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE $shingleCtes,
+      Some(s"""WITH RECURSIVE ${cappedShingleCtes(64)},
               |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
               |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               |          GROUP BY 1, 2),
@@ -123,8 +140,10 @@ object DedupQueries extends QueryPack {
               |ORDER BY doc_id""".stripMargin),
       doc = "near-dup pairs -> duplicate GROUPS via connected components " +
         "(min-label propagation, O(diameter) rounds); group_id = component " +
-        "min, is_canonical marks the survivor each group keeps. Oracle = " +
-        "recursive-CTE transitive closure over the replayed pair list"),
+        "min, is_canonical marks the survivor each group keeps. Runs with " +
+        "the stop-shingle cap (64) — the skew knob a replica-heavy corpus " +
+        "needs, replayed in the oracle. Oracle = recursive-CTE transitive " +
+        "closure over the replayed pair list"),
 
     Query(
       "q_d_simhash_pairs",

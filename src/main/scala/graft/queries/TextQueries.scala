@@ -245,9 +245,11 @@ object TextQueries extends QueryPack {
           .withColumn("quality", qualityScore("text"))
           .withColumn("__canon",
             min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-        // near-dup pairs → GROUPS (transitive), keep each group's canonical
+        // near-dup pairs → GROUPS (transitive), keep each group's canonical;
+        // stop-shingle cap 64 = the skew knob, replayed in the oracle
         val groups = NearDup.connectedComponents(
-          NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+          NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+            maxDocsPerShingle = Some(64)),
           "doc_a", "doc_b")
         // deterministic per-source sample: src0 keep all, src1 half, rest 25%
         val thr = when(col("source") === "src0", lit(2147483647L))
@@ -271,7 +273,7 @@ object TextQueries extends QueryPack {
               |    $qualityExprSql AS quality,
               |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
               |  FROM documents),
-              |${DedupQueries.shingleCtes},
+              |${DedupQueries.cappedShingleCtes(64)},
               |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
               |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               |          GROUP BY 1, 2),

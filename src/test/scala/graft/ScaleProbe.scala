@@ -68,15 +68,28 @@ object ScaleProbe {
       "langid" -> (dir => SparkEntry.queries("q_t_langid_confusion")(spark, dir)),
       "minhash_lsh" -> (dir => SparkEntry.queries("q_d_minhash_lsh_pairs")(spark, dir)),
       "w13_windows" -> (dir => SparkEntry.queries("q_w13_windows")(spark, dir)),
-      "u2_scale_roundtrip" -> (dir => SparkEntry.queries("q_u2_scale_roundtrip")(spark, dir))
+      "u2_scale_roundtrip" -> (dir => SparkEntry.queries("q_u2_scale_roundtrip")(spark, dir)),
+      "stratified_sample" -> (dir => SparkEntry.queries("q_s_stratified_sample")(spark, dir)),
+      "sequence_pack" -> (dir => SparkEntry.queries("q_t_sequence_pack")(spark, dir)),
+      "dedup_groups_cc" -> (dir => SparkEntry.queries("q_d_dedup_groups")(spark, dir)),
+      "corpus_prep" -> (dir => SparkEntry.queries("q_t_corpus_prep")(spark, dir))
     )
 
+    // release builder caches between ops (the production request-boundary
+    // posture) so one op's retained frames don't distort the next op's
+    // memory budget — without this the tail ops measure GC pressure, not
+    // their own cost
+    def run(f: String => DataFrame, dir: String): Long = {
+      val n = f(dir).count()
+      CacheScope.release(spark)
+      n
+    }
     println("== warmup ==")
-    ops.foreach { case (n, f) => f(base).count() }
+    ops.foreach { case (_, f) => run(f, base) }
     println("== 1x (sf0.1) ==")
-    val t1 = ops.map { case (n, f) => n -> time(n)(f(base).count()) }.toMap
+    val t1 = ops.map { case (n, f) => n -> time(n)(run(f, base)) }.toMap
     println("== 10x (synthetic) ==")
-    val t10 = ops.map { case (n, f) => n -> time(n)(f(big).count()) }.toMap
+    val t10 = ops.map { case (n, f) => n -> time(n)(run(f, big)) }.toMap
     println("== scaling factor (10x time / 1x time; 10.0 = linear) ==")
     ops.foreach { case (n, _) =>
       println(f"$n%-34s ${t10(n) / t1(n)}%5.1f x")
