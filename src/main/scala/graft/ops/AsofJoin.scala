@@ -5,8 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of join (SURVEY §2.6 J1 tolerant variant): for every left row,
-  * attach the LATEST right row with `rightTs <= leftTs` on the same key,
-  * optionally within a tolerance.
+  * attach the LATEST right row with `rightTs <= leftTs` on the same key
+  * (direction "backward", the default), or the EARLIEST right row with
+  * `rightTs >= leftTs` ("forward" — pandas merge_asof parity), optionally
+  * within a tolerance.
   *
   * Built the Spark-scalable way — no range-condition join (which plans a
   * per-key cartesian and explodes on dense keys) and no custom physical
@@ -26,23 +28,38 @@ object AsofJoin {
 
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payloadCols: Seq[String],
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
     val payload = struct(
       (col(rightTs).as("__rts") +: payloadCols.map(col)): _*)
+    // Both directions run as a LAST(ignoreNulls) over a RUNNING frame —
+    // forward simply traverses time descending. Spark's running frame is
+    // an O(n) accumulator; a [current, unbounded following] frame is NOT
+    // (it rescans the remainder per row — measured 84s vs 0.8s at sf0.1).
+    // Tag order makes the equal-timestamp right row land inside the
+    // frame before the left row does (inclusive <=/>= semantics).
     val r = right.select(col(key), col(rightTs).as("__ets"),
       payload.as("__p"), lit(0).as("__tag"))
     val l = left.withColumn("__ets", col(leftTs))
       .withColumn("__p", lit(null).cast(r.schema("__p").dataType))
       .withColumn("__tag", lit(1))
-    val w = Window.partitionBy(col(key)).orderBy(col("__ets"), col("__tag"))
+    val ord =
+      if (backward) Seq(col("__ets").asc, col("__tag").asc)
+      else Seq(col("__ets").desc, col("__tag").asc)
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
+    val gap =
+      if (backward) unix_micros(col("__ets")) - unix_micros(col("__match.__rts"))
+      else unix_micros(col("__match.__rts")) - unix_micros(col("__ets"))
     val withinTol = toleranceSeconds match {
       case Some(t) => carried.where(col("__match").isNotNull &&
-        unix_micros(col("__ets")) - unix_micros(col("__match.__rts"))
-          <= t * 1000000L)
+        gap <= t * 1000000L)
       case None => carried.where(col("__match").isNotNull)
     }
     val out = payloadCols.foldLeft(

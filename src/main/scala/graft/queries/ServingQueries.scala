@@ -251,6 +251,38 @@ object ServingQueries extends QueryPack {
         "range-condition join, no per-key cartesian); 1-hour tolerance; " +
         "oracle is DuckDB's native ASOF JOIN"),
 
+    // ---- J1: FORWARD as-of (pandas merge_asof direction='forward') ----
+    Query(
+      "q_j1_asof_fwd",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val left = e.where(col("event_id") % 2 === 0)
+          .select(col("event_id"), col(K), col("ts"))
+        val dw = Window.partitionBy(col(K), col("ts"))
+          .orderBy(col("event_id").desc)
+        val right = e.where(col("event_id") % 2 === 1)
+          .withColumn("__rn", row_number().over(dw))
+          .where(col("__rn") === 1).drop("__rn")
+        graft.ops.AsofJoin.asofJoin(left, right, K, "ts", "ts",
+            Seq("value"), toleranceSeconds = Some(3600L),
+            direction = "forward")
+          .select(col("event_id"), col(K), col("ts"),
+            col("matched_ts"), col("matched_value"))
+      },
+      Some("""WITH l0 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+             |r0 AS (SELECT * FROM events WHERE event_id % 2 = 1),
+             |r1 AS (SELECT * FROM (
+             |         SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, ts
+             |           ORDER BY event_id DESC) AS rn FROM r0) WHERE rn = 1)
+             |SELECT l0.event_id, l0.event_type, l0.ts,
+             |  r1.ts AS matched_ts, r1.value AS matched_value
+             |FROM l0 ASOF JOIN r1
+             |  ON l0.event_type = r1.event_type AND l0.ts <= r1.ts
+             |WHERE r1.ts - l0.ts <= INTERVAL 1 HOUR""".stripMargin),
+      doc = "J1 forward variant: earliest right row at-or-after each left " +
+        "row (pandas merge_asof direction=forward) — same union+tag single " +
+        "sort pass, first(ignoreNulls) over the forward frame"),
+
     // ---- J2: per-horizon prediction-quality metrics join ----
     Query(
       "q_j2_horizon_metrics",

@@ -114,6 +114,34 @@ object VectorQueries extends QueryPack {
         "members only — the inverted-file scale path next to the LSH one"),
 
     Query(
+      "q_e_ann_batch_topk",
+      (s, dir) =>
+        VectorSearch.annBatchTopK(emb(s, dir),
+          emb(s, dir).where(col("vec_id") < 5)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          "vec_id", "qid", "embedding", k = 3, nBands = 4, bitsPerBand = 8),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |s AS (SELECT vec_id, emb, ${sigSql(32, "emb")} AS sig FROM e),
+             |b AS (SELECT vec_id, emb, band, (sig >> (8 * band)) & 255 AS band_val
+             |      FROM s, (SELECT unnest(range(0, 4)) AS band)),
+             |q AS (SELECT vec_id AS qid, emb AS qemb, band, band_val FROM b WHERE vec_id < 5),
+             |c AS (SELECT DISTINCT q.qid, b.vec_id, b.emb, q.qemb
+             |      FROM b JOIN q ON b.band = q.band AND b.band_val = q.band_val
+             |      WHERE b.vec_id <> q.qid),
+             |scored AS (SELECT qid, vec_id,
+             |    ROUND(list_cosine_similarity(emb, qemb), 6) + 0.0 AS sim,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+             |      ROUND(list_cosine_similarity(emb, qemb), 6) + 0.0 DESC, vec_id) AS rn
+             |  FROM c)
+             |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rank
+             |FROM scored WHERE rn <= 3""".stripMargin),
+      doc = "BATCH ANN: top-3 neighbors for a whole table of query vectors in " +
+        "one plan — both sides signed once, banded equi-join on (band, " +
+        "band_val), exact cosine on collisions only, per-query top-k via one " +
+        "window; the all-queries-at-once serving shape where per-query " +
+        "broadcast stops scaling"),
+
+    Query(
       "q_e_ivf_trained_topk",
       (s, dir) => {
         val base = emb(s, dir).where(col("vec_id") =!= 0)

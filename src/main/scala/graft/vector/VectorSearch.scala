@@ -66,6 +66,39 @@ object VectorSearch extends Serializable {
       annCandidates(vecs, query, idCol, vecCol, nBands, bitsPerBand),
       query, idCol, vecCol, k)
 
+  /** BATCH ANN: top-k per query for a whole TABLE of query vectors in one
+    * plan. The single-query path broadcasts its one vector; with 10^6
+    * queries that stops being a broadcast and becomes the classic banded
+    * EQUI-JOIN of two signed corpora — both sides signature once
+    * (map-only), shuffle on (band, band_val), exact cosine on collisions
+    * only, per-query top-k via one window. This is the
+    * all-queries-at-once serving shape (e.g. embed a day of new docs,
+    * find each one's neighbors in the corpus).
+    */
+  def annBatchTopK(vecs: DataFrame, queries: DataFrame, idCol: String,
+      qidCol: String, vecCol: String, k: Int, nBands: Int,
+      bitsPerBand: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = withLshBands(vecs, vecCol, nBands, bitsPerBand)
+      .select(col("band"), col("band_val"), col(idCol), col(vecCol))
+    val qBanded = withLshBands(
+      queries.select(col(qidCol), col(vecCol).as("__qvec")),
+      "__qvec", nBands, bitsPerBand)
+      .select(col("band"), col("band_val"), col(qidCol), col("__qvec"))
+    val cand = banded.join(qBanded, Seq("band", "band_val"))
+      .where(col(idCol) =!= col(qidCol)) // corpus contains the queries here
+      .select(col(qidCol), col(idCol), col(vecCol), col("__qvec"))
+      .distinct()
+    val w = Window.partitionBy(qidCol)
+      .orderBy(col("sim").desc, col(idCol))
+    cand
+      .withColumn("sim",
+        round(cosine_sim(col(vecCol), col("__qvec")), 6) + lit(0.0))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("sim"), col("rank"))
+  }
+
   // ---- IVF (inverted-file) ANN ------------------------------------------
 
   /** Double cosine with ascending-index accumulation (same numeric

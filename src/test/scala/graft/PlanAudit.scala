@@ -18,7 +18,9 @@ object PlanAudit {
     val interesting = Seq("q_e_cosine_topk", "q_e_ann_lsh_topk",
       "q_p9_winsorize", "q_scan_range", "q_latest_n",
       "q_d_minhash_lsh_pairs", "q_j1_overlay_join", "q_u1_window_inference",
-      "q_sql_range_scan")
+      "q_sql_range_scan",
+      "q_s_stratified_sample", "q_t_sequence_pack", "q_e_ivf_topk",
+      "q_m_decode_profile")
     interesting.foreach { name =>
       println(s"\n================ $name ================")
       val plan = SparkEntry.queries(name)(spark, dir)
