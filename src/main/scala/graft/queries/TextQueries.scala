@@ -255,9 +255,14 @@ object TextQueries extends QueryPack {
         val thr = when(col("source") === "src0", lit(2147483647L))
           .when(col("source") === "src1", lit(1073741823L))
           .otherwise(lit(536870911L))
-        val keyHash =
-          pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(48271L),
-            lit(2147483647L))
+        // 3-round Lehmer hash (one round is monotone for small ids — see
+        // SamplingQueries.keyHash)
+        val keyHash = {
+          val p = 2147483647L
+          val r1 = pmod(pmod(col("doc_id"), lit(p)) * lit(48271L), lit(p))
+          val r2 = pmod(r1 * lit(48271L), lit(p))
+          pmod(r2 * lit(48271L), lit(p))
+        }
         scored
           .join(groups, scored("doc_id") === groups("node"), "left")
           .where(col("node").isNull || col("doc_id") === col("group_id"))
@@ -292,7 +297,8 @@ object TextQueries extends QueryPack {
               |WHERE doc_id = canon
               |  AND (node IS NULL OR doc_id = group_id)
               |  AND quality >= 0.4 AND n_tokens >= 20
-              |  AND (doc_id % 2147483647) * 48271 % 2147483647 <
+              |  AND ((doc_id % 2147483647) * 48271 % 2147483647)
+              |      * 48271 % 2147483647 * 48271 % 2147483647 <
               |      CASE source WHEN 'src0' THEN 2147483647
               |           WHEN 'src1' THEN 1073741823 ELSE 536870911 END
               |ORDER BY doc_id""".stripMargin),

@@ -114,6 +114,52 @@ object VectorQueries extends QueryPack {
         "members only — the inverted-file scale path next to the LSH one"),
 
     Query(
+      "q_e_embed_dedup_groups",
+      (s, dir) => {
+        import graft.functions.VectorExpressions.cosine_sim
+        // same pair miner as q_e_embed_neardup_pairs, then the transitive
+        // group collapse — semantic dedup on the embedding modality
+        val banded = VectorSearch.withLshBands(emb(s, dir), "embedding",
+          nBands = 4, bitsPerBand = 12)
+        val pairs = banded.alias("a").join(banded.alias("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_val") === col("b.band_val") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            (round(cosine_sim(col("a.embedding"), col("b.embedding")), 6) + lit(0.0))
+              .as("sim"))
+          .dropDuplicates("vec_a", "vec_b")
+          .where(col("sim") >= 0.3)
+        graft.dedup.NearDup.connectedComponents(pairs, "vec_a", "vec_b")
+          .select(col("node").as("vec_id"), col("group_id"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |sig AS (SELECT vec_id, emb, ${sigSql(48, "emb")} AS s FROM e),
+             |bands AS (SELECT vec_id, band, (s >> (12*band)) & 4095 AS bv
+             |          FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+             |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+             |                      AND a.vec_id < b.vec_id),
+             |pairs AS (SELECT c.vec_a, c.vec_b
+             |          FROM cand c JOIN e ea ON ea.vec_id = c.vec_a
+             |                      JOIN e eb ON eb.vec_id = c.vec_b
+             |          WHERE ROUND(list_cosine_similarity(ea.emb, eb.emb), 6) + 0.0 >= 0.3),
+             |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+             |          UNION SELECT vec_b, vec_a FROM pairs),
+             |reach(node, lbl) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT ed.dst, r.lbl FROM reach r JOIN edges ed ON ed.src = r.node)
+             |SELECT node AS vec_id, MIN(lbl) AS group_id
+             |FROM reach GROUP BY node
+             |ORDER BY vec_id""".stripMargin),
+      doc = "semantic dedup groups on the embedding modality: LSH-banded " +
+        "cosine pairs -> connected components; same collapse operator as the " +
+        "text path (q_d_dedup_groups), different similarity signal — oracle " +
+        "replays banding + recursive closure"),
+
+    Query(
       "q_e_ann_batch_topk",
       (s, dir) =>
         VectorSearch.annBatchTopK(emb(s, dir),

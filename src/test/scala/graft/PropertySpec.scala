@@ -23,6 +23,47 @@ class PropertySpec extends AnyFunSuite {
     (0 until n).flatMap(i =>
       g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("stratified sample: deterministic, a subset, and rate-bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q_s_stratified_sample")
+    val a = q(spark, dir).select("event_id").as[Long].collect().toSet
+    val b = q(spark, dir).select("event_id").as[Long].collect().toSet
+    assert(a == b, "same recipe must select the same rows on every run")
+    val all = Tables(spark, dir, "events")
+      .select("event_id").as[Long].collect().toSet
+    assert(a.subsetOf(all) && a.nonEmpty && a.size < all.size)
+  }
+
+  test("sequence pack: bins are contiguous per shard and budget-consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_t_sequence_pack")(spark, dir)
+      .select("source", "doc_id", "n_tokens", "pack_id")
+      .as[(String, Long, Int, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, shard) =>
+      val sorted = shard.sortBy(_._2)
+      // pack ids never decrease along the shard order, start at 0
+      val packs = sorted.map(_._4)
+      assert(packs.head == 0L && packs.zip(packs.tail).forall { case (x, y) => x <= y })
+      // bin boundary = running token count crossing the 256 budget
+      var cum = 0L
+      sorted.foreach { case (_, _, tok, pid) =>
+        assert(pid == cum / 256, s"pack_id $pid != ${cum / 256}")
+        cum += tok
+      }
+    }
+  }
+
+  test("connected components: labels idempotent under re-run and self-consistent") {
+    val pairs = Seq((3L, 9L), (9L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val r1 = graft.dedup.NearDup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val r2 = graft.dedup.NearDup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == r2)
+    // every label is itself a node carrying that same label (canonical fixpoint)
+    r1.values.toSet.foreach((g: Long) => assert(r1(g) == g))
+  }
+
   test("resample invariants: low=min <= open,close <= high=max; volume conserved") {
     samples(seriesGen, 8).foreach { vs =>
       val df = vs.zipWithIndex
