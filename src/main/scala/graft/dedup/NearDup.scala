@@ -36,13 +36,16 @@ object NearDup {
         s"transform(sequence(1, size(__toks) - ${n - 1}), i -> " +
           (0 until n).map(o => s"element_at(__toks, i + $o)")
             .mkString("concat_ws(' ', ", ", ", ")") + ")"))
-    val d = docs
+    val d0 = docs
       .withColumn("__toks", toks)
       .select(col(idCol), explode(shingles).as("shingle"))
       .distinct()
     val capped = maxDocsPerShingle match {
-      case None => d
+      case None => d0
       case Some(cap) =>
+        // the cap reads the index twice (hot-shingle agg + main side):
+        // one tokenize/explode/distinct pass, not two
+        val d = graft.CacheScope.retain(d0)
         val hot = d.groupBy("shingle").count().where(col("count") > cap)
         d.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
@@ -160,22 +163,20 @@ object NearDup {
     * collapsed to one canonical doc per group (pairs alone over-delete:
     * a≈b and b≈c must land in ONE group even when a≉c directly).
     *
-    * Iterative min-label propagation: every node starts labeled with its
-    * own id; each round takes the min of its own and its neighbors'
-    * labels; fixpoint = component-minimum everywhere. Rounds needed =
-    * graph diameter, which for near-dup clusters (near-cliques by
-    * construction — members pairwise-similar) is 1-3; `maxIter` bounds
-    * pathological chains. Each round is one shuffle on the edge key plus
-    * one on node — never materializes anything super-linear in |edges|.
-    * At 10^9-node scale the same loop with pointer-jumping (label joins
-    * labels) drops to O(log n) rounds; plain propagation is the right
-    * trade for shallow dedup graphs.
+    * Iterative min-label propagation WITH pointer jumping: every node
+    * starts labeled with its own id; each round takes the min of (its
+    * label, its neighbors' labels, its label's label). Neighbor-min alone
+    * needs diameter rounds; the label-of-label jump doubles the reach per
+    * round, so chains converge in O(log diameter) rounds (near-dup
+    * clusters are near-cliques anyway: 2-3 rounds); `maxIter` bounds
+    * pathology. Each round is two bounded shuffles (edge key + label
+    * key) — never materializes anything super-linear in |edges|.
     *
     * Output: (node, group_id) for every node appearing in ≥1 pair;
     * group_id = min node id of the component. Deterministic.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 30): DataFrame = {
     // Materialize the pair list ONCE: the symmetric union below reads it
     // twice, and upstream miners (inverted-index joins) are far too
     // expensive to evaluate per reference (measured 2x60s+ at 10x scale).
@@ -195,18 +196,38 @@ object NearDup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("group_id")), "dst")
         .groupBy(col("src").as("node")).agg(min(col("group_id")).as("nbr_min"))
+      // pointer jump: label(label(v)) — follows one hop up the label tree
+      val jump = labels
+        .join(labels.select(col("node").as("group_id"),
+          col("group_id").as("jump_min")), Seq("group_id"), "left")
+        .select(col("node"), col("jump_min"))
       val next = labels.join(nbrMin, Seq("node"), "left")
+        .join(jump, Seq("node"), "left")
         .select(col("node"), col("group_id").as("old_id"),
-          least(col("group_id"), coalesce(col("nbr_min"), col("group_id")))
+          least(col("group_id"),
+            least(coalesce(col("nbr_min"), col("group_id")),
+              coalesce(col("jump_min"), col("group_id"))))
             .as("group_id"))
         .localCheckpoint()
+      val t1 = System.nanoTime()
       converged = next.where(col("group_id") =!= col("old_id")).isEmpty
       labels = next.select("node", "group_id")
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round $iter converged=$converged " +
+          f"checkpoint=${(t1 - t0) / 1e9}%.2f check=${(System.nanoTime() - t1) / 1e9}%.2f")
     }
+    // Unconverged labels are not "approximately right" — they split groups
+    // that should merge, which a dedup pass turns into kept duplicates.
+    // Fail LOUD; silence here is the sf0.01-green/sf100-wrong trap.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "graph diameter exceeds the bound; raise maxIter or tighten the " +
+        "pair threshold feeding this collapse")
     labels
   }
 

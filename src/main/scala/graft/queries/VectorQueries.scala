@@ -129,7 +129,11 @@ object VectorQueries extends QueryPack {
             (round(cosine_sim(col("a.embedding"), col("b.embedding")), 6) + lit(0.0))
               .as("sim"))
           .dropDuplicates("vec_a", "vec_b")
-          .where(col("sim") >= 0.3)
+          // 0.45, not the pair-mining 0.3: grouping at a loose threshold
+          // chains semantically-unrelated vectors into one sprawling
+          // component (transitive closure amplifies a loose pairwise
+          // gate); dedup collapse wants tight clusters
+          .where(col("sim") >= 0.45)
         graft.dedup.NearDup.connectedComponents(pairs, "vec_a", "vec_b")
           .select(col("node").as("vec_id"), col("group_id"))
           .orderBy("vec_id")
@@ -144,7 +148,7 @@ object VectorQueries extends QueryPack {
              |pairs AS (SELECT c.vec_a, c.vec_b
              |          FROM cand c JOIN e ea ON ea.vec_id = c.vec_a
              |                      JOIN e eb ON eb.vec_id = c.vec_b
-             |          WHERE ROUND(list_cosine_similarity(ea.emb, eb.emb), 6) + 0.0 >= 0.3),
+             |          WHERE ROUND(list_cosine_similarity(ea.emb, eb.emb), 6) + 0.0 >= 0.45),
              |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
              |          UNION SELECT vec_b, vec_a FROM pairs),
              |reach(node, lbl) AS (
