@@ -114,6 +114,45 @@ object MultimodalQueries extends QueryPack {
         "2nd, one row per frame (the caption/embed fan-out); oracle counts " +
         "ceil(n/2) frames of floor(body/n) bytes each"),
 
+    // ---- media near-dup pairs via feature banding (rows-only) ----
+    Query(
+      "q_m_embed_neardup",
+      (s, _) => {
+        import s.implicits._
+        import graft.functions.VectorExpressions.cosine_sim
+        // payloads → embeddings → the SAME banded near-dup skeleton the
+        // text/vector modalities use. The base fixture has no duplicate
+        // payloads (LCG bodies are id-unique), so plant 25 exact replicas
+        // — re-uploaded media, the case a dedup pass exists for; their
+        // byte histograms agree exactly, so they collide in every band
+        // and survive the 0.999 rerank
+        val base = Multimodal.syntheticMedia(s, N)
+        val replicas = base.filter(_.media_id < 25)
+          .map(r => Multimodal.MediaRow(r.media_id + N, r.kind, r.payload))
+        val feats = Multimodal
+          .extractFeatures(base.unionByName(replicas), dim = 16)
+          .toDF()
+        val banded = VectorSearch.withLshBands(feats, "embedding",
+          nBands = 4, bitsPerBand = 8)
+        banded.alias("a").join(banded.alias("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_val") === col("b.band_val") &&
+              col("a.media_id") < col("b.media_id") &&
+              col("a.kind") === col("b.kind"))
+          .select(col("a.media_id").as("media_a"),
+            col("b.media_id").as("media_b"), col("a.kind").as("kind"),
+            (round(cosine_sim(col("a.embedding"), col("b.embedding")), 6)
+              + lit(0.0)).as("sim"))
+          .dropDuplicates("media_a", "media_b")
+          .where(col("sim") >= 0.999)
+          .groupBy("kind").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("kind")
+      },
+      oracle = None, // embedding has no SQL form; pinned in MultimodalSpec
+      doc = "multimodal near-dup: stub embeddings -> LSH banding -> cosine " +
+        "rerank (same skeleton as text/vector dedup); rows-only, per-kind " +
+        "pair counts pinned in MultimodalSpec"),
+
     // ---- feature-extract → LSH band buckets (rows-only; no SQL form) ----
     Query(
       "q_m_embed_bucket_profile",

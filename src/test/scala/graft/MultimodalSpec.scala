@@ -60,6 +60,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows == Seq((0, 8L, 500L), (1, 16L, 500L), (2, 8L, 500L), (3, 16L, 500L)))
   }
 
+  test("q_m_embed_neardup: planted replicas found, nothing else (pinned)") {
+    // 25 exact payload replicas planted over ids 0..24: 9 image (0 mod 3),
+    // 8 audio, 8 video — the pair counts must be exactly those
+    val rows = SparkEntry.queries("q_m_embed_neardup")(spark, "")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("audio", 8L), ("image", 9L), ("video", 8L)))
+  }
+
   test("sampleFrames: every Nth frame, one row each, only video") {
     val frames = sampleFrames(media, 2).collect()
     val byId = frames.groupBy(_.media_id)
