@@ -78,6 +78,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(before == after && before.size == 2)
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark on the " +
+      "content hash (T2 x dedup pillar)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)] // (content, event-time seconds)
+    val dedup = ms.toDF().toDF("content", "sec")
+      .withColumn("time", timestamp_seconds(col("sec")))
+      .withColumn("content_hash", md5(col("content")))
+      .withWatermark("time", "10 seconds")
+      .dropDuplicatesWithinWatermark("content_hash")
+    val q = dedup.writeStream.format("memory").queryName("t2_dedup")
+      .outputMode("append").start()
+    ms.addData(("doc a", 1L), ("doc a", 2L), ("doc b", 3L))
+    q.processAllAvailable()
+    // redelivery of "doc a" within the watermark window → dropped;
+    // state is bounded by the watermark (unlike a global distinct)
+    ms.addData(("doc a", 4L), ("doc c", 5L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT content FROM t2_dedup")
+      .as[String].collect().sorted.toSeq
+    assert(got == Seq("doc a", "doc b", "doc c"))
+  }
+
   test("partitioned LWW upsert: same results as the rewrite sink, " +
       "touched buckets only") {
     val state = tmpDir("lww-part") + "/t"
