@@ -136,6 +136,33 @@ object TimeSeriesQueries extends QueryPack {
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       doc = "SURVEY A1: pandas resample().agg(first/max/min/last/sum) — min_by/max_by on (ts,id) struct for order determinism; partial agg map-side"),
 
+    // ---- A1 rollup cascade: coarse candles from fine candles ----
+    Query(
+      "q_a1_resample_rollup",
+      (s, dir) => {
+        // hourly built FROM 5-minute pre-aggregates; the oracle computes
+        // hourly DIRECTLY from raw ticks — hash equality proves the
+        // cascade lossless (the 100 TB pattern: raw ticks aggregated
+        // once, every coarser resolution from the fine candles)
+        val fine = resampleOhlcv(ev(s, dir), K, "ts", "event_id",
+          "value", "value", 300)
+        rollupOhlcv(fine, K, 3600)
+          .select(col("event_type"), col("bucket_start"),
+            col("open"), col("high"), col("low"), col("close"),
+            round(col("volume"), 2).as("volume"), col("n_rows"))
+          .orderBy("event_type", "bucket_start")
+      },
+      Some("""SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+             |  first(value ORDER BY ts, event_id) AS open,
+             |  MAX(value) AS high, MIN(value) AS low,
+             |  last(value ORDER BY ts, event_id) AS close,
+             |  ROUND(SUM(value), 2) AS volume, COUNT(*) AS n_rows
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "A1 rollup cascade: hourly candles composed from 5-minute " +
+        "candles, oracle computes hourly directly from raw — hash equality " +
+        "= lossless pre-aggregation (open/close via min_by/max_by on the " +
+        "fine bucket_start, high/low/volume compose associatively)"),
+
     // ---- P9: quantile winsorization ----
     Query(
       "q_p9_winsorize",

@@ -145,6 +145,28 @@ object TimeSeriesOps {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Roll already-resampled OHLCV buckets up to a coarser resolution —
+    * open = open of the earliest fine bucket, close = close of the
+    * latest, high/low/volume/n compose associatively. Lossless vs
+    * resampling the raw ticks directly (hash-checked by
+    * `q_a1_resample_rollup`), which is what makes OHLCV cheap at
+    * 100 TB: keep 5-minute pre-aggregates, build any coarser frame
+    * from them without touching raw ticks again.
+    */
+  def rollupOhlcv(fine: DataFrame, key: String, bucketSeconds: Int): DataFrame = {
+    val bucket = timestamp_seconds(
+      floor(unix_timestamp(col("bucket_start")) / bucketSeconds) * bucketSeconds)
+    val ord = col("bucket_start")
+    fine.groupBy(col(key), bucket.as("bucket_start"))
+      .agg(
+        min_by(col("open"), ord).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), ord).as("close"),
+        sum(col("volume")).as("volume"),
+        sum(col("n_rows")).as("n_rows"))
+  }
+
   // ---- P9: quantile winsorization ---------------------------------------------
   /** Clip `c` to its per-key exact [lo, hi] quantiles (reference
     * data_loader.py:70-73). Quantiles are computed once per key with exact
