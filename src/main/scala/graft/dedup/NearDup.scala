@@ -205,6 +205,10 @@ object NearDup {
         .join(labels.select(col("node").as("group_id"),
           col("group_id").as("jump_min")), Seq("group_id"), "left")
         .select(col("node"), col("jump_min"))
+      // prior rounds' checkpoint blocks become unreachable when `labels`
+      // is rebound below; Spark's ContextCleaner reclaims them via GC —
+      // no manual unpersist (which would delete a truncated lineage's
+      // only copy if misordered)
       val next = labels.join(nbrMin, Seq("node"), "left")
         .join(jump, Seq("node"), "left")
         .select(col("node"), col("group_id").as("old_id"),

@@ -233,6 +233,54 @@ object TextQueries extends QueryPack {
         "hash), near-dup victim removal via the Jaccard pair miner — every " +
         "signal one map/shuffle stage, the shape of a real pretraining sweep"),
 
+    // ---- TF-IDF: relevance weighting over the corpus ----
+    Query(
+      "q_t_tfidf_top",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val n = docs.count() // O(1) driver scalar: corpus size for IDF
+        val terms = docs
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("term"))
+          .where(col("term") =!= "")
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))
+        tf.join(dfreq, "term")
+          .withColumn("score",
+            (round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6)
+              + lit(0.0)).as("score"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3 && col("doc_id") < 50)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("score"), col("rank"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+             |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             |    ROUND(tf.tf * LN((n.n + 1.0) / (dfreq.df + 1.0)), 6) + 0.0 AS score
+             |  FROM tf JOIN dfreq USING (term), n),
+             |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, term) AS rn FROM scored)
+             |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+             |  CAST(df AS BIGINT) AS df, score, CAST(rn AS INT) AS rank
+             |FROM ranked WHERE rn <= 3 AND doc_id < 50
+             |ORDER BY doc_id, rank""".stripMargin),
+      doc = "TF-IDF with +1-smoothed IDF: two partial-agg shuffles (doc-term " +
+        "counts, term doc-frequencies) + a broadcast-size term join back; " +
+        "per-doc top-3 via window (output gated to 50 docs for the check — " +
+        "the plan is corpus-wide)"),
+
     // ---- the flagship end-to-end prep: filter → collapse → sample ----
     Query(
       "q_t_corpus_prep",
