@@ -52,6 +52,33 @@ object DedupQueries extends QueryPack {
        |  list_transform(generate_series(1, length($e)), c -> CAST(ord($e[c]) AS BIGINT))),
        |  (a, x) -> (a * 31 + x) % 2147483647)""".stripMargin
 
+  /** MinHash signature → band buckets → candidate pairs → exact-Jaccard
+    * intersection counts, as shared CTEs (replays
+    * [[graft.dedup.NearDup.minhashLshPairs]] integer-for-integer).
+    */
+  private val minhashCtes =
+    s"""$shingleCtes,
+       |dh AS (SELECT doc_id, ${foldSql("shingle")} AS h FROM d),
+       |hsh AS (SELECT t.doc_id, coalesce(g.hs, CAST([] AS BIGINT[])) AS hs
+       |        FROM t LEFT JOIN (SELECT doc_id, list(h) AS hs FROM dh GROUP BY 1) g USING (doc_id)),
+       |sigt AS (SELECT doc_id, list_transform(range(0, 16), j ->
+       |           CASE WHEN len(hs) = 0 THEN CAST(2147483647 AS BIGINT)
+       |                ELSE list_min(list_transform(hs, h ->
+       |                  ((((j+1) * 2654435761) % 2147483647) * h
+       |                   + ((j*40503*65537 + 12345) % 2147483647)) % 2147483647)) END) AS sig
+       |         FROM hsh),
+       |bnd AS (SELECT doc_id, band,
+       |          list_reduce(list_prepend(CAST(0 AS BIGINT), sig[band*4+1 : band*4+4]),
+       |            (a, x) -> (a * 8191 + x) % 2147483647) AS band_val
+       |        FROM sigt, (SELECT unnest(range(0, 4)) AS band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.band_val = b.band_val
+       |                    AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS cnt
+       |          FROM cand c JOIN d da ON da.doc_id = c.doc_a
+       |                      JOIN d db ON db.doc_id = c.doc_b AND db.shingle = da.shingle
+       |          GROUP BY 1, 2)""".stripMargin
+
   private val jaccardTail =
     """SELECT i.doc_a, i.doc_b,
       |  ROUND(i.cnt * 1.0 / (sa.n_sh + sb.n_sh - i.cnt), 4) AS jaccard
@@ -86,27 +113,7 @@ object DedupQueries extends QueryPack {
         NearDup.minhashLshPairs(docs(s, dir), "doc_id", "text",
           n = 3, k = 16, bands = 4, threshold = 0.5)
           .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH $shingleCtes,
-              |dh AS (SELECT doc_id, ${foldSql("shingle")} AS h FROM d),
-              |hsh AS (SELECT t.doc_id, coalesce(g.hs, CAST([] AS BIGINT[])) AS hs
-              |        FROM t LEFT JOIN (SELECT doc_id, list(h) AS hs FROM dh GROUP BY 1) g USING (doc_id)),
-              |sigt AS (SELECT doc_id, list_transform(range(0, 16), j ->
-              |           CASE WHEN len(hs) = 0 THEN CAST(2147483647 AS BIGINT)
-              |                ELSE list_min(list_transform(hs, h ->
-              |                  ((((j+1) * 2654435761) % 2147483647) * h
-              |                   + ((j*40503*65537 + 12345) % 2147483647)) % 2147483647)) END) AS sig
-              |         FROM hsh),
-              |bnd AS (SELECT doc_id, band,
-              |          list_reduce(list_prepend(CAST(0 AS BIGINT), sig[band*4+1 : band*4+4]),
-              |            (a, x) -> (a * 8191 + x) % 2147483647) AS band_val
-              |        FROM sigt, (SELECT unnest(range(0, 4)) AS band)),
-              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.band_val = b.band_val
-              |                    AND a.doc_id < b.doc_id),
-              |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS cnt
-              |          FROM cand c JOIN d da ON da.doc_id = c.doc_a
-              |                      JOIN d db ON db.doc_id = c.doc_b AND db.shingle = da.shingle
-              |          GROUP BY 1, 2)
+      Some(s"""WITH $minhashCtes
               |$jaccardTail
               |ORDER BY doc_a, doc_b""".stripMargin),
       doc = "MinHash(16) over 3-gram shingles, 4 bands x 4 rows, bucket-join candidates, " +
@@ -144,6 +151,38 @@ object DedupQueries extends QueryPack {
         "the stop-shingle cap (64) — the skew knob a replica-heavy corpus " +
         "needs, replayed in the oracle. Oracle = recursive-CTE transitive " +
         "closure over the replayed pair list"),
+
+    Query(
+      "q_d_minhash_dedup_groups",
+      (s, dir) => {
+        // the literal 100 TB pipeline: MinHash+LSH candidate pairs →
+        // transitive group collapse; the exact-Jaccard variant of this
+        // query exists as q_d_dedup_groups — this one uses the sketch
+        // path end-to-end
+        val pairs = NearDup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.5)
+        NearDup.connectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("group_id"),
+            (col("node") === col("group_id")).cast("int").as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $minhashCtes,
+              |mh_pairs AS ($jaccardTail),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+              |          UNION SELECT doc_b, doc_a FROM mh_pairs),
+              |reach(node, lbl) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+              |SELECT node AS doc_id, MIN(lbl) AS group_id,
+              |  CAST(node = MIN(lbl) AS INT) AS is_canonical
+              |FROM reach GROUP BY node
+              |ORDER BY doc_id""".stripMargin),
+      doc = "the full sketch-path dedup pipeline hash-checked end-to-end: " +
+        "MinHash signature (one codegen map pass) -> band buckets -> " +
+        "candidate join -> exact-Jaccard verify -> connected-components " +
+        "group collapse; oracle replays every stage including the " +
+        "recursive closure"),
 
     Query(
       "q_d_simhash_pairs",
