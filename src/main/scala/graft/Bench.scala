@@ -51,6 +51,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // JSON string escape: quote, backslash, and ALL control chars (<0x20)
+    // — the same escaper Verify uses; a \b or \f in an exception message
+    // must not emit invalid JSON and break the driver's parse (ADVICE r3).
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
     val timed = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -61,13 +71,16 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          .take(200)
       }
+      // Release per query (ADVICE r3): peak storage is one query's caches,
+      // not the union of ~100 queries' shingle indexes / CC edge lists —
+      // the second (min-of-2) run still reuses the first run's cache.
+      CacheScope.release(spark)
     }
-    CacheScope.release(spark) // drop every builder-retained cache before exit
-    val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = timed.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+    val errs = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = timed.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${timed.size},"n_err":${errors.size},"sf":"$sfDir"}""")

@@ -69,20 +69,29 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
     all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
     graft.GraftExtensions.register(spark)
-    registeredDir(spark) = sfDir
+    registeredDir.synchronized { registeredDir.put(spark, sfDir) }
   }
 
+  // Weak-keyed (ADVICE r3): a strong SparkSession key would pin every
+  // session a long-lived multi-session service ever registered. Access is
+  // synchronized on the map — WeakHashMap is not thread-safe.
   private val registeredDir =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+    new java.util.WeakHashMap[SparkSession, String]()
 
   /** Once-per-session view registration — `registerAll` is idempotent but
     * re-resolves ten parquet footers per call, which the q_sql_* queries
     * would otherwise pay on every execution. Tracks the CURRENT dir per
     * session (not a seen-set): switching dirs re-registers, so views
-    * always point at the dir of the most recent call.
+    * always point at the dir of the most recent call. A sentinel
+    * `tableExists` probe catches a caller dropping the temp views out
+    * from under the memo (registration is then redone, not skipped).
     */
-  def ensureRegistered(spark: SparkSession, sfDir: String): Unit =
-    if (!registeredDir.get(spark).contains(sfDir)) registerAll(spark, sfDir)
+  def ensureRegistered(spark: SparkSession, sfDir: String): Unit = {
+    val hit = registeredDir.synchronized {
+      Option(registeredDir.get(spark)).contains(sfDir)
+    }
+    if (!hit || !spark.catalog.tableExists(all.head)) registerAll(spark, sfDir)
+  }
 
   /** S7: driver-rows→frame adapter (reference data_loader.py:232-265 —
     * building a frame from fetched storage rows). Declared schema, no

@@ -235,23 +235,28 @@ object NearDup {
     labels
   }
 
-  /** SimHash near-dup pairs: 8-bit band buckets on the 31-bit fingerprint,
-    * Hamming-distance verify of bucket-mates only.
+  /** SimHash near-dup pairs: `bitsPerBand`-bit band buckets on the 31-bit
+    * fingerprint, Hamming-distance verify of bucket-mates only.
     *
-    * RECALL CAVEAT (probabilistic by design, standard SimHash banding): 4
-    * bands guarantee a shared band only for pairs within Hamming distance
-    * 3 (pigeonhole); pairs at distance 4..`maxHamming` whose differing
-    * bits land in 4 distinct bands are missed. The oracle replays the
-    * same banding, so driver parity holds; callers needing exact recall
-    * at distance d must use ≥ d+1 bands (or cap `maxHamming` at
-    * bands−1 = 3).
+    * RECALL CONTRACT (pigeonhole): `nBands` bands guarantee a shared band
+    * for every pair within Hamming distance `nBands − 1`; pairs farther
+    * apart whose differing bits land in distinct bands can be missed. So
+    * callers needing exact recall at distance d must pass
+    * `nBands ≥ d + 1` (and `nBands · bitsPerBand ≥ 31` so every
+    * fingerprint bit is covered by some band). The 4×8 default gives
+    * guaranteed recall to distance 3 — the classic space/recall point;
+    * the 7×5 shape below it guarantees distance 6.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, nBands: Int = 4, bitsPerBand: Int = 8): DataFrame = {
+    require(nBands * bitsPerBand >= 31,
+      s"bands must cover the 31-bit fingerprint ($nBands x $bitsPerBand < 31)")
+    val mask = (1L << bitsPerBand) - 1
     val sig = docs.select(col(idCol), sim_hash(col(textCol)).as("simhash"))
     val banded = sig.select(col(idCol), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("band_val", expr("(simhash >> (8 * band)) & 255"))
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("band_val",
+        expr(s"(simhash >> ($bitsPerBand * band)) & $mask"))
     banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") &&
           col("a.band_val") === col("b.band_val") &&

@@ -79,6 +79,24 @@ object DedupQueries extends QueryPack {
        |                      JOIN d db ON db.doc_id = c.doc_b AND db.shingle = da.shingle
        |          GROUP BY 1, 2)""".stripMargin
 
+  /** SimHash fingerprint replay (token 3-gram hashes → per-bit majority
+    * vote → 31-bit fingerprint), shared by both banding shapes.
+    */
+  private val simsCtes =
+    s"""$toksCte,
+       |th AS (SELECT doc_id, list_transform(
+       |         list_transform(range(1, len(toks)-1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+       |         sg -> ${foldSql("sg")}) AS hs FROM t),
+       |sims AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 31), i ->
+       |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(hs, h -> CASE WHEN (h >> i) & 1 = 1
+       |             THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+       |           (a, x) -> a + x) > 0
+       |    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
+       |  (a, x) -> a + x) AS simhash FROM th)""".stripMargin
+
   private val jaccardTail =
     """SELECT i.doc_a, i.doc_b,
       |  ROUND(i.cnt * 1.0 / (sa.n_sh + sb.n_sh - i.cnt), 4) AS jaccard
@@ -187,30 +205,40 @@ object DedupQueries extends QueryPack {
     Query(
       "q_d_simhash_pairs",
       (s, dir) =>
-        NearDup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6)
+        NearDup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
           .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH $toksCte,
-              |th AS (SELECT doc_id, list_transform(
-              |         list_transform(range(1, len(toks)-1),
-              |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
-              |         sg -> ${foldSql("sg")}) AS hs FROM t),
-              |sims AS (SELECT doc_id,
-              |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 31), i ->
-              |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-              |           list_transform(hs, h -> CASE WHEN (h >> i) & 1 = 1
-              |             THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
-              |           (a, x) -> a + x) > 0
-              |    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
-              |  (a, x) -> a + x) AS simhash FROM th),
+      Some(s"""WITH $simsCtes,
               |bnd AS (SELECT doc_id, simhash, band, (simhash >> (8*band)) & 255 AS band_val
               |        FROM sims, (SELECT unnest(range(0, 4)) AS band))
               |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |  bit_count(xor(a.simhash, b.simhash)) AS hamming
               |FROM bnd a JOIN bnd b ON a.band = b.band AND a.band_val = b.band_val
               |           AND a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "SimHash(31-bit over 3-gram shingles) near-dup pairs: 4 x 8-bit " +
+        "band buckets, Hamming <= 3 verify of bucket-mates only — the cap " +
+        "matches the banding's pigeonhole guarantee (4 bands cover distance " +
+        "3 exactly); q_d_simhash_pairs_h6 is the wider-radius shape"),
+
+    Query(
+      "q_d_simhash_pairs_h6",
+      (s, dir) =>
+        NearDup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6,
+          nBands = 7, bitsPerBand = 5)
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $simsCtes,
+              |bnd AS (SELECT doc_id, simhash, band, (simhash >> (5*band)) & 31 AS band_val
+              |        FROM sims, (SELECT unnest(range(0, 7)) AS band))
+              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+              |FROM bnd a JOIN bnd b ON a.band = b.band AND a.band_val = b.band_val
+              |           AND a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
               |ORDER BY doc_a, doc_b""".stripMargin),
-      doc = "SimHash(31-bit over 3-gram shingles) near-dup pairs: 8-bit band " +
-        "buckets, Hamming <= 6 verify of bucket-mates only")
+      doc = "SimHash near-dup at Hamming radius 6 with the banding that " +
+        "GUARANTEES that radius: 7 bands x 5 bits (pigeonhole: 6 differing " +
+        "bits cannot touch all 7 bands, so every true pair shares a " +
+        "bucket) — the query's recall contract now matches its parameters")
   )
 }

@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   * without ever touching bytes. That turns the binary plumbing
   * (mapPartitions over payloads, header parse, body subsampling, frame
   * chunk fan-out) into hash-checked queries. The feature-extraction path
-  * (byte-histogram embedding → LSH band buckets) has no closed SQL form —
-  * a loop over LCG body bytes — so it follows the approx-twin convention:
-  * rows-only on the driver, exact values pinned in MultimodalSpec.
+  * (byte-histogram embedding → LSH band buckets) is replayable too: the
+  * LCG byte stream is 64-bit wrapping arithmetic, which DuckDB replays in
+  * HUGEINT mod 2^64 via a list_reduce whose accumulator is a growing list
+  * (h·M+C stays below 2^127); the histogram adds only exact dyadic
+  * halves, so the normalize → float32 cast is bit-identical on both
+  * engines ([[embCtes]]).
   *
   * Queries ignore `dir`: media is generated, not read from the testdata
   * tables (the brief's multimodal columns are synthetic by design — the
@@ -30,6 +33,61 @@ object MultimodalQueries extends QueryPack {
     * populated, small enough to stay a smoke-scale driver check.
     */
   val N = 500
+
+  /** DuckDB replay of [[Multimodal.embed]] over the synthetic fixture:
+    * CTEs ending in `emb(id, kind, femb REAL[])` — the EXACT float32
+    * embedding each payload produces.
+    *
+    *  - `hs`: the body's LCG stream `h ← h·M + C (mod 2^64)` in HUGEINT —
+    *    the accumulator of the fold is a growing HUGEINT list (DuckDB's
+    *    list_reduce has no seed, so the seed rides in via list_prepend and
+    *    each step appends `(acc[-1]·M + C) % 2^64`; max intermediate
+    *    (2^64−1)·M < 2^127 fits HUGEINT);
+    *  - `bt`: byte j = h_{j+1} >>> 56 (top byte of the unsigned 64-bit
+    *    state — `// 2^56` on the mod-2^64 value);
+    *  - `hist`: the dim-16 histogram `+1.0` at `b%16`, `+0.5` at
+    *    `(b·31+i)%16` with i the absolute payload index (21 + j) — all
+    *    dyadic, so sums are EXACT in either engine in any order;
+    *  - `emb`: x · (1/√Σx²) double math, then CAST AS REAL = Scala's
+    *    `.toFloat` — bit-identical.
+    */
+  private val embCtes: String =
+    s"""m AS (
+       |  SELECT range AS id,
+       |    CASE range % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    CASE range % 3 WHEN 0 THEN 256 + range % 128 WHEN 1 THEN 512 + range % 256
+       |      ELSE 800 + range % 100 END AS body
+       |  FROM range($N)),
+       |hs AS (
+       |  SELECT id, kind,
+       |    list_reduce(
+       |      list_prepend([CAST(id * 2654435761 + 1013904223 AS HUGEINT)],
+       |        list_transform(range(0, body), x -> [CAST(0 AS HUGEINT)])),
+       |      (acc, x) -> list_append(acc,
+       |        (acc[-1] * 6364136223846793005 + 1442695040888963407)
+       |          % CAST('18446744073709551616' AS HUGEINT))) AS hlist
+       |  FROM m),
+       |bt AS (
+       |  SELECT id, kind,
+       |    list_transform(hlist[2:], h ->
+       |      CAST(h // 72057594037927936 AS BIGINT)) AS bytes
+       |  FROM hs),
+       |hist AS (
+       |  SELECT id, kind,
+       |    list_transform(range(0, 16), k ->
+       |      list_sum(list_transform(range(1, len(bytes) + 1), j ->
+       |        (CASE WHEN bytes[j] % 16 = k THEN CAST(1.0 AS DOUBLE)
+       |              ELSE CAST(0.0 AS DOUBLE) END)
+       |        + (CASE WHEN (bytes[j] * 31 + 20 + j) % 16 = k
+       |                THEN CAST(0.5 AS DOUBLE)
+       |                ELSE CAST(0.0 AS DOUBLE) END)))) AS h
+       |  FROM bt),
+       |emb AS (
+       |  SELECT id, kind,
+       |    list_transform(h, x -> CAST(x *
+       |      (CAST(1.0 AS DOUBLE) /
+       |        sqrt(list_sum(list_transform(h, y -> y * y)))) AS REAL)) AS femb
+       |  FROM hist)""".stripMargin
 
   override def queries: Seq[Query] = Seq(
 
@@ -114,7 +172,7 @@ object MultimodalQueries extends QueryPack {
         "2nd, one row per frame (the caption/embed fan-out); oracle counts " +
         "ceil(n/2) frames of floor(body/n) bytes each"),
 
-    // ---- media near-dup pairs via feature banding (rows-only) ----
+    // ---- media near-dup pairs via feature banding ----
     Query(
       "q_m_embed_neardup",
       (s, _) => {
@@ -125,12 +183,16 @@ object MultimodalQueries extends QueryPack {
         // payloads (LCG bodies are id-unique), so plant 25 exact replicas
         // — re-uploaded media, the case a dedup pass exists for; their
         // byte histograms agree exactly, so they collide in every band
-        // and survive the 0.999 rerank
-        val base = Multimodal.syntheticMedia(s, N)
-        val replicas = base.filter(_.media_id < 25)
-          .map(r => Multimodal.MediaRow(r.media_id + N, r.kind, r.payload))
+        // and survive the 0.999 rerank. Replicas built with COLUMN ops
+        // (stays in codegen; a typed filter/map would deserialize every
+        // row — VERDICT r3 #3).
+        val base = Multimodal.syntheticMedia(s, N).toDF()
+        val replicas = base.where(col("media_id") < 25)
+          .select((col("media_id") + N).as("media_id"), col("kind"),
+            col("payload"))
         val feats = Multimodal
-          .extractFeatures(base.unionByName(replicas), dim = 16)
+          .extractFeatures(base.unionByName(replicas)
+            .as[Multimodal.MediaRow], dim = 16)
           .toDF()
         val banded = VectorSearch.withLshBands(feats, "embedding",
           nBands = 4, bitsPerBand = 8)
@@ -148,12 +210,30 @@ object MultimodalQueries extends QueryPack {
           .groupBy("kind").agg(count(lit(1)).as("n_pairs"))
           .orderBy("kind")
       },
-      oracle = None, // embedding has no SQL form; pinned in MultimodalSpec
+      Some(s"""WITH $embCtes,
+              |feats AS (SELECT id AS media_id, kind, femb FROM emb
+              |          UNION ALL
+              |          SELECT id + $N, kind, femb FROM emb WHERE id < 25),
+              |sig AS (SELECT media_id, kind, femb,
+              |          ${VectorQueries.sigSql(32, "CAST(femb AS DOUBLE[])")} AS s
+              |        FROM feats),
+              |bands AS (SELECT media_id, kind, femb, band, (s >> (8*band)) & 255 AS bv
+              |          FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+              |pairs AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+              |            a.kind AS kind,
+              |            ROUND(list_cosine_similarity(CAST(a.femb AS DOUBLE[]),
+              |              CAST(b.femb AS DOUBLE[])), 6) + 0.0 AS sim
+              |          FROM bands a JOIN bands b
+              |            ON a.band = b.band AND a.bv = b.bv
+              |               AND a.media_id < b.media_id AND a.kind = b.kind)
+              |SELECT kind, COUNT(*) AS n_pairs FROM pairs
+              |WHERE sim >= 0.999 GROUP BY kind ORDER BY kind""".stripMargin),
       doc = "multimodal near-dup: stub embeddings -> LSH banding -> cosine " +
-        "rerank (same skeleton as text/vector dedup); rows-only, per-kind " +
-        "pair counts pinned in MultimodalSpec"),
+        "rerank (same skeleton as text/vector dedup); oracle replays the " +
+        "LCG byte stream (HUGEINT mod 2^64 fold), the dyadic-exact " +
+        "histogram, the float32 normalize, the signature and the rerank"),
 
-    // ---- feature-extract → LSH band buckets (rows-only; no SQL form) ----
+    // ---- feature-extract → LSH band buckets ----
     Query(
       "q_m_embed_bucket_profile",
       (s, _) => {
@@ -167,10 +247,16 @@ object MultimodalQueries extends QueryPack {
             count(lit(1)).as("n_rows"))
           .orderBy("band")
       },
-      oracle = None, // byte-histogram embedding has no closed SQL form;
-                     // exact values pinned in MultimodalSpec (approx-twin convention)
+      Some(s"""WITH $embCtes,
+              |sig AS (SELECT id, ${VectorQueries.sigSql(32, "CAST(femb AS DOUBLE[])")} AS s
+              |        FROM emb),
+              |bands AS (SELECT id, band, (s >> (8*band)) & 255 AS bv
+              |          FROM sig, (SELECT unnest(range(0, 4)) AS band))
+              |SELECT CAST(band AS INT) AS band,
+              |  COUNT(DISTINCT bv) AS n_buckets, COUNT(*) AS n_rows
+              |FROM bands GROUP BY band ORDER BY band""".stripMargin),
       doc = "Multimodal feature extraction feeding VectorSearch: byte-histogram " +
         "embedding (stub for a vision encoder) → sign-LSH banding → bucket " +
-        "profile; rows-only here, values pinned in MultimodalSpec")
+        "profile; oracle replays the full embed → signature path exactly")
   )
 }

@@ -22,26 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object SamplingQueries extends QueryPack {
 
-  private val P = 2147483647L // 2^31 - 1 (prime)
+  import graft.functions.KeyHash
 
   private def ev(s: SparkSession, dir: String) = Tables(s, dir, "events")
 
-  /** Uniform [0, P) integer hash of a long key — THREE Lehmer rounds.
-    * One round is monotone for keys < P/48271 ≈ 44k (no wrap), which
-    * turns "sampling" into an id-prefix filter at small scales; the
-    * second round wraps every key ≥ 1 and the third kills the residual
-    * stripe correlation (measured: achieved rates within 0.5% of target
-    * at n = 10^3..10^5). Overflow-safe under ANSI: operands stay below
-    * 2^47 after each mod.
-    */
-  private def keyHash(c: Column): Column = {
-    val r1 = pmod(pmod(c, lit(P)) * lit(48271L), lit(P))
-    val r2 = pmod(r1 * lit(48271L), lit(P))
-    pmod(r2 * lit(48271L), lit(P))
-  }
-
-  private def keyHashSql(e: String): String =
-    s"(($e % $P) * 48271 % $P) * 48271 % $P * 48271 % $P"
+  // Single shared definition of the sampling hash (Scala + SQL pair) —
+  // see graft.functions.KeyHash for the three-round rationale.
+  private def keyHash(c: Column): Column = KeyHash.column(c)
+  private def keyHashSql(e: String): String = KeyHash.sql(e)
 
   // Integer keep-thresholds (floor(rate * P)) as EXACT literals on both
   // sides — a float rate*P would cast-round differently in the two

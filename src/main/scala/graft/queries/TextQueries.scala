@@ -86,7 +86,8 @@ object TextQueries extends QueryPack {
              |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
              |  FROM tc)
-             |SELECT doc_id, source, n_tokens, cum_before // 256 AS pack_id
+             |SELECT doc_id, source, n_tokens,
+             |  CAST(cum_before // 256 AS BIGINT) AS pack_id
              |FROM c""".stripMargin),
       doc = "sequence packing for training batches: per-source-shard " +
         "contiguous fill to a 256-token budget via one windowed cumsum — " +
@@ -239,7 +240,10 @@ object TextQueries extends QueryPack {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables(s, dir, "documents")
-        val n = docs.count() // O(1) driver scalar: corpus size for IDF
+        // Corpus size for IDF stays IN the plan: a 1-row aggregate
+        // broadcast-cross-joined into the scored frame — one job, no
+        // separate count() pass over 100 TB.
+        val n = docs.agg(count(lit(1)).as("__n"))
         val terms = docs
           .select(col("doc_id"),
             explode(split(trim(col("text")), "\\s+")).as("term"))
@@ -250,8 +254,9 @@ object TextQueries extends QueryPack {
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("term"))
         tf.join(dfreq, "term")
+          .crossJoin(broadcast(n))
           .withColumn("score",
-            (round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6)
+            (round(col("tf") * log((col("__n") + 1.0) / (col("df") + 1.0)), 6)
               + lit(0.0)).as("score"))
           .withColumn("rank", row_number().over(w))
           .where(col("rank") <= 3 && col("doc_id") < 50)
@@ -303,14 +308,9 @@ object TextQueries extends QueryPack {
         val thr = when(col("source") === "src0", lit(2147483647L))
           .when(col("source") === "src1", lit(1073741823L))
           .otherwise(lit(536870911L))
-        // 3-round Lehmer hash (one round is monotone for small ids — see
-        // SamplingQueries.keyHash)
-        val keyHash = {
-          val p = 2147483647L
-          val r1 = pmod(pmod(col("doc_id"), lit(p)) * lit(48271L), lit(p))
-          val r2 = pmod(r1 * lit(48271L), lit(p))
-          pmod(r2 * lit(48271L), lit(p))
-        }
+        // shared 3-round Lehmer hash (graft.functions.KeyHash — one round
+        // is monotone for small ids)
+        val keyHash = graft.functions.KeyHash.column(col("doc_id"))
         scored
           .join(groups, scored("doc_id") === groups("node"), "left")
           .where(col("node").isNull || col("doc_id") === col("group_id"))
@@ -345,8 +345,7 @@ object TextQueries extends QueryPack {
               |WHERE doc_id = canon
               |  AND (node IS NULL OR doc_id = group_id)
               |  AND quality >= 0.4 AND n_tokens >= 20
-              |  AND ((doc_id % 2147483647) * 48271 % 2147483647)
-              |      * 48271 % 2147483647 * 48271 % 2147483647 <
+              |  AND ${graft.functions.KeyHash.sql("doc_id")} <
               |      CASE source WHEN 'src0' THEN 2147483647
               |           WHEN 'src1' THEN 1073741823 ELSE 536870911 END
               |ORDER BY doc_id""".stripMargin),

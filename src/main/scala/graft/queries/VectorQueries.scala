@@ -22,11 +22,35 @@ object VectorQueries extends QueryPack {
   private def queryVec(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).where(col("vec_id") === 0)
 
+  /** One Lloyd round as DuckDB CTEs, replaying
+    * [[graft.vector.VectorSearch.trainCentroids]] exactly:
+    * assignment = per-row argmax cosine against `c{i-1}` (ties → lowest
+    * cid, the BestCell contract); means per (cell, dim) with
+    * `CAST(AVG(...) AS REAL)` — the float32 quantization Spark's
+    * `.toFloat` applies, which also absorbs the last-ulp summation-order
+    * difference between the engines' double AVGs; cells that lose all
+    * members keep their previous centroid (LEFT JOIN + COALESCE).
+    */
+  private def lloydRoundSql(i: Int, dim: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""a$i AS (SELECT b.vec_id, b.emb,
+       |         (SELECT c.cid FROM $prev c
+       |          ORDER BY list_cosine_similarity(b.emb, c.cemb) DESC, c.cid
+       |          LIMIT 1) AS cell
+       |       FROM base b),
+       |m$i AS (SELECT cell, j, CAST(CAST(AVG(emb[j]) AS REAL) AS DOUBLE) AS m
+       |        FROM a$i, (SELECT unnest(range(1, ${dim + 1})) AS j)
+       |        GROUP BY cell, j),
+       |l$i AS (SELECT cell, list(m ORDER BY j) AS cemb FROM m$i GROUP BY cell),
+       |c$i AS (SELECT p.cid, COALESCE(l.cemb, p.cemb) AS cemb
+       |        FROM $prev p LEFT JOIN l$i l ON l.cell = p.cid)""".stripMargin
+  }
+
   /** DuckDB replay of [[graft.functions.VectorExpressions.lshSignature]]:
     * per bit i, an explicit left fold over ascending j of
     * emb[j]·r(i,j), r from the same Knuth multiplicative hash.
     */
-  private def sigSql(nBits: Int, e: String): String =
+  private[queries] def sigSql(nBits: Int, e: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $nBits), i ->
        |  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, len($e)), j ->
        |    $e[j+1] * (CASE WHEN ((((i*len($e)+j) * 2654435761) % 4294967296) // 65536) % 2 = 1
@@ -200,13 +224,31 @@ object VectorQueries extends QueryPack {
         VectorSearch.ivfTopKWith(base, queryVec(s, dir),
           "vec_id", "embedding", 10, nProbe = 4, trained)
       },
-      oracle = None, // Lloyd means over float partitions have no practical
-                     // closed SQL form; recall pinned in VectorSpec against
-                     // the exact brute-force top-k (approx-twin convention)
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              |base AS (SELECT vec_id, emb FROM e WHERE vec_id <> 0),
+              |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+              |c0 AS (SELECT vec_id AS cid, emb AS cemb FROM base WHERE vec_id < 16),
+              |${lloydRoundSql(1, 64)},
+              |${lloydRoundSql(2, 64)},
+              |${lloydRoundSql(3, 64)},
+              |probes AS (SELECT c.cid FROM c3 c, q
+              |           ORDER BY list_cosine_similarity(q.qv, c.cemb) DESC, c.cid
+              |           LIMIT 4),
+              |af AS (SELECT b.vec_id, b.emb,
+              |         (SELECT c.cid FROM c3 c
+              |          ORDER BY list_cosine_similarity(b.emb, c.cemb) DESC, c.cid
+              |          LIMIT 1) AS cell
+              |       FROM base b),
+              |cand AS (SELECT a.vec_id, a.emb FROM af a
+              |         WHERE a.cell IN (SELECT cid FROM probes))
+              |SELECT c.vec_id, ROUND(list_cosine_similarity(c.emb, q.qv), 6) + 0.0 AS sim
+              |FROM cand c, q ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin),
       doc = "IVF with k-means(Lloyd)-TRAINED centroids: 3 refinement rounds " +
         "(assignment via the codegen'd best_cell pass + one (cell,dim) " +
         "partial-agg shuffle per round), then the same probe-and-rerank — " +
-        "the production index-build next to the SQL-replayable seeded twin"),
+        "the production index-build next to the seeded twin; oracle unrolls " +
+        "the 3 Lloyd rounds as CTEs (float32-quantized means = Spark's " +
+        ".toFloat, which also absorbs AVG summation-order ulps)"),
 
     Query(
       "q_e_embed_neardup_pairs",

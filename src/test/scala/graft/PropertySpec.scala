@@ -64,6 +64,48 @@ class PropertySpec extends AnyFunSuite {
     r1.values.toSet.foreach((g: Long) => assert(r1(g) == g))
   }
 
+  test("connected components match union-find on random graphs") {
+    // CC is the most intricate operator in the engine; the oracle-replay
+    // checks only run it on fixture corpora. This pits it against a
+    // driver-side union-find (roots = component minimum by construction:
+    // every union points the larger root at the smaller, so the final
+    // root is the component min — the same canonical labeling CC emits).
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val edgeGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(2, 50)
+      m <- Gen.chooseNum(1, 80)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong)
+      } yield (a, b))
+    } yield es.filter { case (a, b) => a != b }
+    val randomGraphs = samples(edgeGen, 6).filter(_.nonEmpty)
+    // plus a 200-node chain: diameter 200 — converges only because of
+    // pointer jumping (min-propagation alone would blow the 30-round cap)
+    val chain = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toList
+    (randomGraphs :+ chain).foreach { edges =>
+      val expected = unionFind(edges)
+      val got = graft.dedup.NearDup
+        .connectedComponents(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected,
+        s"CC mismatch on ${edges.size} edges: " +
+          (got.toSet diff expected.toSet).take(5).toString)
+    }
+  }
+
   test("resample invariants: low=min <= open,close <= high=max; volume conserved") {
     samples(seriesGen, 8).foreach { vs =>
       val df = vs.zipWithIndex
