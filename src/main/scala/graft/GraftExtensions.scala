@@ -3,7 +3,7 @@ package graft
 import graft.functions._
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, Multiply, Pmod}
 import org.apache.spark.sql.graftbridge.FunctionBridge
 
 /** The engine's Catalyst extension point: exposes the native codegen'd
@@ -45,7 +45,16 @@ object GraftExtensions {
       MinHashSignature(args(0), intArg(args(1), "min_hash_signature"),
         intArg(args(2), "min_hash_signature"))),
     "sim_hash" -> ((args: Seq[Expression]) =>
-      SimHash(args(0), intArg(args(1), "sim_hash"))))
+      SimHash(args(0), intArg(args(1), "sim_hash"))),
+    // the engine's deterministic sampling hash (graft.functions.KeyHash)
+    // as SQL text, so data recipes are expressible from the pure-SQL
+    // surface: WHERE key_hash(event_id) < threshold
+    "key_hash" -> ((args: Seq[Expression]) => {
+      val p = Literal(KeyHash.P)
+      val m = Literal(48271L)
+      def lehmer(e: Expression): Expression = Pmod(Multiply(e, m), p)
+      lehmer(lehmer(lehmer(Pmod(args.head, p))))
+    }))
 
   /** Register on a live session (idempotent — replaces same-name entries). */
   def register(spark: SparkSession): Unit =

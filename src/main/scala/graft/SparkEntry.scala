@@ -25,7 +25,8 @@ object SparkEntry {
     SqlQueries,
     ApproxQueries,
     MultimodalQueries,
-    SamplingQueries
+    SamplingQueries,
+    CurationQueries
   )
 
   private lazy val (queryMap, oracleMap) = QueryPack.toEntryMaps(packs)

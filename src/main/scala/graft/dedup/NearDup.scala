@@ -145,6 +145,32 @@ object NearDup {
     jaccardOfPairs(d, inter, idCol, threshold)
   }
 
+  /** Containment near-dup pairs: |A∩B|/|A| and |A∩B|/|B| per candidate
+    * pair, kept when EITHER direction ≥ threshold. Containment catches
+    * what symmetric Jaccard misses — a document embedded inside a larger
+    * one (quotes, boilerplate wrappers, page-plus-chrome crawls) has high
+    * containment of the smaller side but low Jaccard when the sizes
+    * differ. Same inverted-index shape as [[exactJaccardPairs]]: pairs
+    * exist only for docs sharing a shingle, never all-pairs.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val d = docShingles(docs, idCol, textCol, n)
+    val sizes = d.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = d.alias("a").join(d.alias("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (round(col("n_common") / col("n_a"), 4) + lit(0.0)).as("cont_a"),
+        (round(col("n_common") / col("n_b"), 4) + lit(0.0)).as("cont_b"))
+      .where(greatest(col("cont_a"), col("cont_b")) >= threshold)
+  }
+
   /** Shared tail: |A∩B| → Jaccard with per-doc set sizes, thresholded. */
   private def jaccardOfPairs(d: DataFrame, inter: DataFrame, idCol: String,
       threshold: Double): DataFrame = {

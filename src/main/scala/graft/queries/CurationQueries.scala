@@ -1,0 +1,325 @@
+package graft.queries
+
+import graft.{Query, QueryPack, Tables}
+import graft.text.TextAnalysis._
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a pretraining data pipeline runs between raw
+  * crawl and tokenizer: train/eval DECONTAMINATION (n-gram overlap against
+  * a benchmark set), REPETITION signals (the Gopher-style quality gates),
+  * PII SCRUBBING (regex redaction), and TEMPERATURE-based source mixing
+  * (the multilingual/domain rebalancing rule). All shaped for 100 TB:
+  * map-only passes or partial-agg shuffles on bounded keys; the eval side
+  * of decontamination is benchmark-sized and broadcast.
+  */
+object CurationQueries extends QueryPack {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir, "documents")
+
+  /** Word n-gram column (with duplicates — repetition needs counts). */
+  private def grams(n: Int) = {
+    val mk = (0 until n).map(o => s"element_at(__toks, i + $o)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    when(size(col("__toks")) < n, array().cast("array<string>"))
+      .otherwise(expr(
+        s"transform(sequence(1, size(__toks) - ${n - 1}), i -> $mk)"))
+  }
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val numRe = "[0-9]{4,}"
+
+  override def queries: Seq[Query] = Seq(
+
+    Query(
+      "q_t_decontaminate",
+      (s, dir) => {
+        // Train/eval decontamination: a training doc is contaminated if it
+        // shares ANY word 3-gram with the benchmark set (fixture: docs
+        // 0..9 stand in for the eval benchmark; production swaps in the
+        // real benchmark table — same plan). The eval side is
+        // benchmark-sized by definition, so it BROADCASTS: the 100 TB
+        // train side is one map pass + one partial-agg shuffle on doc_id,
+        // never a corpus-square join. n is a parameter; 3 keeps the
+        // fixture's planted overlaps visible (real sweeps run 8-13).
+        val sh = graft.dedup.NearDup
+          .docShingles(docs(s, dir), "doc_id", "text", 3)
+        val eval = sh.where(col("doc_id") < 10)
+          .select(col("shingle")).distinct()
+        sh.where(col("doc_id") >= 10)
+          .join(broadcast(eval), Seq("shingle"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${DedupQueries.shingleCtes},
+              |ev AS (SELECT DISTINCT shingle FROM d WHERE doc_id < 10)
+              |SELECT doc_id, COUNT(*) AS n_shared
+              |FROM d JOIN ev USING (shingle)
+              |WHERE doc_id >= 10
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "train/eval decontamination: flag training docs sharing any " +
+        "word 3-gram with the benchmark set — inverted-index semi-join " +
+        "shape, eval side broadcast (benchmark-sized), train side one " +
+        "map + one partial-agg shuffle at any corpus size"),
+
+    Query(
+      "q_t_repetition",
+      (s, dir) => {
+        // Gopher-style repetition gate: fraction of 2-gram occurrences
+        // claimed by the single most frequent 2-gram, and the duplicate
+        // fraction (1 - distinct/total). Two partial-agg shuffles, both
+        // keyed on doc_id (+gram) — per-doc state never leaves its
+        // aggregation buffer.
+        val g = docs(s, dir)
+          .withColumn("__toks", split(trim(col("text")), "\\s+"))
+          .select(col("doc_id"), explode(grams(2)).as("gram"))
+        g.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_grams"),
+            max("c").as("top_c"),
+            count(lit(1)).as("n_distinct"))
+          .select(col("doc_id"), col("n_grams"),
+            (round(col("top_c") / col("n_grams"), 4) + lit(0.0))
+              .as("top_gram_frac"),
+            (round(lit(1.0) - col("n_distinct") / col("n_grams"), 4)
+              + lit(0.0)).as("dup_gram_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks
+             |  FROM documents),
+             |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             |        i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t),
+             |pc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+             |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+             |  ROUND(MAX(c) * 1.0 / SUM(c), 4) + 0.0 AS top_gram_frac,
+             |  ROUND(1.0 - COUNT(*) * 1.0 / SUM(c), 4) + 0.0 AS dup_gram_frac
+             |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "repetition quality signals (the Gopher-class gates): top " +
+        "2-gram occupancy and duplicate 2-gram fraction per doc — " +
+        "repetitive machine-generated text scores high on both and gets " +
+        "gated before training"),
+
+    Query(
+      "q_t_pii_scrub",
+      (s, dir) => {
+        // PII redaction: emails then long digit runs → typed placeholder
+        // tokens, with per-doc redaction counts for the audit trail. The
+        // corpus fixture carries no natural PII, so the query PLANTS a
+        // deterministic email + numeric ref per doc (pure doc_id
+        // arithmetic, replayed in the oracle) and must scrub exactly
+        // those. Map-only: one regex pass per pattern inside codegen.
+        val aug = concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@example.com ref "), (col("doc_id") * 7919).cast("string"))
+        val noEmail = regexp_replace(aug, emailRe, "<EMAIL>")
+        docs(s, dir).select(
+          col("doc_id"),
+          regexp_count(aug, lit(emailRe)).as("n_emails"),
+          regexp_count(noEmail, lit(numRe)).as("n_longnums"),
+          regexp_replace(noEmail, numRe, "<NUM>").as("scrubbed"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH aug AS (
+              |  SELECT doc_id,
+              |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+              |      || '@example.com ref ' || CAST(doc_id * 7919 AS VARCHAR) AS a
+              |  FROM documents),
+              |ne AS (SELECT doc_id, a,
+              |         regexp_replace(a, '$emailRe', '<EMAIL>', 'g') AS no_email
+              |       FROM aug)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(a, '$emailRe')) AS INT) AS n_emails,
+              |  CAST(len(regexp_extract_all(no_email, '$numRe')) AS INT) AS n_longnums,
+              |  regexp_replace(no_email, '$numRe', '<NUM>', 'g') AS scrubbed
+              |FROM ne ORDER BY doc_id""".stripMargin),
+      doc = "PII scrubbing: email + long-digit-run redaction to typed " +
+        "placeholders with per-doc counts — planted deterministic PII " +
+        "(the fixture has none) proves the scrub end-to-end; at 100 TB " +
+        "this is one map-only codegen pass, no shuffle"),
+
+    Query(
+      "q_t_corpus_diff",
+      (s, dir) => {
+        // Snapshot diffing — the dataset-versioning op a recipe pipeline
+        // runs between crawl drops: which docs are new, which changed
+        // content. "Yesterday's" snapshot is simulated deterministically
+        // (KeyHash(doc_id) < 0.8·P existed; every 17th doc had a ' v1'
+        // body), so the diff is exactly replayable; production swaps in
+        // the real previous-snapshot table — same plan. One join on
+        // doc_id, content compare by md5 — never a text-by-text diff.
+        val d = docs(s, dir)
+        val prev = d
+          .where(graft.functions.KeyHash.column(col("doc_id"))
+            < lit(1717986917L)) // floor(0.8 * (2^31-1))
+          .select(col("doc_id"),
+            md5(when(pmod(col("doc_id"), lit(17)) === 3,
+              concat(col("text"), lit(" v1")))
+              .otherwise(col("text"))).as("prev_hash"))
+        d.join(prev, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("prev_hash").isNull, lit("added"))
+              .when(col("prev_hash") =!= md5(col("text")), lit("changed"))
+              .otherwise(lit("unchanged")).as("status"))
+          .where(col("status") =!= "unchanged")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH prev AS (
+              |  SELECT doc_id,
+              |    md5(CASE WHEN doc_id % 17 = 3 THEN text || ' v1' ELSE text END) AS prev_hash
+              |  FROM documents
+              |  WHERE ${graft.functions.KeyHash.sql("doc_id")} < 1717986917),
+              |s AS (SELECT d.doc_id,
+              |        CASE WHEN p.prev_hash IS NULL THEN 'added'
+              |             WHEN p.prev_hash <> md5(d.text) THEN 'changed'
+              |             ELSE 'unchanged' END AS status
+              |      FROM documents d LEFT JOIN prev p USING (doc_id))
+              |SELECT doc_id, status FROM s
+              |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin),
+      doc = "corpus snapshot diff (dataset versioning): added/changed docs " +
+        "vs the previous drop by content hash — one equi-join + md5 " +
+        "compare, the audit a reproducible data recipe publishes per " +
+        "version bump"),
+
+    Query(
+      "q_t_pack_efficiency",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // The audit face of sequence packing: per (source, shard, pack)
+        // doc and token counts + fill ratio against the 256 budget. A doc
+        // that straddles a boundary counts in the pack where it STARTS
+        // (the greedy-fill contract), so fill_ratio > 1 is expected and
+        // honest — the report a packing run ships with. Same
+        // (source, KeyHash-shard) keying as q_t_sequence_pack.
+        val shard = pmod(graft.functions.KeyHash.column(col("doc_id")),
+          lit(8L))
+        val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            tokenCount(col("text")).as("n_tokens"))
+          .withColumn("shard", shard)
+          .withColumn("cum_before",
+            coalesce(sum("n_tokens").over(w), lit(0L)))
+          .withColumn("pack_id", expr("cum_before DIV 256"))
+          .groupBy("source", "shard", "pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("pack_tokens"))
+          .select(col("source"), col("shard"), col("pack_id"), col("n_docs"),
+            col("pack_tokens"),
+            (round(col("pack_tokens") / 256.0, 4) + lit(0.0))
+              .as("fill_ratio"))
+          .orderBy("source", "shard", "pack_id")
+      },
+      Some(s"""WITH tc AS (
+             |  SELECT doc_id, source,
+             |    ${graft.functions.KeyHash.sql("doc_id")} % 8 AS shard,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, shard, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |  FROM tc)
+             |SELECT source, shard, CAST(cum_before // 256 AS BIGINT) AS pack_id,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+             |  ROUND(SUM(n_tokens) / 256.0, 4) + 0.0 AS fill_ratio
+             |FROM c GROUP BY source, shard, cum_before // 256
+             |ORDER BY source, shard, pack_id""".stripMargin),
+      doc = "sequence-packing efficiency report: per (source, pack) doc/" +
+        "token counts and fill ratio vs the 256 budget — same windowed " +
+        "cumsum as q_t_sequence_pack plus one partial-agg shuffle; the " +
+        "waste metric that decides whether the budget or the shard " +
+        "ordering needs tuning"),
+
+    Query(
+      "q_t_bpe_merge_pairs",
+      (s, dir) => {
+        // The inner loop of BPE tokenizer training: count adjacent
+        // character pairs across all word tokens, rank the merge
+        // candidates. One explode→explode→partial-agg pipeline: pair
+        // counting absorbs map-side, the final top-k is
+        // TakeOrderedAndProject — at 100 TB the shuffled key space is the
+        // pair vocabulary (bounded), never the corpus.
+        val toks = docs(s, dir)
+          .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .where(col("tok") =!= "")
+        val pairs = when(length(col("tok")) < 2,
+          array().cast("array<string>"))
+          .otherwise(expr(
+            "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        toks.select(explode(pairs).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""WITH t AS (
+             |  SELECT unnest(list_filter(
+             |    string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS tok
+             |  FROM documents),
+             |p AS (SELECT unnest(list_transform(range(1, length(tok)),
+             |        i -> substr(tok, i, 2))) AS pair
+             |      FROM t WHERE length(tok) >= 2)
+             |SELECT pair, COUNT(*) AS n FROM p
+             |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+      doc = "BPE tokenizer training's inner loop: adjacent character-pair " +
+        "counts over word tokens, top merge candidates — map-side partial " +
+        "counts bound the shuffle to the pair vocabulary, top-k via " +
+        "per-partition heaps (TakeOrderedAndProject)"),
+
+    Query(
+      "q_s_temperature_mix",
+      (s, dir) => {
+        // Temperature-based source mixing (the multilingual-corpus
+        // rebalancing rule): source s gets a token budget share
+        // ∝ p_s^α with α = 0.5 (sqrt — IEEE-exact on both engines, unlike
+        // libm pow), then keep_rate = min(1, budget_s / tokens_s).
+        // Whole computation is ONE plan: per-source token totals (one
+        // partial-agg shuffle on ~10 keys), the Σ√p normalizer as a 1-row
+        // aggregate broadcast-cross-joined back — no driver-side collect.
+        val budget = 100000.0
+        // read twice below (normalizer + final projection): retain the
+        // ~#sources-row aggregate so the corpus is scanned once
+        val bySrc = graft.CacheScope.retain(docs(s, dir)
+          .select(col("source"), tokenCount(col("text")).as("n_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("tokens")))
+        val tot = bySrc.agg(
+          sum("tokens").as("__total"),
+          sum(sqrt(col("tokens").cast("double"))).as("__zsqrt"))
+        bySrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("tokens"),
+            (round(col("tokens") / col("__total"), 6) + lit(0.0)).as("share"),
+            (round(
+              least(lit(1.0),
+                (sqrt(col("tokens").cast("double")) / col("__zsqrt"))
+                  * lit(budget) / col("tokens")), 6) + lit(0.0))
+              .as("keep_rate"))
+          .orderBy("source")
+      },
+      Some("""WITH s AS (
+             |  SELECT source,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+             |  FROM documents),
+             |b AS (SELECT source, COUNT(*) AS n_docs,
+             |        CAST(SUM(n_tokens) AS BIGINT) AS tokens
+             |      FROM s GROUP BY source),
+             |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+             |          SUM(sqrt(CAST(tokens AS DOUBLE))) AS zsqrt FROM b)
+             |SELECT source, n_docs, tokens,
+             |  ROUND(tokens * 1.0 / total, 6) + 0.0 AS share,
+             |  ROUND(LEAST(1.0, (sqrt(CAST(tokens AS DOUBLE)) / zsqrt)
+             |    * 100000.0 / tokens), 6) + 0.0 AS keep_rate
+             |FROM b, tot ORDER BY source""".stripMargin),
+      doc = "temperature-based source mix (α = 0.5): per-source token " +
+        "budget ∝ √share, keep_rate = min(1, budget/tokens) — the domain " +
+        "rebalancing recipe computed as one plan (sqrt not pow: IEEE-" +
+        "exact on both engines); feeds KeyHash sampling for the actual cut")
+  )
+}

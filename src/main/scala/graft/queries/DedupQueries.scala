@@ -203,6 +203,66 @@ object DedupQueries extends QueryPack {
         "recursive closure"),
 
     Query(
+      "q_d_cross_source_pairs",
+      (s, dir) => {
+        // Data-pedigree check: near-dup pairs that CROSS source
+        // boundaries (the same content arriving via two feeds — the
+        // license/attribution and double-counting risk a corpus audit
+        // reports). Pair miner reused; the per-pair source lookup is two
+        // joins back to the doc table; pair keys are canonicalized
+        // (least/greatest) so one shuffle on the source pair aggregates.
+        val d = docs(s, dir)
+        val pairs = NearDup.exactJaccardPairs(d, "doc_id", "text", 3, 0.5)
+        pairs
+          .join(d.select(col("doc_id").as("doc_a"),
+            col("source").as("src_a")), "doc_a")
+          .join(d.select(col("doc_id").as("doc_b"),
+            col("source").as("src_b")), "doc_b")
+          .select(least(col("src_a"), col("src_b")).as("source_lo"),
+            greatest(col("src_a"), col("src_b")).as("source_hi"))
+          .groupBy("source_lo", "source_hi")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_lo", "source_hi")
+      },
+      Some(s"""WITH $shingleCtes,
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+              |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |pairs AS ($jaccardTail)
+              |SELECT LEAST(da.source, db.source) AS source_lo,
+              |  GREATEST(da.source, db.source) AS source_hi,
+              |  COUNT(*) AS n_pairs
+              |FROM pairs p JOIN documents da ON p.doc_a = da.doc_id
+              |             JOIN documents db ON p.doc_b = db.doc_id
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "cross-source near-dup audit: which feed pairs ship the same " +
+        "content — near-dup pairs joined back to sources, canonicalized " +
+        "(least, greatest) pair keys, one bounded aggregation; the " +
+        "double-counting/licensing report a corpus audit publishes"),
+
+    Query(
+      "q_d_containment_pairs",
+      (s, dir) =>
+        NearDup.containmentPairs(docs(s, dir), "doc_id", "text", 3, 0.8)
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $shingleCtes,
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+              |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT i.doc_a, i.doc_b,
+              |  ROUND(i.cnt * 1.0 / sa.n_sh, 4) + 0.0 AS cont_a,
+              |  ROUND(i.cnt * 1.0 / sb.n_sh, 4) + 0.0 AS cont_b
+              |FROM inter i JOIN sz sa ON i.doc_a = sa.doc_id
+              |             JOIN sz sb ON i.doc_b = sb.doc_id
+              |WHERE GREATEST(ROUND(i.cnt * 1.0 / sa.n_sh, 4) + 0.0,
+              |               ROUND(i.cnt * 1.0 / sb.n_sh, 4) + 0.0) >= 0.8
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "containment near-dup (|A∩B|/|A| per direction, keep if either " +
+        ">= 0.8): catches a doc EMBEDDED in a larger one — high containment, " +
+        "low Jaccard when sizes differ (quotes, boilerplate wrappers); same " +
+        "inverted-index shape as the Jaccard miner, never all-pairs"),
+
+    Query(
       "q_d_simhash_pairs",
       (s, dir) =>
         NearDup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)

@@ -63,36 +63,46 @@ object TextQueries extends QueryPack {
       "q_t_sequence_pack",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        // Contiguous greedy packing: within each source shard (ordered by
-        // doc_id), bin = floor(tokens-before-me / budget) — the streaming
-        // packer's assignment, one window pass per shard, no global sort.
-        val w = Window.partitionBy("source").orderBy("doc_id")
+        // Contiguous greedy packing: within each (source, shard) — shard =
+        // KeyHash(doc_id) mod 8, because source cardinality alone may be
+        // TINY (a 10B-doc source would otherwise become ONE sort
+        // partition) — bin = floor(tokens-before-me / budget). Packing
+        // needs only A deterministic order per shard, not a global one,
+        // so sub-sharding is free parallelism: window sort cost is
+        // bounded per shard at any corpus size, nShards is the knob.
+        val shard = pmod(graft.functions.KeyHash.column(col("doc_id")),
+          lit(8L))
+        val w = Window.partitionBy("source", "shard").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             tokenCount(col("text")).as("n_tokens"))
+          .withColumn("shard", shard)
           .withColumn("cum_before",
             coalesce(sum("n_tokens").over(w), lit(0L)))
-          .select(col("doc_id"), col("source"), col("n_tokens"),
+          .select(col("doc_id"), col("source"), col("shard"),
+            col("n_tokens"),
             expr("cum_before DIV 256").as("pack_id"))
       },
-      Some("""WITH tc AS (
+      Some(s"""WITH tc AS (
              |  SELECT doc_id, source,
+             |    ${graft.functions.KeyHash.sql("doc_id")} % 8 AS shard,
              |    CASE WHEN length(trim(text)) = 0 THEN 0
-             |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+             |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
              |  FROM documents),
              |c AS (
-             |  SELECT doc_id, source, n_tokens,
-             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |  SELECT doc_id, source, shard, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
              |  FROM tc)
-             |SELECT doc_id, source, n_tokens,
+             |SELECT doc_id, source, shard, n_tokens,
              |  CAST(cum_before // 256 AS BIGINT) AS pack_id
              |FROM c""".stripMargin),
-      doc = "sequence packing for training batches: per-source-shard " +
-        "contiguous fill to a 256-token budget via one windowed cumsum — " +
-        "shards pack independently (partitionBy), so 100 TB packs with one " +
-        "shuffle on source and zero global coordination"),
+      doc = "sequence packing for training batches: contiguous fill to a " +
+        "256-token budget via one windowed cumsum per (source, " +
+        "KeyHash-shard) — sub-sharding bounds each window sort regardless " +
+        "of source cardinality (a 10B-doc source never becomes one sort " +
+        "partition); shards pack independently, zero global coordination"),
 
     Query(
       "q_t_langid_confusion",

@@ -251,6 +251,107 @@ object VectorQueries extends QueryPack {
         ".toFloat, which also absorbs AVG summation-order ulps)"),
 
     Query(
+      "q_e_label_centroids",
+      (s, dir) => {
+        import s.implicits._
+        // Nearest-centroid classification over the labeled corpus — the
+        // eval loop for "are these embeddings separable by label":
+        // per-label mean centroid (one (label, dim) partial-agg shuffle,
+        // float32-quantized like Lloyd so the oracle replays it), then a
+        // map-only best_cell assignment and per-label accuracy. Centroid
+        // collect is O(nLabels·dim) — bounded by config, the IVF posture.
+        val e = emb(s, dir)
+        val cents = e
+          .select(col("label").cast("long").as("label"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg(avg(col("v").cast("double")).as("m"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (l, rows) =>
+            (l, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat))
+          }
+          .toArray.sortBy(_._1)
+        val pred = e.withColumn("pred",
+          graft.functions.VectorExpressions.best_cell(
+            col("embedding"), cents.map(_._2), cents.map(_._1)))
+        pred.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("pred") === col("label").cast("long")).cast("long"))
+              .as("n_correct"))
+          .select(col("label"), col("n"), col("n_correct"),
+            (round(col("n_correct") / col("n"), 4) + lit(0.0)).as("acc"))
+          .orderBy("label")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+              |m AS (SELECT label, j, CAST(CAST(AVG(emb[j]) AS REAL) AS DOUBLE) AS mu
+              |      FROM e, (SELECT unnest(range(1, 65)) AS j) GROUP BY label, j),
+              |c AS (SELECT label AS clabel, list(mu ORDER BY j) AS cemb FROM m GROUP BY label),
+              |p AS (SELECT e.vec_id, e.label,
+              |        (SELECT c.clabel FROM c
+              |         ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.clabel
+              |         LIMIT 1) AS pred
+              |      FROM e)
+              |SELECT label, COUNT(*) AS n,
+              |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+              |  ROUND(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) + 0.0 AS acc
+              |FROM p GROUP BY label ORDER BY label""".stripMargin),
+      doc = "nearest-centroid label eval: per-label mean embedding (one " +
+        "partial-agg shuffle, float32-quantized means), map-only codegen'd " +
+        "assignment, per-label accuracy — the embedding-separability check " +
+        "run before trusting labels for sampling or dedup"),
+
+    Query(
+      "q_e_quantize_int8",
+      (s, dir) => {
+        // Symmetric per-dimension int8 quantization of the embedding
+        // corpus — the compression step an ANN index at 10^9 vectors runs
+        // before anything else (4x memory cut). Two passes, both keyed on
+        // the 64 dims: (1) per-dim absmax -> scale (a dim-sized frame,
+        // broadcast back), (2) map-side quantize q = floor(v/scale + .5)
+        // clamped to [-127,127]. floor(x+0.5), not round(): HALF_UP vs
+        // banker's differs between engines; floor is IEEE-identical.
+        // Outputs are integers (exact on both engines) plus the scale.
+        val e = Tables(s, dir, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("dim"), col("v").cast("double").as("v"))
+        val scales = e.groupBy("dim")
+          .agg((greatest(abs(min("v")), abs(max("v"))) / 127.0).as("scale"))
+        val q = e.join(broadcast(scales), "dim")
+          .select(col("dim"), col("scale"),
+            when(col("scale") === 0.0, lit(0L)).otherwise(
+              greatest(lit(-127L), least(lit(127L),
+                floor(col("v") / col("scale") + 0.5)))).as("q"))
+        q.groupBy("dim")
+          .agg(first(round(col("scale"), 6) + lit(0.0)).as("scale"),
+            sum("q").as("sum_q"),
+            sum(abs(col("q"))).as("sum_abs_q"),
+            sum((abs(col("q")) === 127L).cast("long")).as("n_clipped"))
+          .orderBy("dim")
+      },
+      Some("""WITH e AS (
+             |  SELECT j - 1 AS dim, CAST(embedding[j] AS DOUBLE) AS v
+             |  FROM embeddings, (SELECT unnest(range(1, 65)) AS j)),
+             |s AS (SELECT dim, GREATEST(ABS(MIN(v)), ABS(MAX(v))) / 127.0 AS scale
+             |      FROM e GROUP BY dim),
+             |q AS (SELECT e.dim, s.scale,
+             |        CASE WHEN s.scale = 0.0 THEN 0
+             |             ELSE GREATEST(-127, LEAST(127,
+             |               CAST(FLOOR(e.v / s.scale + 0.5) AS BIGINT))) END AS q
+             |      FROM e JOIN s USING (dim))
+             |SELECT CAST(dim AS INT) AS dim,
+             |  ROUND(ANY_VALUE(scale), 6) + 0.0 AS scale,
+             |  CAST(SUM(q) AS BIGINT) AS sum_q,
+             |  CAST(SUM(ABS(q)) AS BIGINT) AS sum_abs_q,
+             |  CAST(SUM(CASE WHEN ABS(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+             |FROM q GROUP BY dim ORDER BY dim""".stripMargin),
+      doc = "int8 scalar quantization of the embedding corpus: per-dim " +
+        "absmax scale (one partial-agg pass, dim-sized result broadcast " +
+        "back) then a map-only quantize — integer outputs are engine-exact; " +
+        "floor(x+0.5) instead of round() because HALF_UP/banker's rounding " +
+        "differs across engines"),
+
+    Query(
       "q_e_embed_neardup_pairs",
       (s, dir) => {
         import graft.functions.VectorExpressions.cosine_sim

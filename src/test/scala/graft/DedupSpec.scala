@@ -31,6 +31,23 @@ class DedupSpec extends AnyFunSuite {
     assert(j == 1.0)
   }
 
+  test("containmentPairs catches a subset doc that Jaccard misses") {
+    // doc 5 = the first 6 words of doc 0: 4 of doc 0's 12 shingles →
+    // Jaccard 4/12 = 0.33 (below the 0.5 gate) but containment of the
+    // small side = 4/4 = 1.0 — the doc-embedded-in-doc case
+    val withSubset = corpus.union(
+      Seq((5L, "the quick brown fox jumps over")).toDF("doc_id", "text"))
+    val jacc = NearDup.exactJaccardPairs(withSubset, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!jacc.contains((0L, 5L)), "jaccard 0.33 must not pass the 0.5 gate")
+    val cont = NearDup.containmentPairs(withSubset, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b", "cont_a", "cont_b")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(cont.contains((0L, 5L)), s"containment must flag the subset: $cont")
+    assert(cont((0L, 5L))._2 == 1.0, "small side fully contained")
+  }
+
   test("prefix-filtered Jaccard equals the plain inverted-index join") {
     // planted corpus
     val a = NearDup.exactJaccardPairs(corpus, "doc_id", "text", 3, 0.5)

@@ -39,6 +39,22 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("key_hash from SQL text equals the KeyHash column (one definition)") {
+    GraftExtensions.register(spark)
+    val ids = Seq(0L, 1L, 42L, 44000L, 123456789L)
+    ids.toDF("id").createOrReplaceTempView("t_ext_kh")
+    val viaSql = spark.sql("SELECT key_hash(id) AS h FROM t_ext_kh ORDER BY id")
+      .as[Long].collect().toSeq
+    val viaColumn = ids.toDF("id").orderBy("id")
+      .select(graft.functions.KeyHash.column($"id")).as[Long].collect().toSeq
+    assert(viaSql == viaColumn)
+    // and the SQL fragment (the oracle face) agrees too
+    val viaFragment = spark.sql(
+      s"SELECT ${graft.functions.KeyHash.sql("id")} AS h FROM t_ext_kh ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(viaFragment == viaColumn)
+  }
+
   test("literal-arg validation fails clearly") {
     GraftExtensions.register(spark)
     Seq("x").toDF("text").createOrReplaceTempView("t_ext3")

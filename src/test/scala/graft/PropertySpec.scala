@@ -37,16 +37,17 @@ class PropertySpec extends AnyFunSuite {
   test("sequence pack: bins are contiguous per shard and budget-consistent") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q_t_sequence_pack")(spark, dir)
-      .select("source", "doc_id", "n_tokens", "pack_id")
-      .as[(String, Long, Int, Long)].collect()
-    rows.groupBy(_._1).foreach { case (_, shard) =>
-      val sorted = shard.sortBy(_._2)
+      .select("source", "shard", "doc_id", "n_tokens", "pack_id")
+      .as[(String, Long, Long, Int, Long)].collect()
+    assert(rows.map(_._2).distinct.length > 1, "sub-sharding must engage")
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, shard) =>
+      val sorted = shard.sortBy(_._3)
       // pack ids never decrease along the shard order, start at 0
-      val packs = sorted.map(_._4)
+      val packs = sorted.map(_._5)
       assert(packs.head == 0L && packs.zip(packs.tail).forall { case (x, y) => x <= y })
       // bin boundary = running token count crossing the 256 budget
       var cum = 0L
-      sorted.foreach { case (_, _, tok, pid) =>
+      sorted.foreach { case (_, _, _, tok, pid) =>
         assert(pid == cum / 256, s"pack_id $pid != ${cum / 256}")
         cum += tok
       }

@@ -18,7 +18,8 @@ object QueryInventory {
       "SQL text surface" -> queries.SqlQueries,
       "Scale variants" -> queries.ApproxQueries,
       "Multimodal" -> queries.MultimodalQueries,
-      "Deterministic sampling" -> queries.SamplingQueries)
+      "Deterministic sampling" -> queries.SamplingQueries,
+      "Corpus curation" -> queries.CurationQueries)
     val sb = new StringBuilder
     sb.append("# QUERIES — the declared operator surface\n\n")
     sb.append("Auto-generated from `SparkEntry` metadata ")

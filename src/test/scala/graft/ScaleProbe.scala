@@ -44,8 +44,14 @@ object ScaleProbe {
         .drop("rep")
         .repartition(32)
         .write.mode("overwrite").parquet(big + "/documents.parquet")
-      // embeddings/others: symlink-substitute by copying references
-      Seq("embeddings", "region", "nation", "customer", "supplier", "part",
+      val emb = Tables(spark, base, "embeddings")
+      emb.crossJoin(spark.range(10).toDF("rep"))
+        .withColumn("vec_id", col("vec_id") * 10 + col("rep"))
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(big + "/embeddings.parquet")
+      // others: symlink-substitute by copying references
+      Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem").foreach { t =>
         Tables(spark, base, t).write.mode("overwrite")
           .parquet(s"$big/$t.parquet")
@@ -72,7 +78,12 @@ object ScaleProbe {
       "stratified_sample" -> (dir => SparkEntry.queries("q_s_stratified_sample")(spark, dir)),
       "sequence_pack" -> (dir => SparkEntry.queries("q_t_sequence_pack")(spark, dir)),
       "dedup_groups_cc" -> (dir => SparkEntry.queries("q_d_dedup_groups")(spark, dir)),
-      "corpus_prep" -> (dir => SparkEntry.queries("q_t_corpus_prep")(spark, dir))
+      "corpus_prep" -> (dir => SparkEntry.queries("q_t_corpus_prep")(spark, dir)),
+      "decontaminate" -> (dir => SparkEntry.queries("q_t_decontaminate")(spark, dir)),
+      "repetition" -> (dir => SparkEntry.queries("q_t_repetition")(spark, dir)),
+      "pii_scrub" -> (dir => SparkEntry.queries("q_t_pii_scrub")(spark, dir)),
+      "temperature_mix" -> (dir => SparkEntry.queries("q_s_temperature_mix")(spark, dir)),
+      "quantize_int8" -> (dir => SparkEntry.queries("q_e_quantize_int8")(spark, dir))
     )
 
     // release builder caches between ops (the production request-boundary

@@ -127,6 +127,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(dirs.nonEmpty && dirs.length <= 8)
   }
 
+  test("curation quality gate runs identically in streaming (map-only ops)") {
+    // The corpus-filter signals (token count, quality, language-ID, PII
+    // scrub) are pure column expressions, so the SAME code gates a
+    // stream of arriving documents — assert batch/stream bit-equality on
+    // a doc micro-corpus. This is the ingest-time quality gate a crawl
+    // pipeline runs before anything lands in the lake.
+    import graft.text.TextAnalysis._
+    implicit val ctx = spark.sqlContext
+    def gate(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("quality", round(qualityScore("text"), 4))
+      .withColumn("lang_pred", langId("text"))
+      .where(col("n_tokens") >= 3)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog of the day"),
+      (2L, "el que de la y los un dia es de la casa"),
+      (3L, "x"),
+      (4L, "a a a a a a the of to and is in")).map { case (i, t) => (i, t) }
+    val batchOut = gate(docs.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    val outName = "curation_gate_stream"
+    val q = gate(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(outName)
+      .outputMode("append").start()
+    ms.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamOut = spark.table(outName).orderBy("doc_id").collect().toSeq
+    assert(streamOut == batchOut)
+  }
+
   test("kafka wiring is guarded: absent connector fails loud, not weird") {
     assume(!StreamIngest.kafkaConnectorAvailable,
       "connector present — the activation test below covers this env")

@@ -129,6 +129,56 @@ class VectorSpec extends AnyFunSuite {
       s"recall@10 too low: ${trained.toSet.intersect(exact.toSet).size}/10")
   }
 
+  test("q_e_quantize_int8: reconstruction bound and clip behavior") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_e_quantize_int8")(spark, dir)
+      .select("dim", "scale", "sum_q", "sum_abs_q", "n_clipped")
+      .as[(Int, Double, Long, Long, Long)].collect()
+    assert(rows.length == 64 && rows.map(_._1).toSeq == (0 until 64))
+    rows.foreach { case (d, scale, sumQ, sumAbsQ, nClip) =>
+      assert(scale > 0, s"dim $d: degenerate scale")
+      assert(math.abs(sumQ) <= sumAbsQ)
+      assert(nClip >= 1, s"dim $d: the absmax row itself must hit ±127")
+    }
+    // direct reconstruction check: |v - q·scale| <= scale/2 when
+    // unclipped — against the EXACT per-dim scale recomputed from data
+    // (the output scale is display-rounded to 6 digits)
+    val vals = Tables(spark, dir, "embeddings")
+      .select(posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"dim", $"v".cast("double").as("v"))
+      .as[(Int, Double)].collect()
+    val exactScale = vals.groupBy(_._1)
+      .map { case (d, vs) => d -> vs.map(x => math.abs(x._2)).max / 127.0 }
+    rows.foreach { case (d, outScale, _, _, _) =>
+      assert(math.abs(outScale - exactScale(d)) <= 5e-7,
+        s"dim $d: display scale drifted from absmax/127")
+    }
+    val bad = vals.count { case (d, v) =>
+      val s = exactScale(d)
+      val q = math.max(-127L, math.min(127L, math.floor(v / s + 0.5).toLong))
+      math.abs(q) < 127L && math.abs(v - q * s) > s / 2 + 1e-12
+    }
+    assert(bad == 0, s"$bad unclipped values violate the half-step bound")
+  }
+
+  test("q_e_label_centroids: well-formed accuracy frame, better than chance") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_e_label_centroids")(spark, dir)
+      .select("label", "n", "n_correct", "acc")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.length == 10)
+    rows.foreach { case (_, n, c, a) =>
+      assert(c <= n && a >= 0.0 && a <= 1.0)
+    }
+    val total = rows.map(_._2).sum
+    val correct = rows.map(_._3).sum
+    assert(total == 500)
+    // random embeddings → centroid assignment still beats the 10% chance
+    // floor on its own training set (self-assignment pulls toward the mean)
+    assert(correct * 10L > total,
+      s"accuracy ${correct.toDouble / total} not above 1/nLabels")
+  }
+
   test("cosineTopK exact ranking on a small frame") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)),
