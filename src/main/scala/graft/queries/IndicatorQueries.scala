@@ -79,19 +79,84 @@ object IndicatorQueries extends QueryPack {
              |FROM tr ORDER BY event_type""".stripMargin),
       doc = "SURVEY W9: ATR(14) — SMA-seeded Wilder recursion (TR = |Δ| in the degenerate h=l=c proxy)"),
 
-    // Full per-row indicator series: recursion output at every row — not
-    // closed-form SQL; driver records rows-only, ScalaTest covers values.
+    // Full per-row indicator series: the recursion output at EVERY row.
+    // The oracle replays each recursion as a scan-left (prefix fold) —
+    // list_reduce with a growing-list accumulator, seeded via
+    // list_prepend — then unnests row positions and aligns each series
+    // to its warm-up offset. Same IEEE operation order as the Scala fold,
+    // so values agree to the last ulp before the shared ROUND.
     Query(
       "q_w7w9_indicator_series",
       (s, dir) =>
         Indicators.compute(Tables(s, dir, "events"), "event_type", "ts",
           "event_id", "value", "value", "value", "value")
           .select(col("key").as("event_type"), col("id").as("event_id"),
-            round(col("rsi"), 4).as("rsi"),
-            round(col("macd_diff"), 4).as("macd_diff"),
-            round(col("atr"), 4).as("atr"),
-            round(col("obv"), 2).as("obv")),
-      None,
-      doc = "SURVEY W7-W10: per-row indicator frame — one shuffle + one sorted streaming pass for all four")
+            (round(col("rsi"), 4) + lit(0.0)).as("rsi"),
+            (round(col("macd_diff"), 4) + lit(0.0)).as("macd_diff"),
+            (round(col("atr"), 4) + lit(0.0)).as("atr"),
+            (round(col("obv"), 2) + lit(0.0)).as("obv")),
+      Some(s"""WITH s AS (
+              |  SELECT event_type,
+              |    list(value ORDER BY ts, event_id) AS vs,
+              |    list(event_id ORDER BY ts, event_id) AS ids
+              |  FROM events GROUP BY 1),
+              |b AS (SELECT event_type, vs, ids, len(vs) AS n,
+              |        list_transform(generate_series(2, len(vs)), i -> vs[i] - vs[i-1]) AS diffs
+              |      FROM s),
+              |sc AS (SELECT event_type, vs, ids, n, diffs,
+              |  ${scanl("list_transform(diffs, x -> greatest(x, 0.0))",
+                 "_A_ * (1 - 1.0/14) + _X_ * (1.0/14)")} AS ups,
+              |  ${scanl("list_transform(diffs, x -> greatest(-x, 0.0))",
+                 "_A_ * (1 - 1.0/14) + _X_ * (1.0/14)")} AS dns,
+              |  ${scanl("vs", "_A_ * (1 - 2.0/13) + _X_ * (2.0/13)")} AS fasts,
+              |  ${scanl("vs", "_A_ * (1 - 2.0/27) + _X_ * (2.0/27)")} AS slows,
+              |  list_transform(diffs, x -> abs(x)) AS trs
+              |  FROM b),
+              |sc2 AS (SELECT *,
+              |  list_transform(generate_series(26, n), i -> fasts[i] - slows[i]) AS macds,
+              |  ${scanlSeeded("list_avg(trs[1:14])", "trs[15:]",
+                 "(_A_ * 13.0 + _X_) / 14.0")} AS atrs,
+              |  ${scanlSeeded("vs[1]",
+                 "list_transform(generate_series(2, n), i -> CASE WHEN vs[i] < vs[i-1] THEN -vs[i] ELSE vs[i] END)",
+                 "_A_ + _X_")} AS obvs
+              |  FROM sc),
+              |sc3 AS (SELECT *,
+              |  ${scanl("macds", "_A_ * (1 - 2.0/10) + _X_ * (2.0/10)")} AS sigs
+              |  FROM sc2),
+              |rows_i AS (SELECT event_type, ids, ups, dns, macds, sigs, atrs, obvs,
+              |             unnest(generate_series(1, n)) AS i
+              |           FROM sc3)
+              |SELECT event_type, ids[i] AS event_id,
+              |  CASE WHEN i >= 15 THEN ROUND(100 - 100 / (1 + ups[i-1] / dns[i-1]), 4) + 0.0 END AS rsi,
+              |  CASE WHEN i >= 34 THEN ROUND(macds[i - 25] - sigs[i - 25], 4) + 0.0 END AS macd_diff,
+              |  CASE WHEN i >= 15 THEN ROUND(atrs[i - 14], 4) + 0.0 END AS atr,
+              |  ROUND(obvs[i], 2) + 0.0 AS obv
+              |FROM rows_i""".stripMargin),
+      doc = "SURVEY W7-W10: per-row indicator frame — one shuffle + one " +
+        "sorted streaming pass for all four; oracle replays every " +
+        "recursion as a scan-left prefix fold with warm-up-aligned indexing")
   )
+
+  /** DuckDB scan-left over a list expression: seed = first element, each
+    * step appended — the prefix-fold twin of the `list_reduce`
+    * final-value replay. The accumulator is a growing DOUBLE[] list;
+    * in `step`, `_A_` is its last element and `_X_` the incoming value.
+    */
+  private def scanl(listExpr: String, step: String): String = {
+    val s = step.replace("_A_", "acc[-1]").replace("_X_", "h[1]")
+    s"""list_reduce(
+       |    list_prepend([($listExpr)[1]], list_transform(($listExpr)[2:], e -> [e])),
+       |    (acc, h) -> list_append(acc, $s))""".stripMargin
+  }
+
+  /** Scan-left with an explicit seed over a tail list (`_A_`/`_X_` as in
+    * [[scanl]]).
+    */
+  private def scanlSeeded(seedExpr: String, tailExpr: String,
+      step: String): String = {
+    val s = step.replace("_A_", "acc[-1]").replace("_X_", "h[1]")
+    s"""list_reduce(
+       |    list_prepend([CAST(($seedExpr) AS DOUBLE)], list_transform(($tailExpr), e -> [e])),
+       |    (acc, h) -> list_append(acc, $s))""".stripMargin
+  }
 }

@@ -49,6 +49,37 @@ object Relational extends QueryPack {
              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
       doc = "SURVEY §2.4 A3-style grouped aggregate; partial agg map-side, one shuffle on group keys"),
 
+    // ---- join-key skew audit (the pre-join diagnostic a 100 TB run needs) ----
+    Query(
+      "q_a_skew_audit",
+      (s, dir) => {
+        // Before shuffling a fact table on a key, measure the key's
+        // frequency distribution: hottest-key mass and frequency
+        // percentiles decide whether the plain shuffle is safe or the
+        // SkewSafe salted path / AQE skew-join is needed. One partial-agg
+        // shuffle on the key, then an aggregation over the (bounded)
+        // per-key frame — O(#keys), never O(rows).
+        val freq = Tables(s, dir, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("f"))
+        freq.agg(
+          count(lit(1)).as("n_keys"),
+          max(col("f")).as("max_f"),
+          (round(expr("percentile(f, 0.5)"), 4) + lit(0.0)).as("p50_f"),
+          (round(expr("percentile(f, 0.99)"), 4) + lit(0.0)).as("p99_f"),
+          (round(max(col("f")) / sum(col("f")), 6) + lit(0.0))
+            .as("hottest_share"))
+      },
+      Some("""WITH f AS (SELECT user_id, COUNT(*) AS f FROM events GROUP BY user_id)
+             |SELECT COUNT(*) AS n_keys, MAX(f) AS max_f,
+             |  ROUND(quantile_cont(f, 0.5), 4) + 0.0 AS p50_f,
+             |  ROUND(quantile_cont(f, 0.99), 4) + 0.0 AS p99_f,
+             |  ROUND(MAX(f) * 1.0 / SUM(f), 6) + 0.0 AS hottest_share
+             |FROM f""".stripMargin),
+      doc = "join-key skew audit: per-key frequency percentiles + " +
+        "hottest-key mass on the fact side — the diagnostic that decides " +
+        "between a plain shuffle, SkewSafe salting, or AQE skew-join " +
+        "BEFORE the 100 TB shuffle runs; O(#keys) after one partial agg"),
+
     // ---- time-range scan (reference S4: Cassandra prepared range scan) ----
     Query(
       "q_scan_range",

@@ -251,6 +251,72 @@ object VectorQueries extends QueryPack {
         ".toFloat, which also absorbs AVG summation-order ulps)"),
 
     Query(
+      "q_e_index_prep",
+      (s, dir) => {
+        // FLAGSHIP (vector pillar): the end-to-end "build the ANN index
+        // from a raw corpus" sweep — near-dup GROUP collapse over the
+        // documents (inverted index + connected components, stop-shingle
+        // cap 64), keep each group's canonical, join the embedding rows
+        // of the survivors (vec_id = doc_id in the fixture; production
+        // joins on the content key), assign every kept vector to its IVF
+        // cell, and report the per-cell occupancy an index build ships
+        // with. Every stage is the already-proven operator; this query
+        // is the evidence they COMPOSE as one declarative plan.
+        import graft.dedup.NearDup
+        val d = Tables(s, dir, "documents")
+        val groups = NearDup.connectedComponents(
+          NearDup.exactJaccardPairs(d, "doc_id", "text", 3, 0.5,
+            maxDocsPerShingle = Some(64)),
+          "doc_a", "doc_b")
+        val canon = d.select(col("doc_id"))
+          .join(groups, col("doc_id") === col("node"), "left")
+          .where(col("node").isNull || col("doc_id") === col("group_id"))
+          .select(col("doc_id"))
+        val e = emb(s, dir)
+        val kept = e.join(canon, e("vec_id") === canon("doc_id"))
+          .select(e("vec_id"), e("embedding"))
+        val cents = VectorSearch.seedCentroids(kept, "vec_id", "embedding", 16)
+        kept
+          .withColumn("cell",
+            graft.functions.VectorExpressions.best_cell(
+              col("embedding"), cents.map(_._2), cents.map(_._1)))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH RECURSIVE ${DedupQueries.cappedShingleCtes(64)},
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+              |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+              |          JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id
+              |          WHERE ROUND(i.cnt * 1.0 / (sa.n_sh + sb.n_sh - i.cnt), 4) >= 0.5),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |          UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(node, lbl) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT ed.dst, r.lbl FROM reach r JOIN edges ed ON ed.src = r.node),
+              |grp AS (SELECT node, MIN(lbl) AS group_id FROM reach GROUP BY node),
+              |canon AS (SELECT doc_id FROM documents LEFT JOIN grp ON doc_id = grp.node
+              |          WHERE node IS NULL OR doc_id = group_id),
+              |kept AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |         FROM embeddings JOIN canon ON vec_id = canon.doc_id),
+              |cents AS (SELECT vec_id AS cid, emb AS cemb FROM kept WHERE vec_id < 16),
+              |asg AS (SELECT k.vec_id,
+              |          (SELECT c.cid FROM cents c
+              |           ORDER BY list_cosine_similarity(k.emb, c.cemb) DESC, c.cid
+              |           LIMIT 1) AS cell
+              |        FROM kept k)
+              |SELECT cell, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+              |FROM asg GROUP BY cell ORDER BY cell""".stripMargin),
+      doc = "FLAGSHIP index build: near-dup group collapse -> canonical " +
+        "survivors -> embedding join -> IVF cell assignment -> per-cell " +
+        "occupancy, as ONE declarative plan — the vector-pillar twin of " +
+        "q_t_corpus_prep; oracle replays every stage including the " +
+        "recursive closure and the argmax assignment"),
+
+    Query(
       "q_e_label_centroids",
       (s, dir) => {
         import s.implicits._

@@ -83,7 +83,10 @@ object ScaleProbe {
       "repetition" -> (dir => SparkEntry.queries("q_t_repetition")(spark, dir)),
       "pii_scrub" -> (dir => SparkEntry.queries("q_t_pii_scrub")(spark, dir)),
       "temperature_mix" -> (dir => SparkEntry.queries("q_s_temperature_mix")(spark, dir)),
-      "quantize_int8" -> (dir => SparkEntry.queries("q_e_quantize_int8")(spark, dir))
+      "quantize_int8" -> (dir => SparkEntry.queries("q_e_quantize_int8")(spark, dir)),
+      "containment" -> (dir => SparkEntry.queries("q_d_containment_pairs")(spark, dir)),
+      "index_prep" -> (dir => SparkEntry.queries("q_e_index_prep")(spark, dir)),
+      "skew_audit" -> (dir => SparkEntry.queries("q_a_skew_audit")(spark, dir))
     )
 
     // release builder caches between ops (the production request-boundary
