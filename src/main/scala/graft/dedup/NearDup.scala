@@ -115,21 +115,31 @@ object NearDup {
     jaccardOfPairs(d, inter, idCol, threshold)
   }
 
-  /** MinHash signatures + banded candidate pairs, then exact verify. */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+  /** (id, band, band_val) MinHash band buckets — the PERSISTED index shape:
+    * an ingest pipeline computes this once per corpus (one codegen map
+    * pass), writes it partitioned by (band, band_val mod nBuckets), and
+    * every later delta batch probes it without touching corpus text.
+    */
+  def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
     val sig = docs.select(col(idCol),
       min_hash_signature(col(textCol), n, k).as("__sig"))
     // band value: left fold (v·8191 + mh) mod P over the band's r values —
     // integer-exact, replayable in SQL
-    val banded = sig
+    sig
       .select(col(idCol), explode(sequence(lit(0), lit(bands - 1))).as("band"),
         col("__sig"))
       .withColumn("band_val", expr(
         s"aggregate(slice(__sig, band * $r + 1, $r), 0L, (a, x) -> (a * 8191 + x) % $P)"))
       .drop("__sig")
+  }
+
+  /** MinHash signatures + banded candidate pairs, then exact verify. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val banded = bandedSignatures(docs, idCol, textCol, n, k, bands)
     val cand = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") &&
           col("a.band_val") === col("b.band_val") &&
@@ -143,6 +153,62 @@ object NearDup {
         col("da.shingle") === col("db.shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     jaccardOfPairs(d, inter, idCol, threshold)
+  }
+
+  /** INCREMENTAL ingest dedup — the production shape: a new crawl batch
+    * (`delta`) is checked against an EXISTING corpus without ever mining
+    * corpus×corpus pairs. Flags each delta doc that near-dups a corpus doc
+    * or an earlier delta doc (the within-batch survivor is the smaller id).
+    *
+    * Scale shape, in order:
+    *  1. band signatures of both sides ([[bandedSignatures]] — for the
+    *     corpus this is the persisted index in production, re-derived here);
+    *  2. candidate mining: the corpus index is probed with the BROADCAST
+    *     delta index (a crawl increment is small next to a 100 TB corpus),
+    *     so the corpus side is never shuffled; within-batch candidates are
+    *     a delta-only self-join;
+    *  3. exact-Jaccard verify touches only CANDIDATE docs: a semi-join
+    *     prunes the doc universe to candidate ids BEFORE tokenizing —
+    *     verify cost is O(candidates), not O(corpus).
+    *
+    * Output: (new_doc, dup_of, jaccard) for every verified duplicate, where
+    * `new_doc` is always from the delta.
+    */
+  def incrementalDedup(corpus: DataFrame, delta: DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val sigC = bandedSignatures(corpus, idCol, textCol, n, k, bands)
+    val sigD = bandedSignatures(delta, idCol, textCol, n, k, bands)
+    val candCorpus = sigC.alias("c").join(broadcast(sigD).alias("nw"),
+        col("c.band") === col("nw.band") &&
+          col("c.band_val") === col("nw.band_val"))
+      .select(col(s"nw.$idCol").as("new_doc"), col(s"c.$idCol").as("dup_of"))
+    val candBatch = sigD.alias("a").join(sigD.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"b.$idCol").as("new_doc"), col(s"a.$idCol").as("dup_of"))
+    val cand = candCorpus.unionByName(candBatch).distinct()
+    val candIds = cand.select(col("new_doc").as(idCol))
+      .unionByName(cand.select(col("dup_of").as(idCol))).distinct()
+    val universe = corpus.select(col(idCol), col(textCol))
+      .unionByName(delta.select(col(idCol), col(textCol)))
+    val d = docShingles(universe.join(candIds, Seq(idCol), "left_semi"),
+      idCol, textCol, n)
+    val sizes = d.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    cand
+      .join(d.alias("da"), col("new_doc") === col(s"da.$idCol"))
+      .join(d.alias("db"), col("dup_of") === col(s"db.$idCol") &&
+        col("da.shingle") === col("db.shingle"))
+      .groupBy("new_doc", "dup_of").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col(idCol).as("new_doc"), col("n_sh").as("n_a")),
+        "new_doc")
+      .join(sizes.select(col(idCol).as("dup_of"), col("n_sh").as("n_b")),
+        "dup_of")
+      .select(col("new_doc"), col("dup_of"),
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** Containment near-dup pairs: |A∩B|/|A| and |A∩B|/|B| per candidate

@@ -52,11 +52,11 @@ object DedupQueries extends QueryPack {
        |  list_transform(generate_series(1, length($e)), c -> CAST(ord($e[c]) AS BIGINT))),
        |  (a, x) -> (a * 31 + x) % 2147483647)""".stripMargin
 
-  /** MinHash signature → band buckets → candidate pairs → exact-Jaccard
-    * intersection counts, as shared CTEs (replays
-    * [[graft.dedup.NearDup.minhashLshPairs]] integer-for-integer).
+  /** MinHash signature → band buckets, as shared CTEs (replays
+    * [[graft.dedup.NearDup.bandedSignatures]] integer-for-integer) — the
+    * `bnd` CTE is the replayed persisted-index shape.
     */
-  private val minhashCtes =
+  private val minhashSigCtes =
     s"""$shingleCtes,
        |dh AS (SELECT doc_id, ${foldSql("shingle")} AS h FROM d),
        |hsh AS (SELECT t.doc_id, coalesce(g.hs, CAST([] AS BIGINT[])) AS hs
@@ -70,7 +70,13 @@ object DedupQueries extends QueryPack {
        |bnd AS (SELECT doc_id, band,
        |          list_reduce(list_prepend(CAST(0 AS BIGINT), sig[band*4+1 : band*4+4]),
        |            (a, x) -> (a * 8191 + x) % 2147483647) AS band_val
-       |        FROM sigt, (SELECT unnest(range(0, 4)) AS band)),
+       |        FROM sigt, (SELECT unnest(range(0, 4)) AS band))""".stripMargin
+
+  /** [[minhashSigCtes]] + candidate pairs + exact-Jaccard intersection
+    * counts (replays [[graft.dedup.NearDup.minhashLshPairs]]).
+    */
+  private val minhashCtes =
+    s"""$minhashSigCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.band_val = b.band_val
        |                    AND a.doc_id < b.doc_id),
@@ -201,6 +207,45 @@ object DedupQueries extends QueryPack {
         "candidate join -> exact-Jaccard verify -> connected-components " +
         "group collapse; oracle replays every stage including the " +
         "recursive closure"),
+
+    Query(
+      "q_d_incremental_dedup",
+      (s, dir) => {
+        // The production ingest gate: docs with id >= 400 arrive as the
+        // new crawl batch, everything below is the already-ingested
+        // corpus. (The 400 split is a fixture constant; production passes
+        // two real tables and the corpus side is the persisted band
+        // index.) The corpus is never self-joined — only probed with the
+        // broadcast delta index — and verify tokenizes candidates only.
+        val d = docs(s, dir)
+        NearDup.incrementalDedup(
+          d.where(col("doc_id") < 400), d.where(col("doc_id") >= 400),
+          "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
+          .withColumn("origin",
+            when(col("dup_of") < 400, lit("corpus")).otherwise(lit("batch")))
+          .orderBy("new_doc", "dup_of")
+      },
+      Some(s"""WITH $minhashSigCtes,
+              |icand AS (SELECT DISTINCT b.doc_id AS new_doc, a.doc_id AS dup_of
+              |          FROM bnd a JOIN bnd b ON a.band = b.band AND a.band_val = b.band_val
+              |          WHERE b.doc_id >= 400 AND (a.doc_id < 400 OR a.doc_id < b.doc_id)),
+              |iinter AS (SELECT c.new_doc, c.dup_of, COUNT(*) AS cnt
+              |           FROM icand c JOIN d da ON da.doc_id = c.new_doc
+              |                        JOIN d db ON db.doc_id = c.dup_of AND db.shingle = da.shingle
+              |           GROUP BY 1, 2)
+              |SELECT i.new_doc, i.dup_of,
+              |  ROUND(i.cnt * 1.0 / (sa.n_sh + sb.n_sh - i.cnt), 4) AS jaccard,
+              |  CASE WHEN i.dup_of < 400 THEN 'corpus' ELSE 'batch' END AS origin
+              |FROM iinter i JOIN sz sa ON i.new_doc = sa.doc_id
+              |              JOIN sz sb ON i.dup_of = sb.doc_id
+              |WHERE ROUND(i.cnt * 1.0 / (sa.n_sh + sb.n_sh - i.cnt), 4) >= 0.5
+              |ORDER BY new_doc, dup_of""".stripMargin),
+      doc = "INCREMENTAL ingest dedup — the shape that makes 100 TB dedup " +
+        "affordable per batch: new docs probe the persisted corpus band " +
+        "index (broadcast delta, corpus never shuffled or self-joined), " +
+        "within-batch pairs from a delta-only self-join, exact-Jaccard " +
+        "verify tokenizes CANDIDATE docs only (semi-join prune); cost per " +
+        "ingest is O(delta + candidates), not O(corpus)"),
 
     Query(
       "q_d_cross_source_pairs",

@@ -80,6 +80,67 @@ object Relational extends QueryPack {
         "between a plain shuffle, SkewSafe salting, or AQE skew-join " +
         "BEFORE the 100 TB shuffle runs; O(#keys) after one partial agg"),
 
+    // ---- Z-order layout audit (the data-skipping design decision) ----
+    Query(
+      "q_a_zorder_layout",
+      (s, dir) => {
+        // Would re-clustering this table on a Z-order (Morton) key help
+        // data skipping? Simulate both layouts over the SAME rows —
+        // arrival order (event_id ranges, what ingest writes) vs Z-order
+        // buckets over (user_id, minute-of-day) — and report each file's
+        // expected point-query coverage of the 2-D key space. Everything
+        // is map-only integer math + one bounded agg (O(#files) rows);
+        // the Morton code interleaves bits declaratively, so at 100 TB
+        // this audit is one scan. Small avg_cell_coverage = a point
+        // predicate on (user, minute) prunes most files.
+        val base = Tables(s, dir, "events").select(
+          col("event_id"),
+          pmod(col("user_id"), lit(1024L)).as("x"),
+          (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("y"))
+        val morton = expr(
+          """aggregate(sequence(0, 10), 0L, (a, i) ->
+            |  a + shiftleft(shiftright(x, i) & 1, 2*i)
+            |    + shiftleft(shiftright(y, i) & 1, 2*i + 1))""".stripMargin)
+        val m = base.withColumn("morton", morton)
+        val files = m.select(lit("zorder").as("layout"),
+            shiftright(col("morton"), 17).as("file_id"), col("x"), col("y"))
+          .unionByName(m.select(lit("arrival").as("layout"),
+            expr("event_id div 2048").as("file_id"), col("x"), col("y")))
+        files.groupBy("layout", "file_id")
+          .agg(min("x").as("x0"), max("x").as("x1"),
+            min("y").as("y0"), max("y").as("y1"))
+          .groupBy("layout")
+          .agg(count(lit(1)).as("n_files"),
+            (round(avg((col("x1") - col("x0") + 1) * (col("y1") - col("y0") + 1) /
+              lit(1024.0 * 1440.0)), 6) + lit(0.0)).as("avg_cell_coverage"))
+          .orderBy("layout")
+      },
+      Some("""WITH base AS (SELECT event_id, user_id % 1024 AS x,
+             |         CAST(date_part('hour', ts) * 60 + date_part('minute', ts) AS BIGINT) AS y
+             |       FROM events),
+             |m AS (SELECT event_id, x, y,
+             |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(range(0, 11), i ->
+             |            (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1)))),
+             |          (a, b) -> a + b) AS morton
+             |      FROM base),
+             |files AS (
+             |  SELECT 'zorder' AS layout, morton >> 17 AS file_id, x, y FROM m
+             |  UNION ALL
+             |  SELECT 'arrival', event_id // 2048, x, y FROM m),
+             |pf AS (SELECT layout, file_id, MIN(x) AS x0, MAX(x) AS x1,
+             |         MIN(y) AS y0, MAX(y) AS y1
+             |       FROM files GROUP BY 1, 2)
+             |SELECT layout, COUNT(*) AS n_files,
+             |  ROUND(AVG((x1 - x0 + 1) * (y1 - y0 + 1) / (1024.0 * 1440.0)), 6) + 0.0
+             |    AS avg_cell_coverage
+             |FROM pf GROUP BY layout ORDER BY layout""".stripMargin),
+      doc = "Z-order layout audit: per-file (min,max) key-space coverage " +
+        "under arrival-order vs Morton-bucketed layouts of the SAME rows " +
+        "— the measured basis for a re-clustering decision; declarative " +
+        "bit-interleave, one scan, O(#files) agg; oracle replays the " +
+        "Morton fold bit-for-bit"),
+
     // ---- time-range scan (reference S4: Cassandra prepared range scan) ----
     Query(
       "q_scan_range",

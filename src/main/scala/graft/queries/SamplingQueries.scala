@@ -79,6 +79,37 @@ object SamplingQueries extends QueryPack {
               |FROM events GROUP BY event_type
               |ORDER BY event_type""".stripMargin),
       doc = "audit face of the stratified sample: achieved vs target rate per " +
-        "stratum — one partial-agg pass, the mix report a data recipe ships with")
+        "stratum — one partial-agg pass, the mix report a data recipe ships with"),
+
+    Query(
+      "q_s_fixed_k_sample",
+      (s, dir) => {
+        // EXACT-k per stratum (eval-set carving: "give me exactly 32 docs
+        // per source, reproducibly"): deterministic priority = the Lehmer
+        // key hash, ties by id. Rate-based sampling can't promise a count;
+        // rank-by-hash can. The rk <= 32 predicate triggers Spark's
+        // WindowGroupLimit: each map task keeps only its local top-32 per
+        // stratum BEFORE the shuffle, so the sort never sees the full
+        // stratum — the property that makes exact-k viable at 100 TB.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(KeyHash.column(col("doc_id")), col("doc_id"))
+        Tables(s, dir, "documents")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .where(col("rk") <= 32)
+          .select(col("doc_id"), col("source"), col("rk"))
+          .orderBy("source", "rk")
+      },
+      Some(s"""SELECT doc_id, source, rk FROM (
+              |  SELECT doc_id, source, ROW_NUMBER() OVER (
+              |    PARTITION BY source
+              |    ORDER BY ${KeyHash.sql("doc_id")}, doc_id) AS rk
+              |  FROM documents)
+              |WHERE rk <= 32 ORDER BY source, rk""".stripMargin),
+      doc = "exact-k-per-stratum sample (32 docs per source): rank by the " +
+        "deterministic Lehmer key hash, ties by id — reproducible counts " +
+        "where rate-based sampling only promises an expectation; the " +
+        "rk <= 32 filter becomes a WindowGroupLimit (map-side partial " +
+        "top-k before the stratum shuffle)")
   )
 }

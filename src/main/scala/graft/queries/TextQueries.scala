@@ -158,6 +158,100 @@ object TextQueries extends QueryPack {
       doc = "document fingerprint: custom codegen'd rolling-hash Expression; oracle replays the byte fold"),
 
     Query(
+      "q_t_chunk_overlap",
+      (s, dir) => {
+        // Token-window chunking with overlap — the step that turns a raw
+        // corpus into fixed-width training sequences while keeping
+        // context across boundaries: 64-token chunks, stride 48 (16-token
+        // overlap), the LAST chunk always reaching the document end.
+        // Map-only (explode fan-out ∝ output), no shuffle: at 100 TB the
+        // chunker runs inside the scan stage. chunk_hash (rolling hash of
+        // the chunk text) is what downstream chunk-level exact dedup keys
+        // on.
+        val C = 64; val S = 48
+        val base = Tables(s, dir, "documents")
+          .withColumn("__toks",
+            expr("filter(split(trim(text), '\\\\s+'), t -> t <> '')"))
+          .withColumn("__n", size(col("__toks")))
+        val lastIdx = when(col("__n") <= C, lit(0L))
+          .otherwise(ceil((col("__n") - lit(C)) / lit(S.toDouble)).cast("long"))
+        base
+          .withColumn("chunk_idx", explode(sequence(lit(0L), lastIdx)))
+          .withColumn("start_tok", col("chunk_idx") * S + 1)
+          .withColumn("__chunk", slice(col("__toks"), col("start_tok"), lit(C)))
+          .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+            size(col("__chunk")).cast("long").as("n_tokens"),
+            fingerprint(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
+        // no ORDER BY: output is corpus-sized — a global sort here would
+        // be the 100 TB bottleneck; the driver's compare sorts rows itself
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |         list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks
+             |       FROM documents),
+             |nn AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+             |cc AS (SELECT doc_id, toks, n, unnest(range(0,
+             |         CASE WHEN n <= 64 THEN 1
+             |              ELSE 1 + CAST(ceil((n - 64) / 48.0) AS BIGINT) END)) AS chunk_idx
+             |       FROM nn),
+             |ch AS (SELECT doc_id, chunk_idx, chunk_idx * 48 + 1 AS start_tok,
+             |         len(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS n_tokens,
+             |         array_to_string(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ') AS ctext
+             |       FROM cc)
+             |SELECT doc_id, chunk_idx, start_tok, n_tokens,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(generate_series(1, length(ctext)), i -> CAST(ord(ctext[i]) AS BIGINT))),
+             |    (a, x) -> (a * 31 + x) % 2147483647) AS chunk_hash
+             |FROM ch""".stripMargin),
+      doc = "token-window chunking with overlap (64-token chunks, stride " +
+        "48): raw docs -> fixed-width training sequences keeping context " +
+        "across boundaries, last chunk always reaches the doc end; " +
+        "map-only explode inside the scan stage, chunk_hash keys " +
+        "chunk-level dedup downstream; oracle replays slicing and the " +
+        "rolling hash"),
+
+    Query(
+      "q_t_unigram_logprob",
+      (s, dir) => {
+        // Unigram-LM likelihood scoring (the CCNet-class quality signal):
+        // fit the unigram distribution ON the corpus itself (one
+        // partial-agg pass over exploded tokens), then score every doc by
+        // its mean token log-probability. Low scorers are gibberish /
+        // rare-token soup; high scorers are common-word text. Vocabulary
+        // and corpus size are broadcast back (vocab is O(distinct tokens),
+        // bounded and tiny next to the corpus); the token explode is never
+        // re-shuffled — one shuffle on tok for the fit, one on doc_id for
+        // the score.
+        val toks = graft.CacheScope.retain(
+          Tables(s, dir, "documents").select(col("doc_id"),
+            explode(expr("filter(split(trim(text), '\\\\s+'), t -> t <> '')"))
+              .as("tok")))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val totN = vocab.agg(sum("cnt").as("n_total"))
+        toks.join(broadcast(vocab), "tok")
+          .crossJoin(broadcast(totN))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            (round(avg(log(col("cnt") / col("n_total"))), 4) + lit(0.0))
+              .as("avg_logprob"))
+        // no ORDER BY — corpus-sized output, driver sorts before hashing
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |         unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
+             |       FROM documents),
+             |vocab AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+             |nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab)
+             |SELECT doc_id, COUNT(*) AS n_toks,
+             |  ROUND(AVG(ln(cnt * 1.0 / n_total)), 4) + 0.0 AS avg_logprob
+             |FROM tk JOIN vocab USING (tok), nt
+             |GROUP BY doc_id""".stripMargin),
+      doc = "unigram-LM likelihood scoring (CCNet-class quality signal): " +
+        "fit the unigram distribution on the corpus (one partial-agg " +
+        "pass), score each doc by mean token log-probability via a " +
+        "broadcast vocab join — low = gibberish/rare-token soup; corpus " +
+        "size folded into the plan as a 1-row broadcast, no driver-side " +
+        "count"),
+
+    Query(
       "q_t_top_terms",
       (s, dir) =>
         Tables(s, dir, "documents")

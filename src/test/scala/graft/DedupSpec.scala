@@ -82,6 +82,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)) && !pairs.contains((0L, 3L)))
   }
 
+  test("incrementalDedup flags delta docs against corpus and earlier batch docs only") {
+    val corpusSide = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the old river bank tonight"), // corpus-internal near-dup of 0
+      (2L, "completely different words describing a very unrelated subject matter entirely here now")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the old river bank today"), // dup of corpus 0 (and 1)
+      (11L, "fresh new content that appears in this batch for the very first time ever"),
+      (12L, "fresh new content that appears in this batch for the very first time ever"), // within-batch dup of 11
+      (13L, "completely different words describing a very unrelated subject matter entirely here now") // dup of corpus 2
+    ).toDF("doc_id", "text")
+    val got = NearDup.incrementalDedup(corpusSide, delta, "doc_id", "text",
+      n = 3, k = 16, bands = 4, threshold = 0.5)
+      .select("new_doc", "dup_of").as[(Long, Long)].collect().toSet
+    // every new_doc is from the delta; the corpus-internal (0,1) pair is
+    // NOT re-mined; 12 dups 11 (earlier batch doc), never the reverse
+    assert(got.forall(_._1 >= 10L))
+    assert(got.contains((10L, 0L)) && got.contains((13L, 2L)))
+    assert(got.contains((12L, 11L)) && !got.contains((11L, 12L)))
+    // 11 is first-in-batch and novel vs the corpus: never flagged
+    assert(!got.exists(_._1 == 11L))
+  }
+
   test("connectedComponents: transitive chains collapse into one group") {
     import spark.implicits._
     // chain 1-2, 2-3 (1 and 3 not directly paired) + isolated pair 7-9

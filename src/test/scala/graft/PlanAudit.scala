@@ -20,7 +20,9 @@ object PlanAudit {
       "q_d_minhash_lsh_pairs", "q_j1_overlay_join", "q_u1_window_inference",
       "q_sql_range_scan",
       "q_s_stratified_sample", "q_t_sequence_pack", "q_e_ivf_topk",
-      "q_m_decode_profile")
+      "q_m_decode_profile",
+      "q_d_incremental_dedup", "q_t_chunk_overlap", "q_s_fixed_k_sample",
+      "q_a_zorder_layout", "q_t_unigram_logprob")
     interesting.foreach { name =>
       println(s"\n================ $name ================")
       val plan = SparkEntry.queries(name)(spark, dir)
