@@ -44,6 +44,49 @@ object TextQueries extends QueryPack {
       |      WHEN s_zh >= s_en AND s_zh >= s_es AND s_zh >= s_de AND s_zh >= s_fr AND s_zh > 0 THEN 'zh'
       |      ELSE 'und' END""".stripMargin
 
+  /** Token-window chunker (64-token chunks, stride 48, last chunk reaching
+    * the doc end): one shared definition feeding q_t_chunk_overlap and the
+    * chunk-level dedup. Map-only — explode fan-out ∝ output, no shuffle;
+    * at 100 TB the chunker runs inside the scan stage.
+    */
+  private def chunkFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val C = 64; val S = 48
+    val base = Tables(s, dir, "documents")
+      .withColumn("__toks",
+        expr("filter(split(trim(text), '\\\\s+'), t -> t <> '')"))
+      .withColumn("__n", size(col("__toks")))
+    val lastIdx = when(col("__n") <= C, lit(0L))
+      .otherwise(ceil((col("__n") - lit(C)) / lit(S.toDouble)).cast("long"))
+    base
+      .withColumn("chunk_idx", explode(sequence(lit(0L), lastIdx)))
+      .withColumn("start_tok", col("chunk_idx") * S + 1)
+      .withColumn("__chunk", slice(col("__toks"), col("start_tok"), lit(C)))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        fingerprint(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
+  }
+
+  /** DuckDB replay of [[chunkFrame]] (final CTE: `chh`). */
+  private val chunkCtes =
+    """t AS (SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks
+      |       FROM documents),
+      |nn AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      |cc AS (SELECT doc_id, toks, n, unnest(range(0,
+      |         CASE WHEN n <= 64 THEN 1
+      |              ELSE 1 + CAST(ceil((n - 64) / 48.0) AS BIGINT) END)) AS chunk_idx
+      |       FROM nn),
+      |ch AS (SELECT doc_id, chunk_idx, chunk_idx * 48 + 1 AS start_tok,
+      |         len(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS n_tokens,
+      |         array_to_string(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ') AS ctext
+      |       FROM cc),
+      |chh AS (SELECT doc_id, chunk_idx, start_tok, n_tokens,
+      |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |            list_transform(generate_series(1, length(ctext)), i -> CAST(ord(ctext[i]) AS BIGINT))),
+      |            (a, x) -> (a * 31 + x) % 2147483647) AS chunk_hash
+      |        FROM ch)""".stripMargin
+
   override def queries: Seq[Query] = Seq(
 
     Query(
@@ -159,55 +202,55 @@ object TextQueries extends QueryPack {
 
     Query(
       "q_t_chunk_overlap",
-      (s, dir) => {
-        // Token-window chunking with overlap — the step that turns a raw
-        // corpus into fixed-width training sequences while keeping
-        // context across boundaries: 64-token chunks, stride 48 (16-token
-        // overlap), the LAST chunk always reaching the document end.
-        // Map-only (explode fan-out ∝ output), no shuffle: at 100 TB the
-        // chunker runs inside the scan stage. chunk_hash (rolling hash of
-        // the chunk text) is what downstream chunk-level exact dedup keys
-        // on.
-        val C = 64; val S = 48
-        val base = Tables(s, dir, "documents")
-          .withColumn("__toks",
-            expr("filter(split(trim(text), '\\\\s+'), t -> t <> '')"))
-          .withColumn("__n", size(col("__toks")))
-        val lastIdx = when(col("__n") <= C, lit(0L))
-          .otherwise(ceil((col("__n") - lit(C)) / lit(S.toDouble)).cast("long"))
-        base
-          .withColumn("chunk_idx", explode(sequence(lit(0L), lastIdx)))
-          .withColumn("start_tok", col("chunk_idx") * S + 1)
-          .withColumn("__chunk", slice(col("__toks"), col("start_tok"), lit(C)))
-          .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
-            size(col("__chunk")).cast("long").as("n_tokens"),
-            fingerprint(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
+      (s, dir) => chunkFrame(s, dir)
         // no ORDER BY: output is corpus-sized — a global sort here would
         // be the 100 TB bottleneck; the driver's compare sorts rows itself
-      },
-      Some("""WITH t AS (SELECT doc_id,
-             |         list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks
-             |       FROM documents),
-             |nn AS (SELECT doc_id, toks, len(toks) AS n FROM t),
-             |cc AS (SELECT doc_id, toks, n, unnest(range(0,
-             |         CASE WHEN n <= 64 THEN 1
-             |              ELSE 1 + CAST(ceil((n - 64) / 48.0) AS BIGINT) END)) AS chunk_idx
-             |       FROM nn),
-             |ch AS (SELECT doc_id, chunk_idx, chunk_idx * 48 + 1 AS start_tok,
-             |         len(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS n_tokens,
-             |         array_to_string(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ') AS ctext
-             |       FROM cc)
-             |SELECT doc_id, chunk_idx, start_tok, n_tokens,
-             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |    list_transform(generate_series(1, length(ctext)), i -> CAST(ord(ctext[i]) AS BIGINT))),
-             |    (a, x) -> (a * 31 + x) % 2147483647) AS chunk_hash
-             |FROM ch""".stripMargin),
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          col("n_tokens"), col("chunk_hash")),
+      Some(s"""WITH $chunkCtes
+             |SELECT doc_id, chunk_idx, start_tok, n_tokens, chunk_hash
+             |FROM chh""".stripMargin),
       doc = "token-window chunking with overlap (64-token chunks, stride " +
         "48): raw docs -> fixed-width training sequences keeping context " +
         "across boundaries, last chunk always reaches the doc end; " +
         "map-only explode inside the scan stage, chunk_hash keys " +
         "chunk-level dedup downstream; oracle replays slicing and the " +
         "rolling hash"),
+
+    Query(
+      "q_t_chunk_dedup",
+      (s, dir) => {
+        // Chunk-LEVEL dedup (the C4/boilerplate posture): doc-level dedup
+        // misses a page whose middle is copied but whose edges are fresh;
+        // chunk granularity catches it. First occurrence of each
+        // chunk_hash (by (doc_id, chunk_idx)) survives; the per-doc
+        // duplicated-chunk fraction is the boilerplate score a corpus
+        // audit ranks on. One shuffle on chunk_hash (the window) + one on
+        // doc_id (the rollup) — both keyed, never all-pairs.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+        chunkFrame(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("is_dup", (col("rn") > 1).cast("int"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum("is_dup").as("n_dup_chunks"),
+            (round(avg("is_dup"), 4) + lit(0.0)).as("dup_frac"))
+      },
+      Some(s"""WITH $chunkCtes,
+              |r AS (SELECT doc_id, chunk_idx, chunk_hash,
+              |        ROW_NUMBER() OVER (PARTITION BY chunk_hash
+              |          ORDER BY doc_id, chunk_idx) AS rn
+              |      FROM chh)
+              |SELECT doc_id, COUNT(*) AS n_chunks,
+              |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+              |  ROUND(AVG(CASE WHEN rn > 1 THEN 1.0 ELSE 0.0 END), 4) + 0.0 AS dup_frac
+              |FROM r GROUP BY doc_id""".stripMargin),
+      doc = "chunk-level exact dedup (C4/boilerplate posture): first " +
+        "occurrence of each chunk_hash survives, per-doc duplicated-chunk " +
+        "fraction is the boilerplate score — catches copied middles that " +
+        "doc-level dedup misses; one keyed shuffle on chunk_hash, one on " +
+        "doc_id, never all-pairs"),
 
     Query(
       "q_t_unigram_logprob",

@@ -251,6 +251,47 @@ object VectorQueries extends QueryPack {
         ".toFloat, which also absorbs AVG summation-order ulps)"),
 
     Query(
+      "q_e_pq_topk",
+      (s, dir) =>
+        VectorSearch.pqTopK(
+          emb(s, dir).where(col("vec_id") =!= 0), queryVec(s, dir),
+          "vec_id", "embedding", k = 10, nCodes = 16, rerank = 32),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |q AS (SELECT emb AS qv, emb[1:32] AS q0, emb[33:64] AS q1 FROM e WHERE vec_id = 0),
+             |cb AS (SELECT vec_id AS cid, emb[1:32] AS c0, emb[33:64] AS c1
+             |       FROM e WHERE vec_id < 16 AND vec_id <> 0),
+             |enc AS (SELECT v.vec_id, v.emb,
+             |         (SELECT c.cid FROM cb c
+             |          ORDER BY list_cosine_similarity(v.emb[1:32], c.c0) DESC, c.cid
+             |          LIMIT 1) AS code0,
+             |         (SELECT c.cid FROM cb c
+             |          ORDER BY list_cosine_similarity(v.emb[33:64], c.c1) DESC, c.cid
+             |          LIMIT 1) AS code1
+             |       FROM e v WHERE v.vec_id <> 0),
+             |adc AS (SELECT enc.vec_id, enc.emb, enc.code0, enc.code1,
+             |         (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |            list_transform(range(1, 33), i -> q.q0[i] * c.c0[i])), (a,x) -> a + x)
+             |          FROM cb c, q WHERE c.cid = enc.code0)
+             |       + (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |            list_transform(range(1, 33), i -> q.q1[i] * c.c1[i])), (a,x) -> a + x)
+             |          FROM cb c, q WHERE c.cid = enc.code1) AS approx
+             |       FROM enc),
+             |short AS (SELECT * FROM adc ORDER BY approx DESC, vec_id LIMIT 32)
+             |SELECT s.vec_id, s.code0, s.code1,
+             |  ROUND(s.approx, 6) + 0.0 AS approx_ip,
+             |  ROUND(list_cosine_similarity(s.emb, q.qv), 6) + 0.0 AS sim
+             |FROM short s, q
+             |ORDER BY sim DESC, s.vec_id LIMIT 10""".stripMargin),
+      doc = "product-quantization ANN (2 subspaces x 16 codes): per-half " +
+        "codebook assignment via the codegen'd best_cell pass, queries " +
+        "answered from the CODES through an ADC lookup table (two map " +
+        "lookups + an add per vector — at 10^9 vectors the scored set is " +
+        "2 small ints/vector, not dim floats), top-32 shortlist by " +
+        "approximate inner product, exact cosine rerank of the shortlist " +
+        "only; oracle replays codebooks, assignment, ADC folds and both " +
+        "top-k cuts"),
+
+    Query(
       "q_e_index_prep",
       (s, dir) => {
         // FLAGSHIP (vector pillar): the end-to-end "build the ANN index

@@ -182,6 +182,70 @@ object VectorSearch extends Serializable {
     cents
   }
 
+  // ---- PQ (product quantization) ANN ------------------------------------
+
+  /** Product-quantization ANN — the memory tier BELOW IVF: the vector is
+    * split into two subspaces, each half encoded as the id of its nearest
+    * codebook entry (cosine assignment via the same codegen'd
+    * [[graft.functions.BestCell]] pass as IVF), and queries are answered
+    * from the CODES alone through an ADC (asymmetric distance computation)
+    * lookup table — at 10^9 vectors the scored working set is 2 small ints
+    * per vector instead of dim×4 bytes, and the scoring pass is two map
+    * lookups + an add, no per-row dot product.
+    *
+    *  - codebooks: deterministic seed = subspace slices of the lowest-id
+    *    vectors (the [[seedCentroids]] convention that keeps the whole
+    *    index replayable in ANSI SQL; production refines with
+    *    [[trainCentroids]] per subspace — downstream unchanged);
+    *  - ADC table: dot(query-half, codebook-entry) per (subspace, code),
+    *    O(nCodes·dim) driver work, shipped as a literal map into codegen;
+    *  - approximate score = Σ over subspaces of the table entry — additive
+    *    because it approximates the full inner product ⟨q, v̂⟩;
+    *  - shortlist: top-`rerank` by (approx score, id) via
+    *    TakeOrderedAndProject (per-partition heaps, no global sort);
+    *  - exact cosine rerank of the shortlist only → final top-k.
+    */
+  def pqTopK(vecs: DataFrame, query: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCodes: Int, rerank: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val qv = query.select(col(vecCol)).as[Seq[Float]].head()
+    val dim = qv.length
+    require(dim % 2 == 0, s"PQ with 2 subspaces needs an even dim, got $dim")
+    val half = dim / 2
+    val cents = seedCentroids(vecs, idCol, vecCol, nCodes)
+    val ids = cents.map(_._1)
+    val cb0 = cents.map(_._2.slice(0, half))
+    val cb1 = cents.map(_._2.slice(half, dim))
+    // ADC tables: ascending-index double fold (the cosSeq/CosineSim
+    // numeric contract) so DuckDB's list_reduce replays them bit-exactly
+    def dotD(a: Seq[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < b.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val q0 = qv.slice(0, half); val q1 = qv.slice(half, dim)
+    def tableMap(cb: Array[Array[Float]], qh: Seq[Float]) =
+      map(ids.zip(cb).flatMap { case (id, c) =>
+        Seq(lit(id), lit(dotD(qh, c))) }: _*)
+    val enc = vecs
+      .withColumn("code0", graft.functions.VectorExpressions.best_cell(
+        slice(col(vecCol), 1, half), cb0, ids))
+      .withColumn("code1", graft.functions.VectorExpressions.best_cell(
+        slice(col(vecCol), half + 1, half), cb1, ids))
+      .withColumn("__approx",
+        element_at(tableMap(cb0, q0), col("code0")) +
+          element_at(tableMap(cb1, q1), col("code1")))
+    val shortlist = enc.orderBy(col("__approx").desc, col(idCol)).limit(rerank)
+    val q = broadcast(query.select(col(vecCol).as("__qv")))
+    shortlist.crossJoin(q)
+      .select(col(idCol), col("code0"), col("code1"),
+        (round(col("__approx"), 6) + lit(0.0)).as("approx_ip"),
+        (round(cosine_sim(col(vecCol), col("__qv")), 6) + lit(0.0)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF probe-and-rerank against an explicit centroid table (seeded or
     * k-means-trained — everything downstream is identical).
     */

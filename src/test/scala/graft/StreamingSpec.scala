@@ -159,6 +159,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamOut == batchOut)
   }
 
+  test("streaming ingest gate: incrementalDedup admits each micro-batch " +
+    "against the growing corpus") {
+    // The production loop around NearDup.incrementalDedup: every arriving
+    // micro-batch is deduped against (corpus so far + earlier batch rows),
+    // admitted survivors JOIN the corpus before the next batch. Batch 2
+    // must be caught by a doc admitted in batch 1 — the property a
+    // stateless per-batch gate cannot give.
+    import graft.dedup.NearDup
+    implicit val ctx = spark.sqlContext
+    val t0 = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val t1 = "completely different words describing a very unrelated subject matter entirely here now"
+    val t2 = "fresh new content that appears in this batch for the very first time ever"
+    var corpus = Seq((0L, t0)).toDF("doc_id", "text").localCheckpoint()
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val flagged = NearDup.incrementalDedup(corpus, batch,
+          "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
+          .select("new_doc").distinct()
+        val admitted = batch.join(flagged,
+          batch("doc_id") === flagged("new_doc"), "left_anti")
+        // checkpoint: the corpus lineage must not grow per batch
+        corpus = corpus.unionByName(admitted).localCheckpoint()
+        ()
+      }
+      .start()
+    ms.addData((10L, t1), (11L, t1)) // batch 1: novel + its within-batch dup
+    q.processAllAvailable()
+    ms.addData((20L, t1), (21L, t2)) // batch 2: dup of ADMITTED 10, novel
+    q.processAllAvailable()
+    q.stop()
+    val ids = corpus.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 10L, 21L),
+      s"corpus after two gated batches: $ids")
+  }
+
   test("kafka wiring is guarded: absent connector fails loud, not weird") {
     assume(!StreamIngest.kafkaConnectorAvailable,
       "connector present — the activation test below covers this env")

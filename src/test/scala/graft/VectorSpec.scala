@@ -68,6 +68,32 @@ class VectorSpec extends AnyFunSuite {
       s"planted near-dup should be rank 1, got ${top.toSeq}")
   }
 
+  test("pqTopK finds a planted near-duplicate; codes stay in the codebook") {
+    val base = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val near = base.map(x => x + 0.005f)
+    val rows = Seq((40L, base), (41L, near)) ++
+      (0L to 39L).map(k => (k, Array.tabulate(64)(i =>
+        math.cos(i * 0.31 * (k + 2)).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" === 40)
+    val got = VectorSearch.pqTopK(df.where($"vec_id" =!= 40), q,
+      "vec_id", "embedding", k = 3, nCodes = 8, rerank = 16)
+      .select("vec_id", "code0", "code1", "approx_ip", "sim")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got.length == 3)
+    // exact rerank puts the planted near-dup first (ADC shortlists it:
+    // its codes match the query's nearest codebook entries)
+    assert(got.head._1 == 41L, s"got ${got.toSeq}")
+    // codes are codebook member ids (lowest-id vectors, excl. the query)
+    val codebookIds = (0L to 7L).toSet
+    got.foreach { case (_, c0, c1, _, sim) =>
+      assert(codebookIds.contains(c0) && codebookIds.contains(c1))
+      assert(sim <= 1.0 && sim >= -1.0)
+    }
+    // sims are non-increasing (final exact-rerank ordering)
+    assert(got.map(_._5).toSeq == got.map(_._5).sortBy(-_).toSeq)
+  }
+
   test("ivfTopK cell assignment is codegen'd — no ScalaUDF in the plan") {
     val rows = (0L to 39L).map(k => (k, Array.tabulate(64)(i =>
       math.cos(i * 0.31 * (k + 2)).toFloat)))
