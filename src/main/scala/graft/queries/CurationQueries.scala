@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Query, QueryPack, Tables}
 import graft.text.TextAnalysis._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a pretraining data pipeline runs between raw
@@ -320,6 +321,45 @@ object CurationQueries extends QueryPack {
       doc = "temperature-based source mix (α = 0.5): per-source token " +
         "budget ∝ √share, keep_rate = min(1, budget/tokens) — the domain " +
         "rebalancing recipe computed as one plan (sqrt not pow: IEEE-" +
-        "exact on both engines); feeds KeyHash sampling for the actual cut")
+        "exact on both engines); feeds KeyHash sampling for the actual cut"),
+
+    Query(
+      "q_t_token_budget",
+      (s, dir) => {
+        // Quality-greedy selection under a token budget: per source, rank
+        // docs by quality (rounded BEFORE ranking so both engines order
+        // identical doubles; ties by id) and keep the prefix whose
+        // running token total fits 2000 tokens — "spend the budget on the
+        // best text first", the recipe cut after the mix decides each
+        // source's budget. One window per source partition; the rank
+        // order means a kept doc can never be displaced by a later one —
+        // greedy = deterministic.
+        val w = Window.partitionBy("source")
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            (round(qualityScore("text"), 4) + lit(0.0)).as("quality"),
+            tokenCount(col("text")).as("n_tokens"))
+          .withColumn("cum_tokens", sum("n_tokens").over(w).cast("long"))
+          .where(col("cum_tokens") <= 2000)
+          .select("source", "doc_id", "quality", "cum_tokens")
+      },
+      Some(s"""WITH q AS (SELECT doc_id, source,
+              |         ROUND(${TextQueries.qualityExprSql}, 4) + 0.0 AS quality,
+              |         ${TextQueries.nTokSql} AS n_tokens
+              |       FROM documents),
+              |c AS (SELECT source, doc_id, quality,
+              |        CAST(SUM(n_tokens) OVER (PARTITION BY source
+              |          ORDER BY quality DESC, doc_id
+              |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              |      FROM q)
+              |SELECT source, doc_id, quality, cum_tokens
+              |FROM c WHERE cum_tokens <= 2000""".stripMargin),
+      doc = "token-budget corpus selection: per source, rank by quality " +
+        "(rounded before ranking — engine-stable order, ties by id) and " +
+        "keep the greedy prefix whose running token total fits the " +
+        "budget; one window per source partition, the per-source cut a " +
+        "data recipe applies after the mix sets budgets")
   )
 }

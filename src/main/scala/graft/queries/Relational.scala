@@ -80,6 +80,43 @@ object Relational extends QueryPack {
         "between a plain shuffle, SkewSafe salting, or AQE skew-join " +
         "BEFORE the 100 TB shuffle runs; O(#keys) after one partial agg"),
 
+    // ---- bucketized range (interval) join ----
+    Query(
+      "q_j_range_join",
+      (s, dir) => {
+        // "Events near a purchase": every purchase opens a ±120 s window
+        // on its user; count that user's events inside it. A theta join
+        // (user equal AND t BETWEEN lo AND hi) would plan a cartesian /
+        // BNLJ when neither side broadcasts — RangeJoin buckets time so
+        // it becomes a hash equi-join on (user, bucket) + residual
+        // filter. Output is bounded by |purchases|.
+        import graft.ops.RangeJoin
+        val e = Tables(s, dir, "events").select(col("event_id"),
+          col("user_id"), unix_timestamp(col("ts")).as("t"),
+          col("event_type"))
+        val intervals = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            (col("t") - 120).as("lo"), (col("t") + 120).as("hi"))
+        RangeJoin.rangeJoin(e.select(col("user_id"), col("t")),
+            intervals, Seq("user_id"), "t", "lo", "hi", bucketWidth = 240L)
+          .groupBy("purchase_id")
+          .agg(count(lit(1)).as("n_near"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+             |         CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type
+             |       FROM events),
+             |p AS (SELECT event_id AS purchase_id, user_id,
+             |        t - 120 AS lo, t + 120 AS hi
+             |      FROM e WHERE event_type = 'purchase')
+             |SELECT p.purchase_id, COUNT(*) AS n_near
+             |FROM p JOIN e ON e.user_id = p.user_id AND e.t BETWEEN p.lo AND p.hi
+             |GROUP BY 1""".stripMargin),
+      doc = "bucketized range join (events within ±120 s of each purchase, " +
+        "per user): interval exploded over fixed-width time buckets, point " +
+        "owns one bucket, hash equi-join on (user, bucket) + residual " +
+        "range filter — linear shuffle instead of the cartesian/BNLJ a " +
+        "theta join plans; each pair meets exactly once, no dedup pass"),
+
     // ---- Z-order layout audit (the data-skipping design decision) ----
     Query(
       "q_a_zorder_layout",

@@ -337,6 +337,34 @@ object TimeSeriesQueries extends QueryPack {
         "the gaps-and-islands rewrite; same operator runs streaming with a " +
         "watermark (StreamingSpec)"),
 
+    // ---- temporal-proximity density (value-based RANGE frame) ----
+    Query(
+      "q_w_prox_count",
+      (s, dir) => {
+        // How many of the same user's events fall within ±300 s of each
+        // event — the burstiness/co-occurrence feature. A self range-JOIN
+        // would shuffle pairs; the value-based RANGE frame computes it in
+        // ONE pass per user partition with a sliding two-pointer frame
+        // (O(n) per key — bounded frames slide; it's the unbounded-
+        // following frames that rescan, see SCALE.md).
+        val w = Window.partitionBy("user_id").orderBy("ts_sec")
+          .rangeBetween(-300, 300)
+        ev(s, dir)
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("ts_sec"))
+          .withColumn("n_prox", count(lit(1)).over(w) - 1)
+          .select("event_id", "user_id", "n_prox")
+      },
+      Some("""SELECT event_id, user_id,
+             |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_sec
+             |    RANGE BETWEEN 300 PRECEDING AND 300 FOLLOWING) - 1 AS n_prox
+             |FROM (SELECT event_id, user_id,
+             |        CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)""".stripMargin),
+      doc = "temporal-proximity density: same-user events within ±300 s of " +
+        "each event via a value-based RANGE frame — one sorted pass per " +
+        "user partition (sliding two-pointer frame), where a self " +
+        "range-join would shuffle pairs; the burstiness feature"),
+
     // ---- A4 companion: fixed-width histogram profile ----
     Query(
       "q_a4_histogram",
