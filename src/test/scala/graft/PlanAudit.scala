@@ -22,7 +22,9 @@ object PlanAudit {
       "q_s_stratified_sample", "q_t_sequence_pack", "q_e_ivf_topk",
       "q_m_decode_profile",
       "q_d_incremental_dedup", "q_t_chunk_overlap", "q_s_fixed_k_sample",
-      "q_a_zorder_layout", "q_t_unigram_logprob")
+      "q_a_zorder_layout", "q_t_unigram_logprob",
+      "q_e_pq_topk", "q_t_chunk_dedup", "q_j_range_join", "q_w_prox_count",
+      "q_t_token_budget")
     interesting.foreach { name =>
       println(s"\n================ $name ================")
       val plan = SparkEntry.queries(name)(spark, dir)

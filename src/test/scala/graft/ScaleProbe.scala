@@ -86,7 +86,15 @@ object ScaleProbe {
       "quantize_int8" -> (dir => SparkEntry.queries("q_e_quantize_int8")(spark, dir)),
       "containment" -> (dir => SparkEntry.queries("q_d_containment_pairs")(spark, dir)),
       "index_prep" -> (dir => SparkEntry.queries("q_e_index_prep")(spark, dir)),
-      "skew_audit" -> (dir => SparkEntry.queries("q_a_skew_audit")(spark, dir))
+      "skew_audit" -> (dir => SparkEntry.queries("q_a_skew_audit")(spark, dir)),
+      "incremental_dedup" -> (dir => SparkEntry.queries("q_d_incremental_dedup")(spark, dir)),
+      "chunk_dedup" -> (dir => SparkEntry.queries("q_t_chunk_dedup")(spark, dir)),
+      "unigram_logprob" -> (dir => SparkEntry.queries("q_t_unigram_logprob")(spark, dir)),
+      "pq_topk" -> (dir => SparkEntry.queries("q_e_pq_topk")(spark, dir)),
+      "range_join" -> (dir => SparkEntry.queries("q_j_range_join")(spark, dir)),
+      "prox_count" -> (dir => SparkEntry.queries("q_w_prox_count")(spark, dir)),
+      "token_budget" -> (dir => SparkEntry.queries("q_t_token_budget")(spark, dir)),
+      "zorder_layout" -> (dir => SparkEntry.queries("q_a_zorder_layout")(spark, dir))
     )
 
     // release builder caches between ops (the production request-boundary
