@@ -360,6 +360,119 @@ object CurationQueries extends QueryPack {
         "(rounded before ranking — engine-stable order, ties by id) and " +
         "keep the greedy prefix whose running token total fits the " +
         "budget; one window per source partition, the per-source cut a " +
-        "data recipe applies after the mix sets budgets")
+        "data recipe applies after the mix sets budgets"),
+
+    Query(
+      "q_t_dsir_select",
+      (s, dir) => {
+        import graft.functions.RollingHash.rolling_hash
+        // DSIR-style importance selection: score every raw doc by how
+        // target-like its hashed n-gram profile is — the log-likelihood
+        // ratio between a target-domain unigram model over hashed word
+        // 2-gram features and the raw-corpus model (add-one smoothing
+        // over B buckets). Target here = the en slice (production swaps
+        // in the real target corpus — same plan). Feature hashing bounds
+        // EVERY shuffle key space to B = 1024 buckets regardless of
+        // corpus size; the bucket log-ratio table is B rows, broadcast.
+        // The gram explode is scanned once (retained): bucket counts for
+        // target/raw and the per-doc profile all derive from it.
+        val B = 1024L
+        val h = graft.CacheScope.retain(
+          docs(s, dir)
+            .withColumn("__toks", split(trim(col("text")), "\\s+"))
+            .select(col("doc_id"), col("lang"), explode(grams(2)).as("gram"))
+            .select(col("doc_id"), col("lang"),
+              pmod(rolling_hash(col("gram")), lit(B)).as("bucket")))
+        val ct = h.where(col("lang") === "en")
+          .groupBy("bucket").agg(count(lit(1)).as("c_t"))
+        val cr = h.groupBy("bucket").agg(count(lit(1)).as("c_r"))
+        val nt = ct.agg(sum("c_t").as("n_t"))
+        val nr = cr.agg(sum("c_r").as("n_r"))
+        // identical double shape on both engines: exact long products,
+        // one double divide, ln, round BEFORE the per-doc sum
+        val lr = cr.join(ct, Seq("bucket"), "left")
+          .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+          .select(col("bucket"),
+            (round(log(
+              ((coalesce(col("c_t"), lit(0L)) + 1L) * (col("n_r") + B))
+                .cast("double") /
+              ((col("c_r") + 1L) * (col("n_t") + B)).cast("double")), 6)
+              + lit(0.0)).as("lr"))
+        h.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+          .join(broadcast(lr), "bucket")
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_feat"),
+            (round(sum(col("c") * col("lr")), 4) + lit(0.0))
+              .as("dsir_score"))
+          .select(col("doc_id"), col("n_feat"), col("dsir_score"),
+            (col("dsir_score") > 0.0).as("selected"))
+        // no ORDER BY — corpus-sized output, driver sorts before hashing
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, lang, list_filter(
+              |    string_split_regex(trim(text), '\\s+'), tk -> tk <> '') AS toks
+              |  FROM documents),
+              |g AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+              |        i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t),
+              |h AS (SELECT doc_id, lang,
+              |        ${DedupQueries.foldSql("gram")} % 1024 AS bucket FROM g),
+              |ct AS (SELECT bucket, COUNT(*) AS c_t FROM h WHERE lang = 'en' GROUP BY bucket),
+              |cr AS (SELECT bucket, COUNT(*) AS c_r FROM h GROUP BY bucket),
+              |nt AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t FROM ct),
+              |nr AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r FROM cr),
+              |lr AS (SELECT cr.bucket,
+              |        ROUND(ln(CAST((COALESCE(ct.c_t, 0) + 1) * (n_r + 1024) AS DOUBLE)
+              |               / CAST((cr.c_r + 1) * (n_t + 1024) AS DOUBLE)), 6) + 0.0 AS lr
+              |      FROM cr LEFT JOIN ct USING (bucket), nt, nr),
+              |dbc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM h GROUP BY 1, 2)
+              |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feat,
+              |  ROUND(SUM(c * lr), 4) + 0.0 AS dsir_score,
+              |  ROUND(SUM(c * lr), 4) + 0.0 > 0.0 AS selected
+              |FROM dbc JOIN lr USING (bucket)
+              |GROUP BY doc_id""".stripMargin),
+      doc = "DSIR-style importance selection: log-likelihood ratio between " +
+        "a target-domain model and the raw-corpus model over hashed word " +
+        "2-gram features (add-one smoothing, B = 1024 buckets) — feature " +
+        "hashing bounds every shuffle to B keys at any corpus size, the " +
+        "log-ratio table broadcasts, one retained gram pass feeds fit " +
+        "and score; positive score = more target-like than raw"),
+
+    Query(
+      "q_t_quality_calibrated",
+      (s, dir) => {
+        // Per-source quality calibration: raw quality scores are not
+        // comparable across sources (a crawl feed's punctuation profile
+        // shifts the whole distribution), so a recipe gates on the
+        // WITHIN-SOURCE percentile, not the raw score. percent_rank over
+        // (rounded quality, doc_id) — rounded BEFORE ranking so both
+        // engines order identical doubles, doc_id tiebreak makes every
+        // rank unique; exact rational output, no float noise. One window
+        // per source partition — the same shuffle the per-source cut
+        // already pays.
+        val w = Window.partitionBy("source")
+          .orderBy(col("quality").asc, col("doc_id").asc)
+        docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            (round(qualityScore("text"), 4) + lit(0.0)).as("quality"))
+          .withColumn("q_cal",
+            round(percent_rank().over(w), 6) + lit(0.0))
+          .select(col("doc_id"), col("source"), col("quality"), col("q_cal"),
+            (col("q_cal") >= 0.5).as("keep"))
+        // no ORDER BY — corpus-sized output, driver sorts before hashing
+      },
+      Some(s"""WITH q AS (SELECT doc_id, source,
+              |         ROUND(${TextQueries.qualityExprSql}, 4) + 0.0 AS quality
+              |       FROM documents)
+              |SELECT doc_id, source, quality,
+              |  ROUND(percent_rank() OVER (PARTITION BY source
+              |    ORDER BY quality ASC, doc_id ASC), 6) + 0.0 AS q_cal,
+              |  ROUND(percent_rank() OVER (PARTITION BY source
+              |    ORDER BY quality ASC, doc_id ASC), 6) + 0.0 >= 0.5 AS keep
+              |FROM q""".stripMargin),
+      doc = "per-source quality calibration: within-source percent_rank of " +
+        "the (rounded) quality score — gates on the source-relative " +
+        "percentile instead of the raw score, so one feed's distribution " +
+        "shift can't starve or flood the mix; one window per source " +
+        "partition, exact rational output")
   )
 }

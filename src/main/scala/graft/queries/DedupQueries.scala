@@ -47,7 +47,7 @@ object DedupQueries extends QueryPack {
        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM d GROUP BY 1)""".stripMargin
 
   /** RollingHash char fold of a string expression (ASCII corpora). */
-  private def foldSql(e: String): String =
+  private[queries] def foldSql(e: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(generate_series(1, length($e)), c -> CAST(ord($e[c]) AS BIGINT))),
        |  (a, x) -> (a * 31 + x) % 2147483647)""".stripMargin
@@ -347,6 +347,98 @@ object DedupQueries extends QueryPack {
       doc = "SimHash near-dup at Hamming radius 6 with the banding that " +
         "GUARANTEES that radius: 7 bands x 5 bits (pigeonhole: 6 differing " +
         "bits cannot touch all 7 bands, so every true pair shares a " +
-        "bucket) — the query's recall contract now matches its parameters")
+        "bucket) — the query's recall contract now matches its parameters"),
+
+    Query(
+      "q_d_lsh_recall",
+      (s, dir) => {
+        // Dedup-index quality eval: recall of the banded MinHash CANDIDATE
+        // set against the exact-Jaccard >= 0.5 truth pairs — the
+        // dedup-side twin of q_e_ann_recall, and the number that decides
+        // the (k, bands) trade before a 100 TB dedup run commits to a
+        // signature family. Truth is only computable because the inverted
+        // index bounds it; both pair sets are retained (each feeds a
+        // count AND the overlap join) so neither miner re-evaluates.
+        val d = docs(s, dir)
+        val truth = graft.CacheScope.retain(
+          NearDup.exactJaccardPairs(d, "doc_id", "text", 3, 0.5)
+            .select("doc_a", "doc_b"))
+        val banded = graft.CacheScope.retain(
+          NearDup.bandedSignatures(d, "doc_id", "text", 3, 16, 4))
+        val cand = graft.CacheScope.retain(
+          banded.alias("a").join(banded.alias("b"),
+              col("a.band") === col("b.band") &&
+                col("a.band_val") === col("b.band_val") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .distinct())
+        val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(col("n_true"), col("n_cand"), col("n_hit"),
+            (round(col("n_hit") / col("n_true"), 4) + lit(0.0)).as("recall"))
+      },
+      Some(s"""WITH $minhashSigCtes,
+              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.band_val = b.band_val
+              |                    AND a.doc_id < b.doc_id),
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+              |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |truth AS ($jaccardTail)
+              |SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+              |  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+              |  CAST((SELECT COUNT(*) FROM truth t JOIN cand c
+              |        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS BIGINT) AS n_hit,
+              |  ROUND((SELECT COUNT(*) FROM truth t JOIN cand c
+              |         ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1.0
+              |    / (SELECT COUNT(*) FROM truth), 4) + 0.0 AS recall
+              |""".stripMargin),
+      doc = "MinHash-LSH recall eval: banded candidate pairs vs the exact " +
+        "Jaccard >= 0.5 truth set — recall + candidate volume in one row, " +
+        "the measured basis for choosing (k, bands) before a corpus-scale " +
+        "dedup commits to a signature family; the dedup twin of " +
+        "q_e_ann_recall"),
+
+    Query(
+      "q_d_boilerplate",
+      (s, dir) => {
+        // Cross-doc boilerplate detection: a 3-gram shingle appearing in
+        // >= 4 distinct docs is template text (headers, navigation,
+        // licenses — on this fixture df maxes at 7, production raises the
+        // cut); per doc, the fraction of its distinct shingles that are
+        // boilerplate. One inverted-index pass: the df aggregate and the
+        // join back to docs both shuffle on `shingle`, so the second hop
+        // reuses the first's partitioning; per-doc rollup is one more
+        // partial-agg on doc_id. The shape of C4's line-level dedup at
+        // shingle granularity.
+        val d = graft.CacheScope.retain(
+          NearDup.docShingles(docs(s, dir), "doc_id", "text", 3))
+        val freq = d.groupBy("shingle").agg(count(lit(1)).as("df"))
+        d.join(freq, "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            sum((col("df") >= 4).cast("long")).as("n_boiler"))
+          .select(col("doc_id"), col("n_sh"), col("n_boiler"),
+            (round(col("n_boiler") / col("n_sh"), 4) + lit(0.0))
+              .as("boiler_frac"),
+            (col("n_boiler") * 5L >= col("n_sh")).as("flagged"))
+        // no ORDER BY — corpus-sized output, driver sorts before hashing
+      },
+      Some(s"""WITH $shingleCtes,
+              |f AS (SELECT shingle, COUNT(*) AS df FROM d GROUP BY shingle)
+              |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+              |  CAST(SUM(CASE WHEN f.df >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+              |  ROUND(SUM(CASE WHEN f.df >= 4 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+              |    + 0.0 AS boiler_frac,
+              |  SUM(CASE WHEN f.df >= 4 THEN 1 ELSE 0 END) * 5 >= COUNT(*) AS flagged
+              |FROM d JOIN f USING (shingle)
+              |GROUP BY d.doc_id""".stripMargin),
+      doc = "cross-doc boilerplate detection: shingles in >= 4 docs are " +
+        "template text; per-doc boilerplate fraction over one inverted-" +
+        "index pass (df aggregate and join-back share the shingle " +
+        "partitioning), flag at >= 20% — the C4-style template scrub " +
+        "signal at shingle granularity")
   )
 }

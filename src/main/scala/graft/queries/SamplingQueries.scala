@@ -110,6 +110,38 @@ object SamplingQueries extends QueryPack {
         "deterministic Lehmer key hash, ties by id — reproducible counts " +
         "where rate-based sampling only promises an expectation; the " +
         "rk <= 32 filter becomes a WindowGroupLimit (map-side partial " +
-        "top-k before the stratum shuffle)")
+        "top-k before the stratum shuffle)"),
+
+    Query(
+      "q_s_weighted_sample",
+      (s, dir) => {
+        // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+        // A-ES): each doc gets key = ln(u) / w with u uniform in (0,1]
+        // and w its weight (here n_chars — longer docs carry more
+        // tokens); the global top-k by key IS an exact weighted sample
+        // without replacement. u is deterministic — (KeyHash+1) / 2^31,
+        // an exact dyadic rational, so both engines feed ln() the same
+        // double; the key is rounded BEFORE ranking (engine-stable
+        // order, ties by doc_id). top-k via TakeOrderedAndProject:
+        // per-partition heaps, no global sort, no rand() — the
+        // reproducible "sample 50 docs ∝ length" a recipe pins.
+        val u = (graft.functions.KeyHash.column(col("doc_id")) + 1L)
+          .cast("double") / lit(2147483648.0)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            (round(log(u) / col("n_chars"), 6) + lit(0.0)).as("es_key"))
+          .orderBy(col("es_key").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some(s"""SELECT doc_id, source, n_chars,
+              |  ROUND(ln((${graft.functions.KeyHash.sql("doc_id")} + 1)
+              |    / 2147483648.0) / n_chars, 6) + 0.0 AS es_key
+              |FROM documents
+              |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin),
+      doc = "weighted sample without replacement (Efraimidis–Spirakis): " +
+        "key = ln(u)/weight with u a deterministic dyadic rational of the " +
+        "Lehmer key hash, global top-k by key — exact ∝-weight sampling " +
+        "with no rand() and no global sort (per-partition top-k heaps); " +
+        "weight = n_chars, the token-mass proxy")
   )
 }

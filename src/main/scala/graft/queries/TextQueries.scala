@@ -433,6 +433,72 @@ object TextQueries extends QueryPack {
         "per-doc top-3 via window (output gated to 50 docs for the check — " +
         "the plan is corpus-wide)"),
 
+    Query(
+      "q_t_bm25_topk",
+      (s, dir) => {
+        // BM25 keyword retrieval (k1 = 1.2, b = 0.75, Lucene-style
+        // +1-inside-the-log IDF): score every doc against a fixed query
+        // term set, return the top 20 — the targeted-selection op a
+        // recipe runs to pull domain-relevant docs out of a raw crawl.
+        // Scale shape: query terms are a literal IN filter pushed into
+        // the token explode (the corpus-sized tf shuffle only carries
+        // matching tokens); df/idf are O(|query|) rows broadcast; doc
+        // lengths + corpus stats come from ONE retained token pass; final
+        // top-k is TakeOrderedAndProject. IDF and the final score are
+        // rounded before ranking (engine-stable order, ties by doc_id).
+        val qterms = Seq("join", "vector", "stream")
+        val toks = graft.CacheScope.retain(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"),
+              explode(expr(
+                "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
+                .as("tok")))
+        val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        val st = lens.agg(count(lit(1)).as("n_docs"),
+          sum("len").as("tot_len"))
+        val tf = toks.where(col("tok").isin(qterms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(st))
+          .select(col("tok"),
+            (round(log((col("n_docs") - col("df") + 0.5)
+              / (col("df") + 0.5) + 1.0), 6) + lit(0.0)).as("idf"))
+        tf.join(broadcast(idf), "tok")
+          .join(lens, "doc_id")
+          .crossJoin(broadcast(st))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"),
+            (round(sum(col("idf") * col("tf") * lit(2.2)
+              / (col("tf") + lit(1.2) * (lit(0.25)
+                + lit(0.75) * col("len")
+                  / (col("tot_len") * lit(1.0) / col("n_docs"))))), 4)
+              + lit(0.0)).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH tk AS (SELECT doc_id, unnest(list_filter(
+             |         string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS tok
+             |       FROM documents),
+             |lens AS (SELECT doc_id, COUNT(*) AS len FROM tk GROUP BY 1),
+             |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(len) AS BIGINT) AS tot_len FROM lens),
+             |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+             |       WHERE tok IN ('join', 'vector', 'stream') GROUP BY 1, 2),
+             |idf AS (SELECT tok,
+             |          ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) + 0.0 AS idf
+             |        FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1), st)
+             |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             |  ROUND(SUM(i.idf * t.tf * 2.2
+             |    / (t.tf + 1.2 * (0.25 + 0.75 * l.len
+             |        / (tot_len * 1.0 / n_docs)))), 4) + 0.0 AS bm25
+             |FROM tf t JOIN idf i USING (tok) JOIN lens l USING (doc_id), st
+             |GROUP BY t.doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin),
+      doc = "BM25 keyword retrieval (k1=1.2, b=0.75, Lucene IDF): top-20 " +
+        "docs for a fixed query term set — the query-term IN filter rides " +
+        "the token explode so the tf shuffle only carries matches, idf/" +
+        "stats broadcast, one retained token pass feeds lengths and tf, " +
+        "top-k via per-partition heaps; the targeted-corpus-selection op"),
+
     // ---- the flagship end-to-end prep: filter → collapse → sample ----
     Query(
       "q_t_corpus_prep",

@@ -437,6 +437,56 @@ object TimeSeriesQueries extends QueryPack {
       doc = "SURVEY A5: RobustScaler fit = median/IQR params table (composed from quantiles; no MLlib dependency)"),
 
     Query(
+      "q_p_outlier_mad",
+      (s, dir) => {
+        // MAD-based robust outlier gate (the cleaning rule winsorize
+        // doesn't give you: a FLAG, not a clip): per key, median and the
+        // median absolute deviation, then |v - med|·0.6745 > 3.5·mad
+        // marks the outlier (the modified-z rule, multiplicative form so
+        // mad = 0 degenerates to "nothing flagged" with no division).
+        // Three passes over the fact table — MAD is inherently two-pass
+        // and the flag count is the third; every intermediate is an
+        // O(#keys) params table broadcast back, never a fact-side
+        // shuffle. Params rounded to 4 BEFORE the comparison (the A5
+        // convention: both engines then compare identical doubles).
+        val med = ev(s, dir).groupBy(col(K))
+          .agg((round(expr("percentile(value, 0.5)"), 4) + lit(0.0))
+            .as("med"))
+        val withMed = ev(s, dir).join(broadcast(med), K)
+        val mad = withMed.groupBy(col(K))
+          .agg((round(expr("percentile(abs(value - med), 0.5)"), 4)
+            + lit(0.0)).as("mad"))
+        withMed.join(broadcast(mad), K)
+          .groupBy(col(K))
+          .agg(count(lit(1)).as("n"),
+            sum((abs(col("value") - col("med")) * lit(0.6745)
+              > col("mad") * lit(3.5)).cast("long")).as("n_out"))
+          .select(col(K), col("n"), col("n_out"),
+            (round(col("n_out") / col("n"), 4) + lit(0.0)).as("out_frac"))
+          .orderBy(K)
+      },
+      Some("""WITH m AS (SELECT event_type,
+             |         ROUND(quantile_cont(value, 0.5), 4) + 0.0 AS med
+             |       FROM events GROUP BY 1),
+             |d AS (SELECT e.event_type, e.value, m.med
+             |      FROM events e JOIN m USING (event_type)),
+             |md AS (SELECT event_type,
+             |         ROUND(quantile_cont(abs(value - med), 0.5), 4) + 0.0 AS mad
+             |       FROM d GROUP BY 1)
+             |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CASE WHEN abs(d.value - d.med) * 0.6745 > md.mad * 3.5
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+             |  ROUND(SUM(CASE WHEN abs(d.value - d.med) * 0.6745 > md.mad * 3.5
+             |       THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) + 0.0 AS out_frac
+             |FROM d JOIN md USING (event_type)
+             |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin),
+      doc = "MAD robust outlier gate (modified z, |v-med|·0.6745 > 3.5·mad): " +
+        "per-key median + MAD as broadcast params tables, multiplicative " +
+        "comparison so mad=0 flags nothing instead of dividing by zero — " +
+        "the flag-don't-clip complement to winsorize; params rounded " +
+        "before comparing so both engines test identical doubles"),
+
+    Query(
       "q_a6_minmax_scaler_params",
       (s, dir) =>
         ev(s, dir).groupBy(col("event_type")).agg(

@@ -490,6 +490,110 @@ object VectorQueries extends QueryPack {
               |ORDER BY vec_a, vec_b""".stripMargin),
       doc = "embedding-cosine near-dup: 4 bands × 12 bits candidate pairs (bucket " +
         "join, no all-pairs; candidate count stays O(n·2^-12) per band at any " +
-        "corpus size), exact cosine >= 0.3 verify — the vector twin of MinHash dedup")
+        "corpus size), exact cosine >= 0.3 verify — the vector twin of MinHash dedup"),
+
+    Query(
+      "q_e_semdedup_groups",
+      (s, dir) => {
+        import graft.functions.VectorExpressions.cosine_sim
+        // SemDeDup (cluster-scoped semantic dedup): k-means-assign every
+        // embedding to a coarse cell, compare pairs ONLY within a cell,
+        // collapse the >= 0.45 pairs transitively. The published recipe's
+        // scale contract: pairwise work is O(Σ_c n_c²) with nCells sized
+        // ∝ corpus (constant expected cell size), vs the LSH-banded
+        // variant (q_e_embed_dedup_groups) whose candidate volume depends
+        // on the hash family — two independent candidate generators over
+        // the same collapse operator. Assignment is the codegen'd
+        // BestCell map pass; the self-join shuffles once on cell; the
+        // assigned frame is retained so the self-join's two sides don't
+        // re-evaluate the assignment (the r3 CC 203× lesson).
+        val cents = VectorSearch.seedCentroids(
+          emb(s, dir), "vec_id", "embedding", 16)
+        val asg = graft.CacheScope.retain(
+          emb(s, dir).withColumn("cell",
+            graft.functions.VectorExpressions.best_cell(
+              col("embedding"), cents.map(_._2), cents.map(_._1))))
+        val pairs = asg.alias("a").join(asg.alias("b"),
+            col("a.cell") === col("b.cell") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            (round(cosine_sim(col("a.embedding"), col("b.embedding")), 6)
+              + lit(0.0)).as("sim"))
+          .where(col("sim") >= 0.45)
+        graft.dedup.NearDup.connectedComponents(pairs, "vec_a", "vec_b")
+          .select(col("node").as("vec_id"), col("group_id"),
+            (col("node") === col("group_id")).as("keep"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |cents AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+             |asg AS (SELECT e.vec_id, e.emb,
+             |         (SELECT c.cid FROM cents c
+             |          ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid
+             |          LIMIT 1) AS cell
+             |       FROM e),
+             |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+             |          FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |          WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) + 0.0 >= 0.45),
+             |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+             |          UNION SELECT vec_b, vec_a FROM pairs),
+             |reach(node, lbl) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT ed.dst, r.lbl FROM reach r JOIN edges ed ON ed.src = r.node)
+             |SELECT node AS vec_id, MIN(lbl) AS group_id,
+             |  node = MIN(lbl) AS keep
+             |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin),
+      doc = "SemDeDup: coarse k-means cells scope the pairwise cosine " +
+        "compare (O(Σ cell²) with nCells ∝ corpus, never corpus²), " +
+        "transitive collapse keeps the min-id representative per " +
+        "semantic-duplicate group — cluster-scoped candidate generation " +
+        "vs the LSH-banded generator, same CC collapse operator"),
+
+    Query(
+      "q_e_ann_recall",
+      (s, dir) => {
+        // ANN quality eval: recall@10 of the LSH-banded index against
+        // exact brute-force top-10 for the held-out query vector — the
+        // metric that decides band/bit parameters before an index ships.
+        // Both sides are top-k frames (10 rows each); the join and the
+        // 1-row report are driver-negligible at any corpus size, and the
+        // expensive inputs are the same plans the production queries run.
+        val exact = VectorSearch.cosineTopK(
+            emb(s, dir).where(col("vec_id") =!= 0), queryVec(s, dir),
+            "vec_id", "embedding", 10)
+          .select(col("vec_id"))
+        val ann = VectorSearch.annTopK(
+            emb(s, dir).where(col("vec_id") =!= 0), queryVec(s, dir),
+            "vec_id", "embedding", 10, nBands = 4, bitsPerBand = 8)
+          .select(col("vec_id"))
+        exact.join(ann, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(10).as("k"), col("n_hits"),
+            (round(col("n_hits") / 10.0, 4) + lit(0.0)).as("recall"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+              |exact AS (SELECT e.vec_id,
+              |            ROUND(list_cosine_similarity(e.emb, q.qv), 6) + 0.0 AS sim
+              |          FROM e, q WHERE e.vec_id <> 0
+              |          ORDER BY sim DESC, e.vec_id LIMIT 10),
+              |sig AS (SELECT vec_id, emb, ${sigSql(32, "emb")} AS s FROM e),
+              |bands AS (SELECT vec_id, emb, band, (s >> (8*band)) & 255 AS bv
+              |          FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+              |qb AS (SELECT band, bv FROM bands WHERE vec_id = 0),
+              |cand AS (SELECT DISTINCT b.vec_id, b.emb
+              |         FROM bands b JOIN qb ON b.band = qb.band AND b.bv = qb.bv
+              |         WHERE b.vec_id <> 0),
+              |ann AS (SELECT c.vec_id,
+              |          ROUND(list_cosine_similarity(c.emb, q.qv), 6) + 0.0 AS sim
+              |        FROM cand c, q ORDER BY sim DESC, c.vec_id LIMIT 10)
+              |SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_hits,
+              |  ROUND(COUNT(*) / 10.0, 4) + 0.0 AS recall
+              |FROM exact WHERE vec_id IN (SELECT vec_id FROM ann)""".stripMargin),
+      doc = "ANN recall@10 eval: exact brute-force top-10 vs the LSH-banded " +
+        "index's top-10, semi-join overlap count — the parameter-tuning " +
+        "metric (bands × bits vs recall) an index build reports before " +
+        "shipping; both inputs are the exact production plans")
   )
 }

@@ -135,4 +135,30 @@ class DedupSpec extends AnyFunSuite {
     // both docs have shingle set {a b c, b c a, c a b}
     assert(sig("a b c a b c") == sig("a b c a b c a b c"))
   }
+
+  test("lsh recall eval: internally consistent, full recall on planted pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val Seq((nTrue, nCand, nHit, recall)) =
+      SparkEntry.queries("q_d_lsh_recall")(spark, dir)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(nHit <= nTrue && nHit <= nCand)
+    assert(recall == math.round(nHit.toDouble / nTrue * 10000) / 10000.0)
+    // a 16-hash/4-band family at Jaccard 0.5 has per-pair candidate
+    // probability 1-(1-0.5^4)^4 ≈ 0.23 — but the PLANTED dups here are
+    // far above 0.5, where the S-curve saturates; missing them all would
+    // mean the signature or banding replay broke
+    assert(nTrue > 0 && recall > 0.0)
+  }
+
+  test("boilerplate: fractions bounded, flag consistent, df threshold respected") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_d_boilerplate")(spark, dir)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, nSh, nBoiler, frac, flagged) =>
+      assert(nSh > 0 && nBoiler >= 0 && nBoiler <= nSh)
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(flagged == (nBoiler * 5 >= nSh))
+    }
+  }
 }

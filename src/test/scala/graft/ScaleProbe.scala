@@ -94,7 +94,12 @@ object ScaleProbe {
       "range_join" -> (dir => SparkEntry.queries("q_j_range_join")(spark, dir)),
       "prox_count" -> (dir => SparkEntry.queries("q_w_prox_count")(spark, dir)),
       "token_budget" -> (dir => SparkEntry.queries("q_t_token_budget")(spark, dir)),
-      "zorder_layout" -> (dir => SparkEntry.queries("q_a_zorder_layout")(spark, dir))
+      "zorder_layout" -> (dir => SparkEntry.queries("q_a_zorder_layout")(spark, dir)),
+      "semdedup" -> (dir => SparkEntry.queries("q_e_semdedup_groups")(spark, dir)),
+      "dsir_select" -> (dir => SparkEntry.queries("q_t_dsir_select")(spark, dir)),
+      "quality_calibrated" -> (dir => SparkEntry.queries("q_t_quality_calibrated")(spark, dir)),
+      "weighted_sample" -> (dir => SparkEntry.queries("q_s_weighted_sample")(spark, dir)),
+      "ann_recall" -> (dir => SparkEntry.queries("q_e_ann_recall")(spark, dir))
     )
 
     // release builder caches between ops (the production request-boundary

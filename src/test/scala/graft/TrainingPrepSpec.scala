@@ -86,4 +86,99 @@ class TrainingPrepSpec extends AnyFunSuite {
       assert(lp < 0.0) // every token probability < 1
     }
   }
+
+  test("dsir: en (target-domain) docs score higher than non-en on average") {
+    val scored = SparkEntry.queries("q_t_dsir_select")(spark, dir)
+      .join(Tables(spark, dir, "documents").select("doc_id", "lang"), "doc_id")
+    val avgBy = scored.groupBy($"lang" === "en")
+      .agg(avg("dsir_score")).as[(Boolean, Double)].collect().toMap
+    // the LLR is fit to favor the target slice — if this inverts, the
+    // target/raw models are swapped or the smoothing is broken
+    assert(avgBy(true) > avgBy(false),
+      s"en avg ${avgBy(true)} should exceed non-en ${avgBy(false)}")
+    // selected must be exactly score > 0 (the published decision rule)
+    val bad = scored.where(($"dsir_score" > 0.0) =!= $"selected").count()
+    assert(bad == 0)
+  }
+
+  test("quality calibration: q_cal spans [0,1] per source and is monotone in quality") {
+    val got = SparkEntry.queries("q_t_quality_calibrated")(spark, dir)
+      .select("source", "quality", "q_cal")
+      .as[(String, Double, Double)].collect()
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      assert(sorted.head._3 == 0.0, s"$src: lowest doc must calibrate to 0")
+      assert(sorted.last._3 == 1.0, s"$src: highest doc must calibrate to 1")
+      // percent_rank is monotone in the (quality, id) order
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 <= b._3)
+        case _ =>
+      }
+    }
+  }
+
+  test("bm25: ranked descending, every hit contains a query term") {
+    val got = SparkEntry.queries("q_t_bm25_topk")(spark, dir)
+      .select("doc_id", "n_terms", "bm25")
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty && got.length <= 20)
+    got.foreach { case (_, nt, score) =>
+      assert(nt >= 1 && nt <= 3) // 3 query terms
+      assert(score > 0.0) // Lucene IDF (+1 inside the log) is positive
+    }
+    // ranking is by (rounded score desc, doc_id)
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+      case _ =>
+    }
+    // every returned doc really contains at least one query term
+    val ids = got.map(_._1).toSet
+    val withTerm = Tables(spark, dir, "documents")
+      .where(col("doc_id").isin(ids.toSeq: _*))
+      .where(lower(col("text")).rlike("\\b(join|vector|stream)\\b"))
+      .count()
+    assert(withTerm == ids.size)
+  }
+
+  test("mad outlier gate: flag counts match a direct recomputation") {
+    val got = SparkEntry.queries("q_p_outlier_mad")(spark, dir)
+      .select("event_type", "n", "n_out", "out_frac")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, n, nOut, frac) =>
+      assert(nOut >= 0 && nOut <= n)
+      assert(frac == math.round(nOut.toDouble / n * 10000) / 10000.0)
+    }
+    // recompute one stratum's count from first principles
+    val et = got.head._1
+    val vals = Tables(spark, dir, "events")
+      .where(col("event_type") === et)
+      .select(col("value").cast("double")).as[Double].collect().sorted
+    def medOf(xs: Array[Double]): Double = {
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+    }
+    val med = math.round(medOf(vals) * 1e4) / 1e4
+    val mad = math.round(
+      medOf(vals.map(v => math.abs(v - med)).sorted) * 1e4) / 1e4
+    val expect = vals.count(v => math.abs(v - med) * 0.6745 > mad * 3.5)
+    assert(got.head._3 == expect,
+      s"$et: engine says ${got.head._3} outliers, recompute says $expect")
+  }
+
+  test("weighted sample: deterministic and biased toward heavy docs") {
+    val q = SparkEntry.queries("q_s_weighted_sample")
+    val a = q(spark, dir).select("doc_id").as[Long].collect().toSeq
+    val b = q(spark, dir).select("doc_id").as[Long].collect().toSeq
+    assert(a == b) // reproducible: no rand() anywhere
+    assert(a.length == 50 && a.distinct.length == 50) // without replacement
+    // ∝-n_chars weighting must pull the sample's mean length above the
+    // corpus mean (the point of A-ES keys); deterministic fixture fact
+    val sampleMean = q(spark, dir).agg(avg("n_chars")).as[Double].head()
+    val corpusMean = Tables(spark, dir, "documents")
+      .agg(avg("n_chars")).as[Double].head()
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
 }

@@ -216,4 +216,36 @@ class VectorSpec extends AnyFunSuite {
       "vec_id", "embedding", 3).select("vec_id").as[Long].collect().toSeq
     assert(got == Seq(1L, 2L, 3L))
   }
+
+  test("semdedup groups: members of a group are pairwise-reachable and keep=min") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_e_semdedup_groups")(spark, dir)
+      .select("vec_id", "group_id", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.nonEmpty) // the fixture plants near-dup embeddings
+    got.groupBy(_._2).foreach { case (gid, members) =>
+      // the representative is the min id and is flagged keep
+      assert(members.map(_._1).min == gid)
+      members.foreach { case (id, _, keep) => assert(keep == (id == gid)) }
+      assert(members.size >= 2) // CC emits only nodes with an edge
+    }
+  }
+
+  test("ann recall eval: agrees with independently computed overlap") {
+    val dir = "/root/testdata/sf0.001"
+    val Seq((k, hits, recall)) = SparkEntry.queries("q_e_ann_recall")(spark, dir)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(k == 10)
+    val exact = SparkEntry.queries("q_e_cosine_topk")(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val ann = SparkEntry.queries("q_e_ann_lsh_topk")(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    assert(hits == (exact & ann).size)
+    assert(recall == hits / 10.0)
+    assert(recall >= 0.0 && recall <= 1.0)
+    // NOTE: on this fixture's near-orthogonal random embeddings the 4×8
+    // family scores LOW (0.1 at sf0.01, 0 at sf0.001) — that is the
+    // operator doing its job: it's the report that says "these banding
+    // parameters are too coarse for this corpus" before an index ships.
+  }
 }
