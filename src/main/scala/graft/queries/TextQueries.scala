@@ -499,6 +499,54 @@ object TextQueries extends QueryPack {
         "stats broadcast, one retained token pass feeds lengths and tf, " +
         "top-k via per-partition heaps; the targeted-corpus-selection op"),
 
+    Query(
+      "q_t_oov_rate",
+      (s, dir) => {
+        // Tokenizer vocabulary coverage: fix the vocab to the top-V
+        // corpus terms (V = 16 here so the fixture's ~40-term vocabulary
+        // produces real OOV mass; production runs 32k-128k) and report
+        // the out-of-vocabulary token rate per source — the audit that
+        // decides whether a tokenizer needs retraining before a new feed
+        // joins the mix. One retained token pass feeds the vocab fit and
+        // the coverage scan; the vocab is top-k via per-partition heaps
+        // (TakeOrderedAndProject) then broadcast — the corpus never
+        // shuffles on anything wider than the term vocabulary.
+        val toks = graft.CacheScope.retain(
+          Tables(s, dir, "documents")
+            .select(col("source"),
+              explode(expr(
+                "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
+                .as("tok")))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(16)
+          .select(col("tok"), lit(1).as("__in"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("source"), col("n_tok"), col("n_oov"),
+            (round(col("n_oov") / col("n_tok"), 4) + lit(0.0))
+              .as("oov_rate"))
+          .orderBy("source")
+      },
+      Some("""WITH tk AS (SELECT source, unnest(list_filter(
+             |         string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS tok
+             |       FROM documents),
+             |v AS (SELECT tok FROM (
+             |        SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY 1
+             |        ORDER BY cnt DESC, tok LIMIT 16))
+             |SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |  ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             |    + 0.0 AS oov_rate
+             |FROM tk t LEFT JOIN v ON t.tok = v.tok
+             |GROUP BY t.source ORDER BY t.source""".stripMargin),
+      doc = "tokenizer vocab coverage: top-V corpus terms as the vocab " +
+        "(V=16 on this fixture; production 32k-128k), per-source OOV " +
+        "token rate — one retained token pass, vocab via per-partition " +
+        "top-k heaps then broadcast; the retrain-the-tokenizer audit a " +
+        "new feed triggers"),
+
     // ---- the flagship end-to-end prep: filter → collapse → sample ----
     Query(
       "q_t_corpus_prep",

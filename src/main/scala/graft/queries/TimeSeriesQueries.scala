@@ -487,6 +487,41 @@ object TimeSeriesQueries extends QueryPack {
         "before comparing so both engines test identical doubles"),
 
     Query(
+      "q_p_quantile_bins",
+      (s, dir) => {
+        // Quantile discretization (the feature-binning step before
+        // gradient-boosting / embedding-table features): per key, ntile
+        // deciles over (value, event_id) — the id tiebreak makes the
+        // assignment total and engine-stable, and ntile is pure integer
+        // arithmetic on ranks, so bin populations and edges are exact on
+        // both engines. One window shuffle on the key (same partition a
+        // per-key fit already pays), then an O(#keys·10) rollup of bin
+        // edges — the fitted bin table a serving layer broadcasts.
+        val w = Window.partitionBy(K).orderBy(col("value"), col("event_id"))
+        ev(s, dir)
+          .withColumn("bin", ntile(10).over(w))
+          .groupBy(col(K), col("bin"))
+          .agg(count(lit(1)).as("n"),
+            (round(min("value"), 4) + lit(0.0)).as("lo"),
+            (round(max("value"), 4) + lit(0.0)).as("hi"))
+          .orderBy(K, "bin")
+      },
+      Some("""WITH b AS (SELECT event_type, value,
+             |         NTILE(10) OVER (PARTITION BY event_type
+             |           ORDER BY value, event_id) AS bin
+             |       FROM events)
+             |SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n,
+             |  ROUND(MIN(value), 4) + 0.0 AS lo,
+             |  ROUND(MAX(value), 4) + 0.0 AS hi
+             |FROM b GROUP BY event_type, bin
+             |ORDER BY event_type, bin""".stripMargin),
+      doc = "quantile discretization: per-key ntile deciles with an id " +
+        "tiebreak (total order -> exact integer bin populations on any " +
+        "engine), rolled up to the O(#keys·10) bin-edge table a serving " +
+        "layer broadcasts — the feature-binning fit for boosted-tree / " +
+        "embedding-table features"),
+
+    Query(
       "q_a6_minmax_scaler_params",
       (s, dir) =>
         ev(s, dir).groupBy(col("event_type")).agg(

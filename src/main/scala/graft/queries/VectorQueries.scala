@@ -594,6 +594,65 @@ object VectorQueries extends QueryPack {
       doc = "ANN recall@10 eval: exact brute-force top-10 vs the LSH-banded " +
         "index's top-10, semi-join overlap count — the parameter-tuning " +
         "metric (bands × bits vs recall) an index build reports before " +
-        "shipping; both inputs are the exact production plans")
+        "shipping; both inputs are the exact production plans"),
+
+    Query(
+      "q_e_centroid_drift",
+      (s, dir) => {
+        import graft.functions.VectorExpressions.cosine_sim
+        // Embedding-distribution drift monitor: split the corpus into two
+        // cohorts (vec_id parity stands in for yesterday/today snapshots
+        // — production swaps in the real snapshot tables, same plan),
+        // compute the per-label mean centroid of each cohort entirely
+        // IN-PLAN (one (label, half, dim) partial-agg shuffle; means
+        // float32-quantized like Lloyd so the oracle replays them), and
+        // report per-label cohort-centroid cosine. A drop under ~0.99
+        // says the embedding distribution moved — re-train the quantizer
+        // / re-probe ANN params. No driver-side collect: the centroid
+        // frames are O(#labels) rows joined by label.
+        val e = emb(s, dir)
+        val parts = e
+          .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "half", "pos")
+          .agg(avg(col("v").cast("double")).cast("float").cast("double")
+            .as("m"))
+        val vecs = parts.groupBy("label", "half")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m)))," +
+            " x -> x.m)").as("cvec"))
+        val counts = e.groupBy(col("label"),
+            pmod(col("vec_id"), lit(2L)).as("half"))
+          .agg(count(lit(1)).as("cnt"))
+        val h0 = vecs.where(col("half") === 0)
+          .select(col("label"), col("cvec").as("v0"))
+        val h1 = vecs.where(col("half") === 1)
+          .select(col("label"), col("cvec").as("v1"))
+        val n0 = counts.where(col("half") === 0)
+          .select(col("label"), col("cnt").as("n_even"))
+        val n1 = counts.where(col("half") === 1)
+          .select(col("label"), col("cnt").as("n_odd"))
+        h0.join(h1, "label").join(n0, "label").join(n1, "label")
+          .select(col("label"), col("n_even"), col("n_odd"),
+            (round(cosine_sim(col("v0"), col("v1")), 6) + lit(0.0))
+              .as("cos_sim"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             |         label, vec_id % 2 AS half FROM embeddings),
+             |m AS (SELECT label, half, j, CAST(CAST(AVG(emb[j]) AS REAL) AS DOUBLE) AS mu
+             |      FROM e, (SELECT unnest(range(1, 65)) AS j) GROUP BY label, half, j),
+             |c AS (SELECT label, half, list(mu ORDER BY j) AS cvec FROM m GROUP BY label, half),
+             |n AS (SELECT label, half, COUNT(*) AS cnt FROM e GROUP BY label, half)
+             |SELECT c0.label, n0.cnt AS n_even, n1.cnt AS n_odd,
+             |  ROUND(list_cosine_similarity(c0.cvec, c1.cvec), 6) + 0.0 AS cos_sim
+             |FROM c c0 JOIN c c1 ON c0.label = c1.label AND c0.half = 0 AND c1.half = 1
+             |JOIN n n0 ON n0.label = c0.label AND n0.half = 0
+             |JOIN n n1 ON n1.label = c0.label AND n1.half = 1
+             |ORDER BY c0.label""".stripMargin),
+      doc = "embedding-distribution drift monitor: per-label cohort " +
+        "centroids (two snapshot halves) compared by cosine, entirely " +
+        "in-plan — one (label, half, dim) partial-agg shuffle, float32-" +
+        "quantized means (the Lloyd/oracle convention), O(#labels) join; " +
+        "the alarm that says re-train the quantizer / re-tune ANN")
   )
 }

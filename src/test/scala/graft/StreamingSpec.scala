@@ -195,6 +195,51 @@ class StreamingSpec extends AnyFunSuite {
       s"corpus after two gated batches: $ids")
   }
 
+  test("streaming centroid maintenance equals batch means under any split") {
+    import graft.streaming.StreamingCentroids
+    import graft.streaming.StreamingCentroids.VecIn
+    implicit val ctx = spark.sqlContext
+    // dyadic-rational coordinates: double addition is exact in any order,
+    // so stream-vs-batch equality is EXACT, not approximate
+    val vecs = (0 until 24).map { i =>
+      VecIn(cell = i % 3, vec = Seq(i * 0.25, 8.0 - i * 0.5, (i % 5) * 1.5))
+    }
+    val ms = MemoryStream[VecIn]
+    val sink = s"centroids_${System.nanoTime()}"
+    val q = StreamingCentroids.attach(ms.toDS())
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("cent-ckpt"))
+      .start()
+    // three uneven micro-batches — the split must not matter
+    ms.addData(vecs.take(5): _*)
+    q.processAllAvailable()
+    ms.addData(vecs.slice(5, 6): _*)
+    q.processAllAvailable()
+    ms.addData(vecs.drop(6): _*)
+    q.processAllAvailable()
+    q.stop()
+    // last emission per cell = final running mean
+    val got = spark.table(sink)
+      .groupBy("cell").agg(max(struct(col("n"), col("centroid"))).as("s"))
+      .select(col("cell"), col("s.n"), col("s.centroid"))
+      .as[(Long, Long, Seq[Double])].collect()
+      .map { case (c, n, v) => c -> ((n, v)) }.toMap
+    val expect = vecs.groupBy(_.cell).map { case (c, vs) =>
+      val n = vs.size
+      val sums = vs.map(_.vec).transpose.map(_.sum)
+      c -> ((n.toLong, sums.map(_ / n)))
+    }
+    assert(got == expect) // exact equality, per the dyadic fixture
+    // and the per-batch emissions are cumulative: n is non-decreasing
+    val ns = spark.table(sink).select("cell", "n")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    ns.values.foreach { rows =>
+      val sorted = rows.map(_._2).sorted
+      assert(sorted.last == expect(rows.head._1)._1)
+    }
+  }
+
   test("kafka wiring is guarded: absent connector fails loud, not weird") {
     assume(!StreamIngest.kafkaConnectorAvailable,
       "connector present — the activation test below covers this env")
