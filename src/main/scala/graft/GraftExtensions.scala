@@ -54,7 +54,18 @@ object GraftExtensions {
       val m = Literal(48271L)
       def lehmer(e: Expression): Expression = Pmod(Multiply(e, m), p)
       lehmer(lehmer(lehmer(Pmod(args.head, p))))
-    }))
+    }),
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
+    // runtime join filters but does not expose them in the public function
+    // registry; surfacing them lets a query build a membership prefilter
+    // over a bounded set (e.g. a benchmark's n-grams) as ONE plan — the
+    // scalar subquery holding the bloom is all that ships to executors.
+    "bloom_filter_agg" -> ((args: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(args(0), args(1), args(2))),
+    "might_contain" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(args(0), args(1))))
 
   /** Register on a live session (idempotent — replaces same-name entries). */
   def register(spark: SparkSession): Unit =

@@ -473,6 +473,173 @@ object CurationQueries extends QueryPack {
         "the (rounded) quality score — gates on the source-relative " +
         "percentile instead of the raw score, so one feed's distribution " +
         "shift can't starve or flood the mix; one window per source " +
-        "partition, exact rational output")
+        "partition, exact rational output"),
+
+    Query(
+      "q_s_epoch_schedule",
+      (s, dir) => {
+        // Data-repetition scheduling: when the training token budget
+        // exceeds a source's unique tokens, the recipe REPEATS the source
+        // for whole epochs (capped at 4 — repeating data beyond a few
+        // epochs stops helping) plus a sampled partial epoch for the
+        // remainder. Per-source budget here is an equal split of a fixed
+        // total (production plugs in the mix's output); the whole
+        // schedule is one partial-agg pass + O(#sources) arithmetic —
+        // integer epochs and a ROUND()ed partial rate are engine-exact.
+        val budget = 50000.0
+        docs(s, dir)
+          .select(col("source"), tokenCount(col("text")).as("n_tokens"))
+          .groupBy("source")
+          .agg(sum(col("n_tokens").cast("long")).as("tokens"))
+          .select(col("source"), col("tokens"),
+            least(floor(lit(budget) / 20.0 / col("tokens")), lit(4.0))
+              .cast("long").as("full_epochs"))
+          .withColumn("partial_rate",
+            round(when(col("full_epochs") >= 4, lit(0.0))
+              .otherwise(lit(budget) / 20.0 / col("tokens")
+                - col("full_epochs")), 6) + lit(0.0))
+          .withColumn("sched_tokens",
+            (col("full_epochs") + col("partial_rate")) * col("tokens"))
+          .select(col("source"), col("tokens"), col("full_epochs"),
+            col("partial_rate"),
+            (round(col("sched_tokens"), 2) + lit(0.0)).as("sched_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH s AS (
+             |  SELECT source,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+             |  FROM documents),
+             |b AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+             |      FROM s GROUP BY source),
+             |f AS (SELECT source, tokens,
+             |        CAST(LEAST(FLOOR(50000.0 / 20.0 / tokens), 4.0) AS BIGINT) AS full_epochs
+             |      FROM b),
+             |p AS (SELECT source, tokens, full_epochs,
+             |        ROUND(CASE WHEN full_epochs >= 4 THEN 0.0
+             |              ELSE 50000.0 / 20.0 / tokens - full_epochs END, 6) + 0.0
+             |          AS partial_rate
+             |      FROM f)
+             |SELECT source, tokens, full_epochs, partial_rate,
+             |  ROUND((full_epochs + partial_rate) * tokens, 2) + 0.0 AS sched_tokens
+             |FROM p ORDER BY source""".stripMargin),
+      doc = "data-repetition epoch schedule: when the token budget exceeds " +
+        "a source's unique tokens, repeat it for whole epochs (capped at " +
+        "4) plus a sampled partial epoch — the repeat-vs-sample recipe " +
+        "decision as one partial-agg pass + O(#sources) arithmetic"),
+
+    Query(
+      "q_t_bloom_decontaminate",
+      (s, dir) => {
+        // Decontamination behind a BLOOM prefilter — the shape that wins
+        // when the benchmark set outgrows a broadcast hash join: the eval
+        // side collapses to a fixed-size bit array (here 64 KB for an
+        // expected 50k n-grams; a real 10M-gram benchmark fits ~12 MB at
+        // 1% FP) built by ONE aggregation and shipped as a scalar, and
+        // the 100 TB train side pays a map-only might_contain before
+        // anything shuffles. Bloom false positives cannot leak into the
+        // result: the IN-subquery (planned as a broadcast semi join)
+        // exact-verifies the survivors, so output is identical to
+        // q_t_decontaminate — the prefilter only cuts the join's input
+        // volume. Uses Spark's own BloomFilterAggregate/MightContain
+        // (surfaced via GraftExtensions); scalar subquery keeps the whole
+        // thing one declarative plan, no driver-side index build.
+        graft.Tables.ensureRegistered(s, dir)
+        graft.dedup.NearDup
+          .docShingles(docs(s, dir), "doc_id", "text", 3)
+          .createOrReplaceTempView("__graft_decon_sh")
+        s.sql("""
+          SELECT doc_id, COUNT(*) AS n_shared
+          FROM __graft_decon_sh t
+          WHERE t.doc_id >= 10
+            AND might_contain(
+                  (SELECT bloom_filter_agg(xxhash64(shingle), 50000L, 524288L)
+                   FROM (SELECT DISTINCT shingle FROM __graft_decon_sh
+                         WHERE doc_id < 10)),
+                  xxhash64(t.shingle))
+            AND t.shingle IN (SELECT shingle FROM __graft_decon_sh
+                              WHERE doc_id < 10)
+          GROUP BY doc_id ORDER BY doc_id""")
+      },
+      // result-identical to q_t_decontaminate by construction (the bloom
+      // is a pure prefilter); the oracle is the same exact-join replay
+      Some(s"""WITH ${DedupQueries.shingleCtes},
+              |ev AS (SELECT DISTINCT shingle FROM d WHERE doc_id < 10)
+              |SELECT doc_id, COUNT(*) AS n_shared
+              |FROM d JOIN ev USING (shingle)
+              |WHERE doc_id >= 10
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "decontamination behind a bloom prefilter: eval n-grams " +
+        "collapse to a fixed-size bit array (one aggregation, shipped as " +
+        "a scalar), train side pays a map-only might_contain before any " +
+        "shuffle, exact semi-join verify of survivors only — " +
+        "result-identical to q_t_decontaminate, but the join input is cut " +
+        "to near-matches; the shape for benchmark sets too big to " +
+        "broadcast-join raw"),
+
+    Query(
+      "q_t_length_drift",
+      (s, dir) => {
+        // Distribution-drift monitor (two-sample KS over binned ECDFs):
+        // per source, compare the doc-length distribution of two corpus
+        // snapshots — here two deterministic KeyHash halves standing in
+        // for yesterday/today; production swaps in the real snapshot tag,
+        // same plan. Exact KS needs a global per-source sort; the binned
+        // variant (20 fixed-width bins) is one partial-agg shuffle on
+        // (source, bin) + two window passes over O(#sources·bins) rows —
+        // the 100 TB drift alarm that re-tunes sampling/quality gates
+        // when a feed's content shifts. Integer bin math and long cumsums
+        // are engine-exact; the CDF divide is nullif-guarded (an empty
+        // half reports null drift, not a crash).
+        val wc = Window.partitionBy("source").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("source")
+        docs(s, dir)
+          .select(col("source"),
+            pmod(graft.functions.KeyHash.column(col("doc_id")), lit(2L))
+              .as("half"),
+            least(expr("n_chars DIV 32"), lit(19L)).as("bin"))
+          .groupBy("source", "bin")
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+          .withColumn("gap", round(abs(
+            sum("n_a").over(wc) / nullif(sum("n_a").over(wt), lit(0L))
+              - sum("n_b").over(wc) / nullif(sum("n_b").over(wt), lit(0L))),
+            6))
+          .groupBy("source")
+          .agg(sum("n_a").as("n_a"), sum("n_b").as("n_b"),
+            (max("gap") + lit(0.0)).as("ks_stat"))
+          .select(col("source"), col("n_a"), col("n_b"), col("ks_stat"),
+            (col("ks_stat") > 0.2).as("drifted"))
+          .orderBy("source")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT source,
+              |    ${graft.functions.KeyHash.sql("doc_id")} % 2 AS half,
+              |    LEAST(n_chars // 32, 19) AS bin
+              |  FROM documents),
+              |b AS (SELECT source, bin,
+              |        CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              |        CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+              |      FROM h GROUP BY source, bin),
+              |c AS (SELECT source, n_a, n_b,
+              |        ROUND(ABS(
+              |          SUM(n_a) OVER (PARTITION BY source ORDER BY bin
+              |            ROWS UNBOUNDED PRECEDING) * 1.0
+              |            / NULLIF(SUM(n_a) OVER (PARTITION BY source), 0)
+              |          - SUM(n_b) OVER (PARTITION BY source ORDER BY bin
+              |            ROWS UNBOUNDED PRECEDING) * 1.0
+              |            / NULLIF(SUM(n_b) OVER (PARTITION BY source), 0)), 6) AS gap
+              |      FROM b)
+              |SELECT source, CAST(SUM(n_a) AS BIGINT) AS n_a,
+              |  CAST(SUM(n_b) AS BIGINT) AS n_b,
+              |  MAX(gap) + 0.0 AS ks_stat,
+              |  MAX(gap) + 0.0 > 0.2 AS drifted
+              |FROM c GROUP BY source ORDER BY source""".stripMargin),
+      doc = "distribution-drift monitor: per-source two-sample KS over " +
+        "binned length ECDFs of two snapshot halves — one partial-agg " +
+        "shuffle on (source, bin) + window passes over O(#sources·bins) " +
+        "rows, no global sort; the alarm that re-tunes sampling and " +
+        "quality gates when a feed's content shifts")
   )
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Query, QueryPack, Tables}
 import graft.dedup.NearDup
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate dedup surface over `documents` (SURVEY brief pillar):
@@ -439,6 +440,41 @@ object DedupQueries extends QueryPack {
         "template text; per-doc boilerplate fraction over one inverted-" +
         "index pass (df aggregate and join-back share the shingle " +
         "partitioning), flag at >= 20% — the C4-style template scrub " +
-        "signal at shingle granularity")
+        "signal at shingle granularity"),
+
+    Query(
+      "q_d_norm_dedup",
+      (s, dir) => {
+        // Normalized exact dedup — the canonicalization layer between raw
+        // md5 dedup and shingle near-dup: lowercase, strip non-alnum to
+        // spaces, collapse runs, trim, THEN hash. Catches the
+        // case/punctuation/whitespace variants raw exact dedup misses
+        // (mirrored crawls, re-encoded feeds) at exact-dedup cost: one
+        // map-only codegen pass + one shuffle on the 128-bit hash. The
+        // explicit [a-z0-9 ] class keeps both engines' regex semantics
+        // identical (no locale-dependent \w).
+        val canon = trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        val w = Window.partitionBy("norm_hash")
+        docs(s, dir)
+          .select(col("doc_id"), md5(canon).as("norm_hash"))
+          .withColumn("canonical_id", min("doc_id").over(w))
+          .select(col("doc_id"), col("norm_hash"), col("canonical_id"),
+            (col("doc_id") === col("canonical_id")).as("is_canonical"))
+        // no ORDER BY — corpus-sized output, driver sorts before hashing
+      },
+      Some("""WITH n AS (SELECT doc_id,
+             |  md5(trim(regexp_replace(regexp_replace(lower(text),
+             |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+             |  FROM documents)
+             |SELECT doc_id, norm_hash,
+             |  MIN(doc_id) OVER (PARTITION BY norm_hash) AS canonical_id,
+             |  doc_id = MIN(doc_id) OVER (PARTITION BY norm_hash) AS is_canonical
+             |FROM n""".stripMargin),
+      doc = "normalized exact dedup: lowercase/strip-punct/collapse-" +
+        "whitespace canonicalization before hashing — catches case and " +
+        "punctuation variants raw md5 dedup misses, at exact-dedup cost " +
+        "(one map pass + one hash shuffle); min-doc_id survivor per " +
+        "normalized hash")
   )
 }

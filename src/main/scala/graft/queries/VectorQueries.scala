@@ -653,6 +653,154 @@ object VectorQueries extends QueryPack {
         "centroids (two snapshot halves) compared by cosine, entirely " +
         "in-plan — one (label, half, dim) partial-agg shuffle, float32-" +
         "quantized means (the Lloyd/oracle convention), O(#labels) join; " +
-        "the alarm that says re-train the quantizer / re-tune ANN")
+        "the alarm that says re-train the quantizer / re-tune ANN"),
+
+    Query(
+      "q_e_sem_decontaminate",
+      (s, dir) => {
+        import graft.functions.VectorExpressions.cosine_sim
+        // Semantic train/eval decontamination — the embedding-space twin
+        // of q_t_decontaminate: flag training vectors too similar to ANY
+        // benchmark vector even when zero n-grams overlap (paraphrases,
+        // translations, format-shifted copies slip past text dedup).
+        // Fixture: vec_id < 10 stands in for the eval benchmark. Both
+        // sides signed once (map-only codegen signature), candidates from
+        // the (band, band_val) equi-join, exact cosine verify of
+        // collisions only — the train side shuffles once on band keys at
+        // any corpus size, never pairwise against the benchmark.
+        val banded = VectorSearch.withLshBands(emb(s, dir), "embedding",
+          nBands = 4, bitsPerBand = 12)
+        val evalB = banded.where(col("vec_id") < 10)
+          .select(col("vec_id").as("eval_id"), col("band"), col("band_val"),
+            col("embedding").as("eval_emb"))
+        banded.where(col("vec_id") >= 10)
+          .join(evalB, Seq("band", "band_val"))
+          .select(col("vec_id"), col("eval_id"),
+            (round(cosine_sim(col("embedding"), col("eval_emb")), 6)
+              + lit(0.0)).as("sim"))
+          .dropDuplicates("vec_id", "eval_id")
+          .where(col("sim") >= 0.3)
+          .groupBy("vec_id")
+          .agg(count(lit(1)).as("n_eval_hits"),
+            (max("sim") + lit(0.0)).as("max_sim"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              |sig AS (SELECT vec_id, emb, ${sigSql(48, "emb")} AS s FROM e),
+              |bands AS (SELECT vec_id, band, (s >> (12*band)) & 4095 AS bv
+              |          FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+              |cand AS (SELECT DISTINCT t.vec_id, ev.vec_id AS eval_id
+              |         FROM bands t JOIN bands ev
+              |           ON t.band = ev.band AND t.bv = ev.bv
+              |           AND t.vec_id >= 10 AND ev.vec_id < 10),
+              |hits AS (SELECT c.vec_id, c.eval_id,
+              |           ROUND(list_cosine_similarity(et.emb, ee.emb), 6) + 0.0 AS sim
+              |         FROM cand c JOIN e et ON et.vec_id = c.vec_id
+              |                     JOIN e ee ON ee.vec_id = c.eval_id
+              |         WHERE ROUND(list_cosine_similarity(et.emb, ee.emb), 6) + 0.0 >= 0.3)
+              |SELECT vec_id, COUNT(*) AS n_eval_hits, MAX(sim) + 0.0 AS max_sim
+              |FROM hits GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+      doc = "semantic train/eval decontamination: training vectors too " +
+        "cosine-similar to any benchmark vector, via the banded-LSH " +
+        "candidate join + exact verify of collisions only — catches the " +
+        "paraphrase/translation leakage n-gram decontamination misses; " +
+        "train side shuffles once on band keys, never pairwise"),
+
+    Query(
+      "q_e_hard_negatives",
+      (s, dir) => {
+        import graft.functions.VectorExpressions.cosine_sim
+        // Hard-negative mining for contrastive/embedding training: for
+        // each anchor, the top-2 most-similar vectors carrying a
+        // DIFFERENT label — the near-misses a trainer wants in the same
+        // batch as the anchor. Anchor set is broadcast (queries are
+        // mining batches, bounded by construction); corpus side is one
+        // map pass — codegen'd cosine against ≤|anchors| vectors per row
+        // — then a per-anchor window top-k (WindowGroupLimit prunes
+        // map-side). At real scale the anchor batch rides the same
+        // banded-LSH candidate join as q_e_ann_batch_topk; this is the
+        // exact-scoring shape, label-aware.
+        val q = emb(s, dir).where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("q_emb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+        emb(s, dir).where(col("vec_id") >= 5)
+          .join(broadcast(q), col("label") =!= col("q_label"))
+          .select(col("q_id"), col("vec_id"),
+            (round(cosine_sim(col("embedding"), col("q_emb")), 6)
+              + lit(0.0)).as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 2)
+          .orderBy("q_id", "rk")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+             |          FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
+             |      FROM e WHERE vec_id < 5),
+             |s AS (SELECT q.q_id, e.vec_id,
+             |        ROUND(list_cosine_similarity(e.emb, q.q_emb), 6) + 0.0 AS sim
+             |      FROM e, q WHERE e.vec_id >= 5 AND e.label <> q.q_label),
+             |r AS (SELECT q_id, vec_id, sim,
+             |        CAST(row_number() OVER (PARTITION BY q_id
+             |          ORDER BY sim DESC, vec_id) AS INT) AS rk
+             |      FROM s)
+             |SELECT q_id, vec_id, sim, rk FROM r WHERE rk <= 2
+             |ORDER BY q_id, rk""".stripMargin),
+      doc = "hard-negative mining: per anchor, the top-2 most-similar " +
+        "vectors with a DIFFERENT label — broadcast anchor batch, " +
+        "map-only codegen cosine, per-anchor window top-k " +
+        "(WindowGroupLimit); the contrastive-training batch builder, " +
+        "swapping in the banded-LSH candidate join when the anchor set " +
+        "outgrows a broadcast"),
+
+    Query(
+      "q_e_dim_stats",
+      (s, dir) => {
+        // Embedding-health audit: per-DIMENSION mean / std / absmax over
+        // the whole corpus, with a dead-dimension flag (σ < 0.01 — a dim
+        // the encoder never varies wastes index bits and distorts
+        // quantizer training). One posexplode + a 64-key partial agg:
+        // per-dim state collapses map-side, the shuffle carries
+        // O(dim · partitions) rows at any corpus size. Means are
+        // float32-quantized (the Lloyd/oracle convention — absorbs the
+        // engines' double-AVG summation-order ulps); std is derived from
+        // the quantized moments, so both engines compute identical
+        // doubles.
+        emb(s, dir)
+          .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("dim"), col("v").cast("double").as("v"))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n"),
+            avg("v").cast("float").cast("double").as("__ma"),
+            avg(col("v") * col("v")).cast("float").cast("double").as("__mb"),
+            max(abs(col("v"))).as("__amax"))
+          .select(col("dim"), col("n"),
+            (round(col("__ma"), 6) + lit(0.0)).as("mean"),
+            (round(sqrt(greatest(col("__mb") - col("__ma") * col("__ma"),
+              lit(0.0))), 6) + lit(0.0)).as("std"),
+            (round(col("__amax"), 6) + lit(0.0)).as("absmax"))
+          .withColumn("dead", col("std") < 0.01)
+          .orderBy("dim")
+      },
+      Some("""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |x AS (SELECT CAST(j - 1 AS INT) AS dim, emb[j] AS v
+             |      FROM e, (SELECT unnest(range(1, 65)) AS j)),
+             |a AS (SELECT dim, COUNT(*) AS n,
+             |        CAST(CAST(AVG(v) AS REAL) AS DOUBLE) AS ma,
+             |        CAST(CAST(AVG(v*v) AS REAL) AS DOUBLE) AS mb,
+             |        MAX(ABS(v)) AS amax
+             |      FROM x GROUP BY dim)
+             |SELECT dim, n, ROUND(ma, 6) + 0.0 AS mean,
+             |  ROUND(sqrt(GREATEST(mb - ma*ma, 0.0)), 6) + 0.0 AS std,
+             |  ROUND(amax, 6) + 0.0 AS absmax,
+             |  ROUND(sqrt(GREATEST(mb - ma*ma, 0.0)), 6) + 0.0 < 0.01 AS dead
+             |FROM a ORDER BY dim""".stripMargin),
+      doc = "embedding-health audit: per-dimension mean/std/absmax + " +
+        "dead-dimension flag — one posexplode + dim-keyed partial agg " +
+        "(state collapses map-side, shuffle is O(dim) keys at any corpus " +
+        "size); float32-quantized moments keep both engines' doubles " +
+        "identical; the pre-flight check before quantizer or index " +
+        "training")
   )
 }
