@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked JVMs write straight to this process's stdout/stderr instead of
+// through sbt's logger pipe. The piped default can BLOCK the child when
+// sbt's log thread stalls (observed: 20 s driver-side gaps between Spark
+// jobs under sbt, never when the same main runs bare) — benchmark wall
+// times were absorbing sbt's own GC/log hiccups.
+run / outputStrategy := Some(StdoutOutput)
+Test / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only perf probe (Test scope, not shipped): time bench outliers in
-  * isolation to separate query cost from bench-order effects (JIT, GC
-  * pressure, cache churn). Run:
-  * SPARK_GRAFT_CPUS=8 sbt "Test/runMain graft.Probe"
+/** Dev-only perf probe (Test scope, not shipped): find the stall inside
+  * q_d_incremental_dedup runs whose wall time fluctuates 6 s..60 s on an
+  * idle box. Logs every job with timestamps + durations via a listener.
+  * Run: SPARK_GRAFT_CPUS=8 sbt "Test/runMain graft.Probe"
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -17,25 +17,36 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    @volatile var lastEnd = System.nanoTime()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val now = System.nanoTime()
+          val gap = (now - lastEnd) / 1e9
+          starts.put(js.jobId, now)
+          if (gap > 0.5) println(f"  [gap before job ${js.jobId}] $gap%6.2f s")
+        }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val now = System.nanoTime()
+          lastEnd = now
+          val dur = (now - starts.getOrDefault(je.jobId, now)) / 1e9
+          if (dur > 0.5) println(f"  [job ${je.jobId}] $dur%6.2f s")
+        }
+      })
+
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"$name%-50s ${(System.nanoTime() - t0) / 1e9}%7.2f s  (n=$n)")
+      println(f"$name%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s  (n=$n)")
     }
-    def runQ(q: String, dir: String): Long = {
-      val df = SparkEntry.queries(q)(spark, dir)
-      val n = df.count()
-      CacheScope.release(spark)
-      n
-    }
-
-    for (sf <- Seq("sf0.001", "sf0.01")) {
-      val dir = s"/root/testdata/$sf"
-      Tables.all.foreach(t => Tables(spark, dir, t).count()) // warm footers
-      for (q <- Seq("q_a2_distinct_approx", "q_d_incremental_dedup",
-          "q_t_bloom_decontaminate", "q_e_sem_decontaminate",
-          "q_e_hard_negatives"); pass <- 1 to 2)
-        time(s"$q $sf pass$pass")(runQ(q, dir))
+    val dir = "/root/testdata/sf0.001"
+    Tables(spark, dir, "documents").count()
+    for (pass <- 1 to 4) time(s"incremental pass$pass") {
+      val n = SparkEntry.queries("q_d_incremental_dedup")(spark, dir).count()
+      CacheScope.release(spark); n
     }
     spark.stop()
   }
