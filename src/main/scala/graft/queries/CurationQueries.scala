@@ -388,24 +388,29 @@ object CurationQueries extends QueryPack {
         val cr = h.groupBy("bucket").agg(count(lit(1)).as("c_r"))
         val nt = ct.agg(sum("c_t").as("n_t"))
         val nr = cr.agg(sum("c_r").as("n_r"))
-        // identical double shape on both engines: exact long products,
-        // one double divide, ln, round BEFORE the per-doc sum
+        // Engine-exact score: the log-ratio is quantized to integer
+        // MICRO-units (floor(x·1e6 + .5) — away-from-zero-consistent on
+        // both engines), so the per-doc Σ c·lr is exact long arithmetic.
+        // A double Σ here is summation-ORDER-dependent — Spark's partial
+        // aggregation order varies run to run, and a score landing on a
+        // round-4 boundary flipped its last digit against the oracle
+        // (caught in round 5's full sweep).
         val lr = cr.join(ct, Seq("bucket"), "left")
           .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
           .select(col("bucket"),
-            (round(log(
+            floor(log(
               ((coalesce(col("c_t"), lit(0L)) + 1L) * (col("n_r") + B))
                 .cast("double") /
-              ((col("c_r") + 1L) * (col("n_t") + B)).cast("double")), 6)
-              + lit(0.0)).as("lr"))
+              ((col("c_r") + 1L) * (col("n_t") + B)).cast("double"))
+              * 1e6 + 0.5).cast("long").as("lr6"))
         h.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
           .join(broadcast(lr), "bucket")
           .groupBy("doc_id")
           .agg(sum("c").as("n_feat"),
-            (round(sum(col("c") * col("lr")), 4) + lit(0.0))
-              .as("dsir_score"))
-          .select(col("doc_id"), col("n_feat"), col("dsir_score"),
-            (col("dsir_score") > 0.0).as("selected"))
+            sum(col("c") * col("lr6")).as("__s6"))
+          .select(col("doc_id"), col("n_feat"),
+            (round(col("__s6") / 1e6, 4) + lit(0.0)).as("dsir_score"),
+            (col("__s6") > 0L).as("selected"))
         // no ORDER BY — corpus-sized output, driver sorts before hashing
       },
       Some(s"""WITH t AS (
@@ -421,13 +426,14 @@ object CurationQueries extends QueryPack {
               |nt AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t FROM ct),
               |nr AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r FROM cr),
               |lr AS (SELECT cr.bucket,
-              |        ROUND(ln(CAST((COALESCE(ct.c_t, 0) + 1) * (n_r + 1024) AS DOUBLE)
-              |               / CAST((cr.c_r + 1) * (n_t + 1024) AS DOUBLE)), 6) + 0.0 AS lr
+              |        CAST(FLOOR(ln(CAST((COALESCE(ct.c_t, 0) + 1) * (n_r + 1024) AS DOUBLE)
+              |               / CAST((cr.c_r + 1) * (n_t + 1024) AS DOUBLE)) * 1000000 + 0.5)
+              |          AS BIGINT) AS lr6
               |      FROM cr LEFT JOIN ct USING (bucket), nt, nr),
               |dbc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM h GROUP BY 1, 2)
               |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feat,
-              |  ROUND(SUM(c * lr), 4) + 0.0 AS dsir_score,
-              |  ROUND(SUM(c * lr), 4) + 0.0 > 0.0 AS selected
+              |  ROUND(CAST(SUM(c * lr6) AS BIGINT) / 1000000.0, 4) + 0.0 AS dsir_score,
+              |  CAST(SUM(c * lr6) AS BIGINT) > 0 AS selected
               |FROM dbc JOIN lr USING (bucket)
               |GROUP BY doc_id""".stripMargin),
       doc = "DSIR-style importance selection: log-likelihood ratio between " +

@@ -99,7 +99,14 @@ object ScaleProbe {
       "dsir_select" -> (dir => SparkEntry.queries("q_t_dsir_select")(spark, dir)),
       "quality_calibrated" -> (dir => SparkEntry.queries("q_t_quality_calibrated")(spark, dir)),
       "weighted_sample" -> (dir => SparkEntry.queries("q_s_weighted_sample")(spark, dir)),
-      "ann_recall" -> (dir => SparkEntry.queries("q_e_ann_recall")(spark, dir))
+      "ann_recall" -> (dir => SparkEntry.queries("q_e_ann_recall")(spark, dir)),
+      "bloom_decontaminate" -> (dir => SparkEntry.queries("q_t_bloom_decontaminate")(spark, dir)),
+      "sem_decontaminate" -> (dir => SparkEntry.queries("q_e_sem_decontaminate")(spark, dir)),
+      "hard_negatives" -> (dir => SparkEntry.queries("q_e_hard_negatives")(spark, dir)),
+      "dim_stats" -> (dir => SparkEntry.queries("q_e_dim_stats")(spark, dir)),
+      "norm_dedup" -> (dir => SparkEntry.queries("q_d_norm_dedup")(spark, dir)),
+      "length_drift" -> (dir => SparkEntry.queries("q_t_length_drift")(spark, dir)),
+      "epoch_schedule" -> (dir => SparkEntry.queries("q_s_epoch_schedule")(spark, dir))
     )
 
     // release builder caches between ops (the production request-boundary
