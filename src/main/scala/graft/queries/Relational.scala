@@ -364,6 +364,83 @@ object Relational extends QueryPack {
              |FROM events WHERE event_type = 'click' GROUP BY user_id
              |ORDER BY user_id, kind""".stripMargin),
       doc = "SURVEY J4: unionByName(allowMissingColumns) — name-aligned union " +
-        "of per-thread result shapes, null-filling the missing columns")
+        "of per-thread result shapes, null-filling the missing columns"),
+
+    Query(
+      "q_a_rollup_levels",
+      (s, dir) => {
+        // Multi-level OLAP rollup — (source, lang), (source), () totals in
+        // ONE pass: Catalyst expands the grouping sets before the shuffle,
+        // so the fact table is read once and partial aggregation still
+        // collapses map-side; lvl is the grouping_id bitmask (MSB =
+        // first rollup column on both engines). The drill-down report a
+        // dashboard wants without three separate scans.
+        Tables(s, dir, "documents")
+          .rollup("source", "lang")
+          .agg(grouping_id().cast("int").as("lvl"),
+            count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .select(col("source"), col("lang"), col("lvl"),
+            col("n_docs"), col("sum_chars"))
+        // no ORDER BY: engines order NULL group keys differently; the
+        // driver canonical-sorts both sides before hashing
+      },
+      Some("""SELECT source, lang,
+             |  CAST(GROUPING(source, lang) AS INT) AS lvl,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin),
+      doc = "OLAP rollup: (source, lang) / (source) / grand-total levels " +
+        "in one pass — grouping sets expand before the shuffle, partial " +
+        "agg still collapses map-side; grouping_id disambiguates levels"),
+
+    Query(
+      "q_a_pivot_lang",
+      (s, dir) =>
+        // PIVOT with EXPLICIT values: the per-source language mix as one
+        // row per source, one column per language. Explicit value list =
+        // no extra distinct-scan to discover columns AND a deterministic
+        // output schema (the implicit form's column order would depend on
+        // a collect). Missing combinations are 0, not null, so the frame
+        // is ready for downstream arithmetic. One partial-agg shuffle on
+        // ~#sources keys.
+        Tables(s, dir, "documents")
+          .groupBy("source")
+          .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("source"),
+      Some("""SELECT source,
+             |  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+             |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+             |  CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+             |  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+             |  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      doc = "PIVOT with explicit values: per-source language mix, one " +
+        "column per language — explicit value list avoids the " +
+        "discovery scan and fixes the schema; missing combos filled 0"),
+
+    Query(
+      "q_r_set_ops",
+      (s, dir) => {
+        // ANSI set operators as set algebra on keys: users who purchased
+        // AND clicked but never hit a SEVERE error (value > 300).
+        // INTERSECT/EXCEPT dedupe by definition — Catalyst plans them as
+        // semi/anti joins over map-side-deduped sides, so each leg
+        // shuffles its distinct keys once, never row-multiplied.
+        val e = Tables(s, dir, "events")
+        def ids(kind: String) =
+          e.where(col("event_type") === kind).select(col("user_id"))
+        ids("purchase").intersect(ids("click"))
+          .except(e.where(col("event_type") === "error"
+            && col("value") > 300.0).select(col("user_id")))
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'purchase'
+             |INTERSECT
+             |SELECT user_id FROM events WHERE event_type = 'click'
+             |EXCEPT
+             |SELECT user_id FROM events WHERE event_type = 'error' AND value > 300.0""".stripMargin),
+      doc = "ANSI set ops: INTERSECT/EXCEPT planned as semi/anti joins " +
+        "over map-side-deduped sides — purchased AND clicked but never " +
+        "errored, each leg shuffling distinct keys once")
   )
 }

@@ -444,4 +444,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 100.0 && r.getDouble(1) == 105.0 &&
       r.getDouble(2) == 95.0 && r.getDouble(3) == 95.0 && r.getLong(4) == 3L)
   }
+
+  test("stream-stream interval join: prediction meets only its in-window " +
+      "actual; watermarks bound both buffers (T4/J2 live)") {
+    // The live face of q_j2_horizon_metrics: predictions and
+    // later-arriving actuals as two unbounded streams, joined on key
+    // within a 2-minute horizon. Both sides carry watermarks AND the join
+    // condition carries the time bound, so Spark derives a state-eviction
+    // horizon for each buffer — without it, stream-stream join state
+    // grows forever. Inner join + append mode: a pair emits once both
+    // watermarks clear it.
+    implicit val ctx = spark.sqlContext
+    val preds = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val acts = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val p = preds.toDF().toDF("p_time", "p_key", "pred")
+      .withWatermark("p_time", "10 seconds")
+    val a = acts.toDF().toDF("a_time", "a_key", "actual")
+      .withWatermark("a_time", "10 seconds")
+    val outDir = tmpDir("ssjoin-out")
+    val q = p.join(a, expr(
+        """p_key = a_key AND
+          |a_time >= p_time AND
+          |a_time <= p_time + interval 2 minutes""".stripMargin))
+      .select(col("p_key").as("key"), col("p_time"), col("a_time"),
+        col("pred"), col("actual"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", tmpDir("ssjoin-ckpt"))
+      .outputMode("append")
+      .start()
+    preds.addData((ts("2024-03-01T10:00:00Z"), "BTC", 101.0))
+    acts.addData(
+      (ts("2024-03-01T10:01:00Z"), "BTC", 99.0),  // inside the horizon
+      (ts("2024-03-01T10:05:00Z"), "BTC", 97.0))  // outside (> 2 min)
+    q.processAllAvailable()
+    // advance BOTH watermarks past the horizon so the pair is final
+    preds.addData((ts("2024-03-01T10:20:00Z"), "ZZZ", 0.0))
+    acts.addData((ts("2024-03-01T10:20:00Z"), "ZZZ", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+      .where(col("key") === "BTC").collect()
+    assert(out.length == 1, s"exactly the in-horizon pair joins: ${out.toSeq}")
+    assert(out.head.getAs[Double]("pred") == 101.0)
+    assert(out.head.getAs[Double]("actual") == 99.0)
+  }
 }
