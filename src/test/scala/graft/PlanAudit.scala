@@ -24,7 +24,11 @@ object PlanAudit {
       "q_d_incremental_dedup", "q_t_chunk_overlap", "q_s_fixed_k_sample",
       "q_a_zorder_layout", "q_t_unigram_logprob",
       "q_e_pq_topk", "q_t_chunk_dedup", "q_j_range_join", "q_w_prox_count",
-      "q_t_token_budget")
+      "q_t_token_budget",
+      "q_t_bloom_decontaminate", "q_e_sem_decontaminate",
+      "q_e_hard_negatives", "q_e_dim_stats", "q_d_norm_dedup",
+      "q_t_length_drift", "q_a_rollup_levels", "q_a_pivot_lang",
+      "q_r_set_ops")
     interesting.foreach { name =>
       println(s"\n================ $name ================")
       val plan = SparkEntry.queries(name)(spark, dir)

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the round-5 operators — the scale
+  * contract each query's doc comment claims, pinned so a refactor that
+  * silently degrades the plan (lost pushdown, surprise cartesian, window
+  * without the rank-limit pushdown) fails CI instead of shipping.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val p = SparkEntry.queries(q)(spark, dir)
+      .queryExecution.executedPlan.toString
+    CacheScope.release(spark)
+    p
+  }
+
+  test("hard negatives: per-anchor top-k prunes map-side (WindowGroupLimit)") {
+    val p = plan("q_e_hard_negatives")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter should push a group limit below the window:\n$p")
+    // the only join is the broadcast anchor batch — non-equi by design
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bloom decontamination: bloom scalar rides a subquery, verify is a " +
+      "broadcast semi join, no cartesian") {
+    val p = plan("q_t_bloom_decontaminate")
+    assert(p.contains("bloom_filter_agg") || p.contains("Subquery"),
+      s"bloom build should be an in-plan scalar subquery:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"exact verify should plan as a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dim stats: per-dim aggregation collapses map-side (partial agg)") {
+    val p = plan("q_e_dim_stats")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"expected partial aggregation before the dim shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rollup: grouping sets expand in one Expand+Aggregate, single scan") {
+    val p = plan("q_a_rollup_levels")
+    assert(p.contains("Expand"),
+      s"rollup should plan as Expand over one scan:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"rollup must not re-scan per level:\n$p")
+  }
+
+  test("set ops: INTERSECT/EXCEPT plan as semi/anti joins, deduped sides") {
+    val p = plan("q_r_set_ops")
+    assert(p.contains("LeftSemi"), s"INTERSECT should be a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"EXCEPT should be an anti join:\n$p")
+  }
+
+  test("normalized dedup: one exchange on the hash, no extra sort shuffles") {
+    val p = plan("q_d_norm_dedup")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"canonicalize+hash should shuffle exactly once, saw $exchanges:\n$p")
+  }
+}
