@@ -25,37 +25,52 @@ object ApproxQueries extends QueryPack {
 
   override def queries: Seq[Query] = Seq(
 
+    // One sketch per group, queried at every needed percentile — the
+    // array form. Separate approx_percentile(p) calls each build their
+    // OWN Greenwald-Khanna sketch over the group (3 sketch builds where
+    // one suffices; measured 6 s → the bench's worst query before this).
     Query(
       "q_a4_quantiles_approx",
       (s, dir) =>
         ev(s, dir).groupBy(col("event_type")).agg(
-          round(expr(s"approx_percentile(value, 0.25, $Accuracy)"), 4).as("q25"),
-          round(expr(s"approx_percentile(value, 0.5, $Accuracy)"), 4).as("q50"),
-          round(expr(s"approx_percentile(value, 0.75, $Accuracy)"), 4).as("q75"))
+          expr(s"approx_percentile(value, array(0.25, 0.5, 0.75), $Accuracy)")
+            .as("__p"))
+          .select(col("event_type"),
+            round(element_at(col("__p"), 1), 4).as("q25"),
+            round(element_at(col("__p"), 2), 4).as("q50"),
+            round(element_at(col("__p"), 3), 4).as("q75"))
           .orderBy("event_type"),
       None,
       doc = "SURVEY A4 at scale: mergeable quantile sketch, O(1e4·log n) " +
-        "state per group instead of O(n) exact-percentile buffers"),
+        "state per group instead of O(n) exact-percentile buffers; ONE " +
+        "sketch answers all three percentiles (array form)"),
 
     Query(
       "q_a5_robust_scaler_approx",
       (s, dir) =>
         ev(s, dir).groupBy(col("event_type")).agg(
-          round(expr(s"approx_percentile(value, 0.5, $Accuracy)"), 4).as("center"),
-          round(expr(s"approx_percentile(value, 0.75, $Accuracy) - " +
-            s"approx_percentile(value, 0.25, $Accuracy)"), 4).as("scale"))
+          expr(s"approx_percentile(value, array(0.25, 0.5, 0.75), $Accuracy)")
+            .as("__p"))
+          .select(col("event_type"),
+            round(element_at(col("__p"), 2), 4).as("center"),
+            round(element_at(col("__p"), 3)
+              - element_at(col("__p"), 1), 4).as("scale"))
           .orderBy("event_type"),
       None,
       doc = "SURVEY A5 at scale: robust-scaler fit from the sketch — the " +
-        "params table a 100 TB fit job would produce"),
+        "params table a 100 TB fit job would produce; one sketch per " +
+        "group feeds median and IQR"),
 
     Query(
       "q_p9_winsorize_approx",
       (s, dir) => {
         val e = ev(s, dir)
         val bounds = e.groupBy(col("event_type")).agg(
-          expr(s"approx_percentile(value, 0.01, $Accuracy)").as("__q_lo"),
-          expr(s"approx_percentile(value, 0.99, $Accuracy)").as("__q_hi"))
+          expr(s"approx_percentile(value, array(0.01, 0.99), $Accuracy)")
+            .as("__p"))
+          .select(col("event_type"),
+            element_at(col("__p"), 1).as("__q_lo"),
+            element_at(col("__p"), 2).as("__q_hi"))
         e.join(broadcast(bounds), "event_type")
           .select(col("event_type"), col("event_id"),
             round(least(greatest(col("value"), col("__q_lo")), col("__q_hi")), 4)
