@@ -441,6 +441,68 @@ object Relational extends QueryPack {
              |SELECT user_id FROM events WHERE event_type = 'error' AND value > 300.0""".stripMargin),
       doc = "ANSI set ops: INTERSECT/EXCEPT planned as semi/anti joins " +
         "over map-side-deduped sides — purchased AND clicked but never " +
-        "errored, each leg shuffling distinct keys once")
+        "errored, each leg shuffling distinct keys once"),
+
+    Query(
+      "q_a_funnel_steps",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Ordered funnel (view → click → purchase): each stage's first
+        // touch must be AT/AFTER the previous stage's. The dependency
+        // chain is two stacked windows + one aggregation, all on the
+        // user_id partition — ONE shuffle total, no self-joins (the
+        // naive form joins events to itself per stage). Same-partition
+        // windows need no ORDER BY (min over the whole frame), so no
+        // sort either.
+        val w = Window.partitionBy("user_id")
+        val e = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .withColumn("tv",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("tc",
+            min(when(col("event_type") === "click"
+              && col("ts") >= col("tv"), col("ts"))).over(w))
+        val perUser = e.groupBy("user_id")
+          .agg(first("tv").as("tv"), first("tc").as("tc"),
+            min(when(col("event_type") === "purchase"
+              && col("ts") >= col("tc"), col("ts"))).as("tp"))
+        perUser.agg(
+          count(lit(1)).as("n_users"),
+          sum(col("tv").isNotNull.cast("long")).as("n_viewed"),
+          sum(col("tc").isNotNull.cast("long")).as("n_clicked"),
+          sum(col("tp").isNotNull.cast("long")).as("n_purchased"))
+          .select(col("n_users"), col("n_viewed"), col("n_clicked"),
+            col("n_purchased"),
+            (round(col("n_clicked") / col("n_viewed"), 4) + lit(0.0))
+              .as("view_to_click"),
+            (round(col("n_purchased") / col("n_clicked"), 4) + lit(0.0))
+              .as("click_to_purchase"))
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, ts, event_type,
+             |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+             |      OVER (PARTITION BY user_id) AS tv
+             |  FROM events),
+             |s2 AS (
+             |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= tv THEN ts END)
+             |    OVER (PARTITION BY user_id) AS tc
+             |  FROM s),
+             |u AS (
+             |  SELECT user_id, ANY_VALUE(tv) AS tv, ANY_VALUE(tc) AS tc,
+             |    MIN(CASE WHEN event_type = 'purchase' AND ts >= tc THEN ts END) AS tp
+             |  FROM s2 GROUP BY user_id)
+             |SELECT COUNT(*) AS n_users,
+             |  CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+             |  CAST(SUM(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+             |  CAST(SUM(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased,
+             |  ROUND(SUM(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             |    / SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END), 4) + 0.0 AS view_to_click,
+             |  ROUND(SUM(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             |    / SUM(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END), 4) + 0.0 AS click_to_purchase
+             |FROM u""".stripMargin),
+      doc = "ordered funnel (view -> click -> purchase, each stage's first " +
+        "touch at/after the previous one): two stacked same-partition " +
+        "windows + one aggregation = ONE shuffle on user_id, no per-stage " +
+        "self-joins; the conversion report an events warehouse serves")
   )
 }
