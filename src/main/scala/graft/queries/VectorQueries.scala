@@ -656,6 +656,78 @@ object VectorQueries extends QueryPack {
         "the alarm that says re-train the quantizer / re-tune ANN"),
 
     Query(
+      "q_e_int8_topk",
+      (s, dir) => {
+        import graft.functions.VectorExpressions.cosine_sim
+        // Retrieval over the INT8-quantized corpus (the q_e_quantize_int8
+        // compression put to work): per-dim absmax scales are fitted
+        // in-plan (dim-keyed partial agg -> one 64-double array row,
+        // broadcast), corpus and query quantize map-only, and the
+        // approximate score is an INTEGER dot product — engine-exact, no
+        // float noise until the final rerank. Top-32 shortlist by int
+        // score, exact cosine rerank of the shortlist only: at 10^9
+        // vectors the scored set is 64 bytes of ints per vector and the
+        // float math touches 32 rows.
+        val e = emb(s, dir)
+        val sc = e
+          .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("dim")
+          .agg((greatest(abs(min(col("v").cast("double"))),
+            abs(max(col("v").cast("double")))) / 127.0).as("scale"))
+          .agg(expr("transform(array_sort(collect_list(struct(dim, scale)))," +
+            " x -> x.scale)").as("__sc"))
+        def q8(vecCol: org.apache.spark.sql.Column) = expr(
+          s"""transform(${vecCol.toString}, (v, i) ->
+             |  CASE WHEN element_at(__sc, i + 1) = 0.0 THEN 0L
+             |  ELSE CAST(GREATEST(-127.0, LEAST(127.0,
+             |    FLOOR(CAST(v AS DOUBLE) / element_at(__sc, i + 1) + 0.5))) AS BIGINT)
+             |  END)""".stripMargin)
+        val qv = e.where(col("vec_id") === 0).crossJoin(broadcast(sc))
+          .select(q8(col("embedding")).as("qq8"),
+            col("embedding").as("q_emb"))
+        val scored = e.where(col("vec_id") =!= 0).crossJoin(broadcast(sc))
+          .select(col("vec_id"), col("embedding"), q8(col("embedding")).as("c8"))
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("embedding"), col("q_emb"),
+            expr("aggregate(zip_with(c8, qq8, (a, b) -> a * b), 0L," +
+              " (acc, x) -> acc + x)").as("int_dot"))
+        val short = scored
+          .orderBy(col("int_dot").desc, col("vec_id")).limit(32)
+        short
+          .select(col("vec_id"), col("int_dot"),
+            (round(cosine_sim(col("embedding"), col("q_emb")), 6) + lit(0.0))
+              .as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |x AS (SELECT j AS dim, emb[j] AS v
+             |      FROM e, (SELECT unnest(range(1, 65)) AS j)),
+             |sc AS (SELECT list(s ORDER BY dim) AS sc FROM (
+             |        SELECT dim, GREATEST(ABS(MIN(v)), ABS(MAX(v))) / 127.0 AS s
+             |        FROM x GROUP BY dim)),
+             |q8 AS (SELECT vec_id, emb,
+             |        list_transform(range(1, 65), i ->
+             |          CASE WHEN sc[i] = 0.0 THEN 0
+             |          ELSE CAST(GREATEST(-127.0, LEAST(127.0,
+             |            FLOOR(emb[i] / sc[i] + 0.5))) AS BIGINT) END) AS c8
+             |      FROM e, sc),
+             |qq AS (SELECT c8 AS qq8, emb AS qemb FROM q8 WHERE vec_id = 0),
+             |scored AS (SELECT v.vec_id, v.emb, qq.qemb,
+             |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(range(1, 65), i -> v.c8[i] * qq.qq8[i])),
+             |          (a, b) -> a + b) AS int_dot
+             |      FROM q8 v, qq WHERE v.vec_id <> 0),
+             |short AS (SELECT * FROM scored ORDER BY int_dot DESC, vec_id LIMIT 32)
+             |SELECT vec_id, int_dot,
+             |  ROUND(list_cosine_similarity(emb, qemb), 6) + 0.0 AS sim
+             |FROM short ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+      doc = "int8-quantized retrieval: per-dim absmax scales fitted " +
+        "in-plan (one 64-double row broadcast), map-only quantize, " +
+        "INTEGER dot-product scoring (engine-exact), top-32 shortlist, " +
+        "exact cosine rerank of the shortlist only — the scalar-quantized " +
+        "ANN path next to PQ; float math touches 32 rows at any corpus size"),
+
+    Query(
       "q_e_sem_decontaminate",
       (s, dir) => {
         import graft.functions.VectorExpressions.cosine_sim
