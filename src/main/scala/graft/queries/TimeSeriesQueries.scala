@@ -584,6 +584,98 @@ object TimeSeriesQueries extends QueryPack {
              |SELECT event_type, dow, ROUND(AVG(ABS(value - pred)), 4) AS mae, COUNT(*) AS n
              |FROM p WHERE pred IS NOT NULL
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      doc = "SURVEY A9: metrics per (key, horizon-like dimension)")
+      doc = "SURVEY A9: metrics per (key, horizon-like dimension)"),
+
+    Query(
+      "q_a_vwap",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        // VWAP — the volume-weighted average price every execution /
+        // benchmark system publishes per bucket. Both sums run in
+        // DECIMAL: exact, order-independent (a double Σ p·v differs in
+        // the last ulp under Spark's varying partial-agg order — the
+        // DSIR lesson), one partial-agg shuffle on (key, bucket). The
+        // proxy maps value→price and (value mod 7)+1→size so the weights
+        // are deterministic integers replayed in the oracle.
+        def d4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(28, 4))
+        val sz = (pmod(col("event_id"), lit(7)) + 1).cast("long")
+        ev(s, dir)
+          .select(col("event_type"), col("ts"), col("value"),
+            sz.as("size"))
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("bucket_start"))
+          .agg(sum(d4(col("value")) * col("size")).as("__pv"),
+            sum(col("size")).as("volume"))
+          // the Σp·v is EXACT decimal; convert once to double and divide
+          // (identical IEEE result on both engines) — engines' native
+          // decimal-division scale rules differ, so never divide decimals
+          .select(col("event_type"), col("bucket_start"), col("volume"),
+            (round(col("__pv").cast("double") / col("volume"), 6)
+              + lit(0.0)).as("vwap"))
+          .orderBy("event_type", "bucket_start")
+      },
+      Some("""SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+             |  CAST(SUM((event_id % 7) + 1) AS BIGINT) AS volume,
+             |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4)) * ((event_id % 7) + 1)) AS DOUBLE)
+             |    / SUM((event_id % 7) + 1), 6) + 0.0 AS vwap
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "VWAP per (key, hour bucket): both sums in DECIMAL — exact " +
+        "and summation-order-independent where a double sum wobbles in " +
+        "the last ulp — one partial-agg shuffle; the execution-benchmark " +
+        "aggregate every trading system publishes"),
+
+    Query(
+      "q_a_gap_audit",
+      (s, dir) => {
+        // Ingest-completeness audit: which expected time buckets have NO
+        // rows, per key — the backfill trigger a monitored pipeline runs
+        // after every outage. Expected buckets = sequence(min, max) per
+        // key (a generator, O(range/width) rows — bounded by the
+        // retention window at any corpus size), anti-joined against the
+        // observed buckets; output is per-key gap counts, O(#keys).
+        val hour = 3600L
+        val b = ev(s, dir)
+          .select(col("event_type"),
+            expr(s"CAST(unix_timestamp(ts) AS BIGINT) DIV $hour * $hour")
+              .as("bucket"))
+        val observed = b.groupBy("event_type", "bucket").count()
+        val spans = observed.groupBy("event_type")
+          .agg(min("bucket").as("b0"), max("bucket").as("b1"),
+            count(lit(1)).as("n_observed"))
+        spans
+          .select(col("event_type"), col("n_observed"),
+            explode(expr(s"sequence(b0, b1, $hour)")).as("bucket"))
+          .join(observed, Seq("event_type", "bucket"), "left_anti")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            min("bucket").as("first_gap"), max("bucket").as("last_gap"))
+          .join(spans.select(col("event_type"), col("n_observed")),
+            Seq("event_type"), "right")
+          .select(col("event_type"), col("n_observed"),
+            coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+            col("first_gap"), col("last_gap"))
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (SELECT event_type,
+             |    (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket FROM events),
+             |obs AS (SELECT event_type, bucket, COUNT(*) AS n
+             |        FROM b GROUP BY 1, 2),
+             |spans AS (SELECT event_type, MIN(bucket) AS b0, MAX(bucket) AS b1,
+             |            COUNT(*) AS n_observed FROM obs GROUP BY 1),
+             |expect AS (SELECT event_type, n_observed,
+             |             unnest(range(b0, b1 + 3600, 3600)) AS bucket FROM spans),
+             |gaps AS (SELECT e.event_type, e.bucket FROM expect e
+             |         LEFT JOIN obs o USING (event_type, bucket)
+             |         WHERE o.bucket IS NULL)
+             |SELECT s.event_type, s.n_observed,
+             |  CAST(COALESCE(COUNT(g.bucket), 0) AS BIGINT) AS n_gaps,
+             |  MIN(g.bucket) AS first_gap, MAX(g.bucket) AS last_gap
+             |FROM spans s LEFT JOIN gaps g USING (event_type)
+             |GROUP BY s.event_type, s.n_observed
+             |ORDER BY s.event_type""".stripMargin),
+      doc = "ingest-completeness audit: expected hourly buckets (sequence " +
+        "per key, bounded by the retention window) anti-joined against " +
+        "observed buckets — per-key gap counts and bounds, the backfill " +
+        "trigger a monitored pipeline runs after an outage")
   )
 }
