@@ -46,6 +46,9 @@ object GraftExtensions {
         intArg(args(2), "min_hash_signature"))),
     "sim_hash" -> ((args: Seq[Expression]) =>
       SimHash(args(0), intArg(args(1), "sim_hash"))),
+    "winnow_fingerprints" -> ((args: Seq[Expression]) =>
+      WinnowFingerprints(args(0), intArg(args(1), "winnow_fingerprints"),
+        intArg(args(2), "winnow_fingerprints"))),
     // the engine's deterministic sampling hash (graft.functions.KeyHash)
     // as SQL text, so data recipes are expressible from the pure-SQL
     // surface: WHERE key_hash(event_id) < threshold

@@ -475,6 +475,52 @@ object DedupQueries extends QueryPack {
         "whitespace canonicalization before hashing — catches case and " +
         "punctuation variants raw md5 dedup misses, at exact-dedup cost " +
         "(one map pass + one hash shuffle); min-doc_id survivor per " +
-        "normalized hash")
+        "normalized hash"),
+
+    Query(
+      "q_d_winnow_pairs",
+      (s, dir) => {
+        import graft.functions.TextHashes.winnow_fingerprints
+        // Substring-level near-dup via WINNOWING (the MOSS fingerprint):
+        // any shared substring of >= k + w - 1 = 23 chars guarantees a
+        // shared fingerprint, catching copied PASSAGES that whole-doc
+        // Jaccard dilutes away. Fingerprinting is one O(n) codegen pass
+        // per row (rolling k-gram hash + monotonic-deque window min);
+        // pair mining is the same inverted-index shape as every dedup
+        // op here — shuffle on fingerprint, never all-pairs. >= 3
+        // shared fingerprints gates out single-phrase coincidences.
+        val fp = graft.CacheScope.retain(
+          docs(s, dir).select(col("doc_id"),
+            explode(winnow_fingerprints(col("text"), 16, 8)).as("fp")))
+        fp.alias("a").join(fp.alias("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    CASE WHEN strlen(text) < 16 THEN CAST([] AS BIGINT[])
+             |    ELSE list_transform(range(1, strlen(text) - 16 + 2), i ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(i, i + 16), c -> CAST(ord(text[c]) AS BIGINT))),
+             |        (a, x) -> (a * 31 + x) % 2147483647)) END AS hs
+             |  FROM documents),
+             |wn AS (SELECT doc_id,
+             |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+             |         WHEN len(hs) <= 8 THEN [list_min(hs)]
+             |         ELSE list_transform(range(1, len(hs) - 8 + 2),
+             |                j -> list_min(hs[j : j + 7])) END AS wins
+             |  FROM h),
+             |fp AS (SELECT DISTINCT doc_id, unnest(wins) AS fp FROM wn)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  COUNT(*) AS n_shared
+             |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY 1, 2""".stripMargin),
+      doc = "substring-level near-dup via winnowing (MOSS): shared " +
+        "substrings >= 23 chars guarantee a shared fingerprint — catches " +
+        "copied passages whole-doc Jaccard dilutes away; O(n) codegen " +
+        "fingerprint pass, inverted-index pair mining, never all-pairs")
   )
 }

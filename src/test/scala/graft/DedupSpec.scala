@@ -161,4 +161,29 @@ class DedupSpec extends AnyFunSuite {
       assert(flagged == (nBoiler * 5 >= nSh))
     }
   }
+
+  test("winnowing guarantee: a shared substring of k+w-1 chars yields a " +
+      "shared fingerprint; disjoint texts share none") {
+    val k = 16
+    val w = 8
+    def fps(s: String): Set[Long] =
+      TextHashes.winnow(UTF8String.fromString(s), k, w)
+        .toLongArray().toSet
+    // shared block of exactly k + w - 1 = 23 chars, different surroundings
+    val block = "THE-COMMON-PASSAGE-HERE" // 23 chars
+    assert(block.length == k + w - 1)
+    val a = "aaaaaaaaaaaaaaaaaaaaaaaaaaaa" + block + "bbbbbbbbbbbbbbbbbbbb"
+    val b = "cccccccccccccccc" + block + "dddddddddddddddddddddddddddddddd"
+    assert(fps(a).intersect(fps(b)).nonEmpty,
+      "the winnowing guarantee must hold for a k+w-1 shared substring")
+    // byte-disjoint alphabets cannot share a k-gram, hence no fingerprint
+    val x = fps("abcdefghij" * 20)
+    val y = fps("KLMNOPQRST" * 20)
+    assert(x.intersect(y).isEmpty)
+    // deterministic and sorted ascending (the oracle-replay contract)
+    val f1 = TextHashes.winnow(UTF8String.fromString(a), k, w).toLongArray()
+    assert(f1.toSeq == f1.sorted.toSeq && f1.distinct.length == f1.length)
+    // short text (< k) fingerprints to the empty set, not null/crash
+    assert(fps("tiny").isEmpty)
+  }
 }
