@@ -521,6 +521,58 @@ object DedupQueries extends QueryPack {
       doc = "substring-level near-dup via winnowing (MOSS): shared " +
         "substrings >= 23 chars guarantee a shared fingerprint — catches " +
         "copied passages whole-doc Jaccard dilutes away; O(n) codegen " +
-        "fingerprint pass, inverted-index pair mining, never all-pairs")
+        "fingerprint pass, inverted-index pair mining, never all-pairs"),
+
+    Query(
+      "q_d_group_stats",
+      (s, dir) => {
+        // The dedup-impact report a corpus sweep publishes BEFORE anyone
+        // commits to dropping data: how many duplicate clusters, how
+        // much of the corpus they cover, the largest cluster (one
+        // mirrored page replicated 10k× looks very different from 5k
+        // honest pairs), and the token of record — the removable
+        // fraction. Same pair miner + CC collapse as q_d_dedup_groups,
+        // then O(#groups) aggregation; the 1-row corpus count broadcasts.
+        val pairs = NearDup.exactJaccardPairs(docs(s, dir), "doc_id",
+          "text", 3, 0.5, maxDocsPerShingle = Some(64))
+        val sizes = NearDup.connectedComponents(pairs, "doc_a", "doc_b")
+          .groupBy("group_id").agg(count(lit(1)).as("sz"))
+        val n = docs(s, dir).agg(count(lit(1)).as("n_corpus"))
+        sizes
+          .agg(count(lit(1)).as("n_groups"),
+            sum("sz").as("n_dup_docs"),
+            sum(col("sz") - 1L).as("n_removable"),
+            max("sz").as("max_group"))
+          .crossJoin(broadcast(n))
+          .select(col("n_groups"), col("n_dup_docs"), col("n_removable"),
+            col("max_group"), col("n_corpus"),
+            (round(col("n_removable") / col("n_corpus"), 6) + lit(0.0))
+              .as("savings_frac"))
+      },
+      Some(s"""WITH RECURSIVE ${cappedShingleCtes(64)},
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+              |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |pairs AS ($jaccardTail),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |          UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(node, lbl) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+              |grp AS (SELECT node, MIN(lbl) AS group_id FROM reach GROUP BY node),
+              |gsz AS (SELECT group_id, COUNT(*) AS sz FROM grp GROUP BY 1),
+              |n AS (SELECT COUNT(*) AS n_corpus FROM documents)
+              |SELECT COUNT(*) AS n_groups,
+              |  CAST(SUM(sz) AS BIGINT) AS n_dup_docs,
+              |  CAST(SUM(sz - 1) AS BIGINT) AS n_removable,
+              |  CAST(MAX(sz) AS BIGINT) AS max_group,
+              |  CAST(n_corpus AS BIGINT) AS n_corpus,
+              |  ROUND(SUM(sz - 1) * 1.0 / n_corpus, 6) + 0.0 AS savings_frac
+              |FROM gsz, n GROUP BY n_corpus""".stripMargin),
+      doc = "dedup-impact report: cluster count, corpus coverage, largest " +
+        "cluster, and the removable fraction — the go/no-go summary a " +
+        "dedup sweep publishes; same miner + CC collapse, O(#groups) " +
+        "aggregation")
   )
 }

@@ -142,6 +142,45 @@ object SamplingQueries extends QueryPack {
         "key = ln(u)/weight with u a deterministic dyadic rational of the " +
         "Lehmer key hash, global top-k by key — exact ∝-weight sampling " +
         "with no rand() and no global sort (per-partition top-k heaps); " +
-        "weight = n_chars, the token-mass proxy")
+        "weight = n_chars, the token-mass proxy"),
+
+    Query(
+      "q_s_holdout_split",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Deterministic train/val/test assignment — the split every
+        // training run needs to be EXHAUSTIVE and DISJOINT (unlike
+        // keep-rate sampling): KeyHash thresholds at 90%/95% of the
+        // Lehmer modulus partition every doc exactly once, reproducibly,
+        // with no rand() — re-running on a grown corpus keeps every old
+        // doc's assignment. Map-only assignment in the scan stage; the
+        // report is one partial-agg shuffle + a same-partition window.
+        val t1 = 1932735282L // floor(0.90 * (2^31-1))
+        val t2 = 2040265464L // floor(0.95 * (2^31-1))
+        val kh = graft.functions.KeyHash.column(col("doc_id"))
+        val w = Window.partitionBy("source")
+        Tables(s, dir, "documents")
+          .select(col("source"),
+            when(kh < t1, lit("train")).when(kh < t2, lit("val"))
+              .otherwise(lit("test")).as("split"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("frac",
+            round(col("n") / sum("n").over(w), 4) + lit(0.0))
+          .orderBy("source", "split")
+      },
+      Some(s"""WITH a AS (SELECT source,
+              |    CASE WHEN ${graft.functions.KeyHash.sql("doc_id")} < 1932735282 THEN 'train'
+              |         WHEN ${graft.functions.KeyHash.sql("doc_id")} < 2040265464 THEN 'val'
+              |         ELSE 'test' END AS split
+              |  FROM documents),
+              |c AS (SELECT source, split, COUNT(*) AS n FROM a GROUP BY 1, 2)
+              |SELECT source, split, n,
+              |  ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY source), 4) + 0.0 AS frac
+              |FROM c ORDER BY source, split""".stripMargin),
+      doc = "deterministic holdout split (90/5/5): KeyHash thresholds " +
+        "partition every doc exactly once, reproducibly across corpus " +
+        "growth — exhaustive and disjoint where keep-rate sampling is " +
+        "neither; map-only assignment, one partial-agg report")
   )
 }
