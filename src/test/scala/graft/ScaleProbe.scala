@@ -106,7 +106,16 @@ object ScaleProbe {
       "dim_stats" -> (dir => SparkEntry.queries("q_e_dim_stats")(spark, dir)),
       "norm_dedup" -> (dir => SparkEntry.queries("q_d_norm_dedup")(spark, dir)),
       "length_drift" -> (dir => SparkEntry.queries("q_t_length_drift")(spark, dir)),
-      "epoch_schedule" -> (dir => SparkEntry.queries("q_s_epoch_schedule")(spark, dir))
+      "epoch_schedule" -> (dir => SparkEntry.queries("q_s_epoch_schedule")(spark, dir)),
+      "winnow_pairs" -> (dir => SparkEntry.queries("q_d_winnow_pairs")(spark, dir)),
+      "group_stats" -> (dir => SparkEntry.queries("q_d_group_stats")(spark, dir)),
+      "holdout_split" -> (dir => SparkEntry.queries("q_s_holdout_split")(spark, dir)),
+      "vwap" -> (dir => SparkEntry.queries("q_a_vwap")(spark, dir)),
+      "gap_audit" -> (dir => SparkEntry.queries("q_a_gap_audit")(spark, dir)),
+      "funnel" -> (dir => SparkEntry.queries("q_a_funnel_steps")(spark, dir)),
+      "int8_topk" -> (dir => SparkEntry.queries("q_e_int8_topk")(spark, dir)),
+      "rollup_levels" -> (dir => SparkEntry.queries("q_a_rollup_levels")(spark, dir)),
+      "set_ops" -> (dir => SparkEntry.queries("q_r_set_ops")(spark, dir))
     )
 
     // release builder caches between ops (the production request-boundary
