@@ -489,10 +489,18 @@ object DedupQueries extends QueryPack {
         // pair mining is the same inverted-index shape as every dedup
         // op here — shuffle on fingerprint, never all-pairs. >= 3
         // shared fingerprints gates out single-phrase coincidences.
+        // STOP-FINGERPRINT cap (the stop-shingle lesson, measured 33x at
+        // 10x on a replica corpus uncapped): a fingerprint in > 64 docs
+        // is template text and fans k²/2 pairs — drop it from the index,
+        // exactly like a stopword; the broadcast hot-list is O(#hot).
         val fp = graft.CacheScope.retain(
           docs(s, dir).select(col("doc_id"),
             explode(winnow_fingerprints(col("text"), 16, 8)).as("fp")))
-        fp.alias("a").join(fp.alias("b"),
+        val hot = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+          .where(col("df") > 64).select("fp")
+        val cold = graft.CacheScope.retain(
+          fp.join(broadcast(hot), Seq("fp"), "left_anti"))
+        cold.alias("a").join(cold.alias("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .groupBy("doc_a", "doc_b")
@@ -513,7 +521,10 @@ object DedupQueries extends QueryPack {
              |         ELSE list_transform(range(1, len(hs) - 8 + 2),
              |                j -> list_min(hs[j : j + 7])) END AS wins
              |  FROM h),
-             |fp AS (SELECT DISTINCT doc_id, unnest(wins) AS fp FROM wn)
+             |fp0 AS (SELECT DISTINCT doc_id, unnest(wins) AS fp FROM wn),
+             |fp AS (SELECT f.doc_id, f.fp FROM fp0 f
+             |       JOIN (SELECT fp FROM fp0 GROUP BY fp
+             |             HAVING COUNT(*) <= 64) ok USING (fp))
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |  COUNT(*) AS n_shared
              |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -521,7 +532,9 @@ object DedupQueries extends QueryPack {
       doc = "substring-level near-dup via winnowing (MOSS): shared " +
         "substrings >= 23 chars guarantee a shared fingerprint — catches " +
         "copied passages whole-doc Jaccard dilutes away; O(n) codegen " +
-        "fingerprint pass, inverted-index pair mining, never all-pairs"),
+        "fingerprint pass, inverted-index pair mining with a stop-" +
+        "fingerprint cap (64 — template text fans k^2/2 pairs), never " +
+        "all-pairs"),
 
     Query(
       "q_d_group_stats",

@@ -638,7 +638,10 @@ object TimeSeriesQueries extends QueryPack {
           .select(col("event_type"),
             expr(s"CAST(unix_timestamp(ts) AS BIGINT) DIV $hour * $hour")
               .as("bucket"))
-        val observed = b.groupBy("event_type", "bucket").count()
+        // observed feeds BOTH the span bounds and the anti-join: retain
+        // the O(#keys·#buckets) aggregate so the fact table scans once
+        val observed = graft.CacheScope.retain(
+          b.groupBy("event_type", "bucket").count())
         val spans = observed.groupBy("event_type")
           .agg(min("bucket").as("b0"), max("bucket").as("b1"),
             count(lit(1)).as("n_observed"))
