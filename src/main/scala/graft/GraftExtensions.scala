@@ -35,24 +35,47 @@ object GraftExtensions {
       s"$who expects a literal int argument, got $other")
   }
 
+  private def arity(args: Seq[Expression], who: String, lo: Int,
+      hi: Int): Unit =
+    if (args.length < lo || args.length > hi) {
+      val want = if (lo == hi) s"$lo" else s"$lo to $hi"
+      throw new IllegalArgumentException(
+        s"$who expects $want arguments, got ${args.length}")
+    }
+
   /** name → expression builder, shared by both registration hooks. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "rolling_hash" -> ((args: Seq[Expression]) => RollingHash(args.head)),
-    "cosine_sim" -> ((args: Seq[Expression]) => CosineSim(args(0), args(1))),
-    "lsh_signature" -> ((args: Seq[Expression]) =>
-      LshSignature(args(0), intArg(args(1), "lsh_signature"))),
-    "min_hash_signature" -> ((args: Seq[Expression]) =>
+    "rolling_hash" -> ((args: Seq[Expression]) => {
+      arity(args, "rolling_hash", 1, 1)
+      RollingHash(args.head)
+    }),
+    "cosine_sim" -> ((args: Seq[Expression]) => {
+      arity(args, "cosine_sim", 2, 2)
+      CosineSim(args(0), args(1))
+    }),
+    "lsh_signature" -> ((args: Seq[Expression]) => {
+      arity(args, "lsh_signature", 2, 2)
+      LshSignature(args(0), intArg(args(1), "lsh_signature"))
+    }),
+    "min_hash_signature" -> ((args: Seq[Expression]) => {
+      arity(args, "min_hash_signature", 3, 3)
       MinHashSignature(args(0), intArg(args(1), "min_hash_signature"),
-        intArg(args(2), "min_hash_signature"))),
-    "sim_hash" -> ((args: Seq[Expression]) =>
-      SimHash(args(0), intArg(args(1), "sim_hash"))),
-    "winnow_fingerprints" -> ((args: Seq[Expression]) =>
+        intArg(args(2), "min_hash_signature"))
+    }),
+    "sim_hash" -> ((args: Seq[Expression]) => {
+      arity(args, "sim_hash", 2, 2)
+      SimHash(args(0), intArg(args(1), "sim_hash"))
+    }),
+    "winnow_fingerprints" -> ((args: Seq[Expression]) => {
+      arity(args, "winnow_fingerprints", 3, 3)
       WinnowFingerprints(args(0), intArg(args(1), "winnow_fingerprints"),
-        intArg(args(2), "winnow_fingerprints"))),
+        intArg(args(2), "winnow_fingerprints"))
+    }),
     // the engine's deterministic sampling hash (graft.functions.KeyHash)
     // as SQL text, so data recipes are expressible from the pure-SQL
     // surface: WHERE key_hash(event_id) < threshold
     "key_hash" -> ((args: Seq[Expression]) => {
+      arity(args, "key_hash", 1, 1)
       val p = Literal(KeyHash.P)
       val m = Literal(48271L)
       def lehmer(e: Expression): Expression = Pmod(Multiply(e, m), p)
@@ -63,12 +86,16 @@ object GraftExtensions {
     // registry; surfacing them lets a query build a membership prefilter
     // over a bounded set (e.g. a benchmark's n-grams) as ONE plan — the
     // scalar subquery holding the bloom is all that ships to executors.
-    "bloom_filter_agg" -> ((args: Seq[Expression]) =>
+    "bloom_filter_agg" -> ((args: Seq[Expression]) => {
+      arity(args, "bloom_filter_agg", 3, 3)
       new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(args(0), args(1), args(2))),
-    "might_contain" -> ((args: Seq[Expression]) =>
+        .BloomFilterAggregate(args(0), args(1), args(2))
+    }),
+    "might_contain" -> ((args: Seq[Expression]) => {
+      arity(args, "might_contain", 2, 2)
       org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(args(0), args(1))))
+        .BloomFilterMightContain(args(0), args(1))
+    }))
 
   /** Register on a live session (idempotent — replaces same-name entries). */
   def register(spark: SparkSession): Unit =

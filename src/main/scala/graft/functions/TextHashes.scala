@@ -127,20 +127,23 @@ object TextHashes {
   }
 
   /** Winnowing fingerprints (the MOSS algorithm, Schleimer/Wilkerson/
-    * Aiken 2003): rolling k-char-gram hashes over the RAW bytes, then
+    * Aiken 2003): rolling k-gram hashes over Unicode CODE POINTS, then
     * the minimum of every window of w consecutive gram hashes. The
-    * guarantee: any shared substring of length ≥ k + w − 1 contributes
-    * at least one IDENTICAL fingerprint to both documents — substring-
-    * level duplicate detection (plagiarized middles, quoted blocks)
-    * where shingle Jaccard only sees whole-document similarity. One
-    * O(n) pass per row (rolling update + monotonic-deque window min),
-    * map-only under whole-stage codegen; returns the SORTED distinct
-    * fingerprint set (the value set is tie-rule-independent, so a SQL
-    * oracle replays it with plain window minima).
+    * guarantee: any shared substring of length ≥ k + w − 1 code points
+    * contributes at least one IDENTICAL fingerprint to both documents —
+    * substring-level duplicate detection (plagiarized middles, quoted
+    * blocks) where shingle Jaccard only sees whole-document similarity.
+    * Code points (not UTF-8 bytes) are the hash alphabet so the SQL
+    * oracle's character indexing (`ord(text[c])`) replays it exactly on
+    * non-ASCII text too. One O(n) pass per row (rolling update +
+    * monotonic-deque window min), map-only under whole-stage codegen;
+    * returns the SORTED distinct fingerprint set (the value set is
+    * tie-rule-independent, so a SQL oracle replays it with plain window
+    * minima).
     */
   def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
-    val bytes = s.getBytes
-    val n = bytes.length
+    val cps = codePoints(s)
+    val n = cps.length
     if (n < k) return new GenericArrayData(Array.empty[Long])
     val m = n - k + 1
     var pow = 1L
@@ -149,12 +152,12 @@ object TextHashes {
     val h = new Array[Long](m)
     var cur = 0L
     var i = 0
-    while (i < k) { cur = (cur * 31L + (bytes(i) & 0xff)) % P; i += 1 }
+    while (i < k) { cur = (cur * 31L + cps(i)) % P; i += 1 }
     h(0) = cur
     i = 1
     while (i < m) {
-      val drop = ((bytes(i - 1) & 0xff) * pow) % P
-      cur = (((cur - drop + P) % P) * 31L + (bytes(i + k - 1) & 0xff)) % P
+      val drop = (cps(i - 1).toLong * pow) % P
+      cur = (((cur - drop + P) % P) * 31L + cps(i + k - 1)) % P
       h(i) = cur
       i += 1
     }
@@ -182,6 +185,23 @@ object TextHashes {
     i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Unicode code points of a UTF8String (surrogate pairs decoded) —
+    * the alphabet winnow() hashes over, matching SQL `ord(text[c])`.
+    */
+  private def codePoints(s: UTF8String): Array[Int] = {
+    val str = s.toString
+    val out = new Array[Int](str.codePointCount(0, str.length))
+    var i = 0
+    var j = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      out(j) = cp
+      j += 1
+      i += Character.charCount(cp)
+    }
+    out
   }
 
   /** Column APIs. */

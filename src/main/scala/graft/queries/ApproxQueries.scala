@@ -80,6 +80,39 @@ object ApproxQueries extends QueryPack {
       doc = "SURVEY P9 at scale: winsorize with sketch bounds — same broadcast " +
         "join-back shape as the exact twin, executor memory bounded"),
 
+    // MAD gate at scale (VERDICT r5 #1: q_p_outlier_mad's exact
+    // `percentile` buffers every group value twice — the same liability
+    // A4/A5/P9 already fixed). Median and MAD are both percentiles, so
+    // the twin is mechanical: sketch the median, join back, sketch the
+    // MAD, flag. Rows-only like the other sketch twins; AccuracySpec
+    // pins the flagged fraction against the exact gate.
+    Query(
+      "q_p_outlier_mad_approx",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val med = e.groupBy(col("event_type"))
+          .agg((round(expr(s"approx_percentile(value, 0.5, $Accuracy)"), 4)
+            + lit(0.0)).as("med"))
+        val withMed = e.join(broadcast(med), "event_type")
+        val mad = withMed.groupBy(col("event_type"))
+          .agg((round(
+            expr(s"approx_percentile(abs(value - med), 0.5, $Accuracy)"), 4)
+            + lit(0.0)).as("mad"))
+        withMed.join(broadcast(mad), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum((abs(col("value") - col("med")) * lit(0.6745)
+              > col("mad") * lit(3.5)).cast("long")).as("n_out"))
+          .select(col("event_type"), col("n"), col("n_out"),
+            (round(col("n_out") / col("n"), 4) + lit(0.0)).as("out_frac"))
+          .orderBy("event_type")
+      },
+      None,
+      doc = "SURVEY P-outlier at scale: MAD robust gate (modified z) on " +
+        "quantile sketches — O(1e4·log n) state per group instead of two " +
+        "full exact-percentile buffers; same broadcast-params plan shape " +
+        "as the exact twin q_p_outlier_mad"),
+
     Query(
       "q_a2_distinct_approx",
       (s, dir) =>

@@ -509,8 +509,8 @@ object DedupQueries extends QueryPack {
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH h AS (SELECT doc_id,
-             |    CASE WHEN strlen(text) < 16 THEN CAST([] AS BIGINT[])
-             |    ELSE list_transform(range(1, strlen(text) - 16 + 2), i ->
+             |    CASE WHEN length(text) < 16 THEN CAST([] AS BIGINT[])
+             |    ELSE list_transform(range(1, length(text) - 16 + 2), i ->
              |      list_reduce(list_prepend(CAST(0 AS BIGINT),
              |        list_transform(range(i, i + 16), c -> CAST(ord(text[c]) AS BIGINT))),
              |        (a, x) -> (a * 31 + x) % 2147483647)) END AS hs
@@ -575,14 +575,16 @@ object DedupQueries extends QueryPack {
               |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
               |grp AS (SELECT node, MIN(lbl) AS group_id FROM reach GROUP BY node),
               |gsz AS (SELECT group_id, COUNT(*) AS sz FROM grp GROUP BY 1),
-              |n AS (SELECT COUNT(*) AS n_corpus FROM documents)
-              |SELECT COUNT(*) AS n_groups,
-              |  CAST(SUM(sz) AS BIGINT) AS n_dup_docs,
-              |  CAST(SUM(sz - 1) AS BIGINT) AS n_removable,
-              |  CAST(MAX(sz) AS BIGINT) AS max_group,
-              |  CAST(n_corpus AS BIGINT) AS n_corpus,
-              |  ROUND(SUM(sz - 1) * 1.0 / n_corpus, 6) + 0.0 AS savings_frac
-              |FROM gsz, n GROUP BY n_corpus""".stripMargin),
+              |n AS (SELECT COUNT(*) AS n_corpus FROM documents),
+              |g AS (SELECT COUNT(*) AS n_groups,
+              |        CAST(SUM(sz) AS BIGINT) AS n_dup_docs,
+              |        CAST(SUM(sz - 1) AS BIGINT) AS n_removable,
+              |        CAST(MAX(sz) AS BIGINT) AS max_group
+              |      FROM gsz)
+              |SELECT g.n_groups, g.n_dup_docs, g.n_removable, g.max_group,
+              |  CAST(n.n_corpus AS BIGINT) AS n_corpus,
+              |  ROUND(g.n_removable * 1.0 / n.n_corpus, 6) + 0.0 AS savings_frac
+              |FROM g, n""".stripMargin),
       doc = "dedup-impact report: cluster count, corpus coverage, largest " +
         "cluster, and the removable fraction — the go/no-go summary a " +
         "dedup sweep publishes; same miner + CC collapse, O(#groups) " +

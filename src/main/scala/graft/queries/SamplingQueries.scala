@@ -156,7 +156,7 @@ object SamplingQueries extends QueryPack {
         // doc's assignment. Map-only assignment in the scan stage; the
         // report is one partial-agg shuffle + a same-partition window.
         val t1 = 1932735282L // floor(0.90 * (2^31-1))
-        val t2 = 2040265464L // floor(0.95 * (2^31-1))
+        val t2 = 2040109464L // floor(0.95 * (2^31-1))
         val kh = graft.functions.KeyHash.column(col("doc_id"))
         val w = Window.partitionBy("source")
         Tables(s, dir, "documents")
@@ -171,7 +171,7 @@ object SamplingQueries extends QueryPack {
       },
       Some(s"""WITH a AS (SELECT source,
               |    CASE WHEN ${graft.functions.KeyHash.sql("doc_id")} < 1932735282 THEN 'train'
-              |         WHEN ${graft.functions.KeyHash.sql("doc_id")} < 2040265464 THEN 'val'
+              |         WHEN ${graft.functions.KeyHash.sql("doc_id")} < 2040109464 THEN 'val'
               |         ELSE 'test' END AS split
               |  FROM documents),
               |c AS (SELECT source, split, COUNT(*) AS n FROM a GROUP BY 1, 2)

@@ -360,28 +360,32 @@ object VectorQueries extends QueryPack {
     Query(
       "q_e_label_centroids",
       (s, dir) => {
-        import s.implicits._
+        import graft.functions.VectorExpressions.cosine_sim
         // Nearest-centroid classification over the labeled corpus — the
         // eval loop for "are these embeddings separable by label":
         // per-label mean centroid (one (label, dim) partial-agg shuffle,
-        // float32-quantized like Lloyd so the oracle replays it), then a
-        // map-only best_cell assignment and per-label accuracy. Centroid
-        // collect is O(nLabels·dim) — bounded by config, the IVF posture.
+        // float32-quantized like Lloyd so the oracle replays it), then
+        // assignment and per-label accuracy ENTIRELY IN-PLAN (the
+        // q_e_centroid_drift posture): the O(#labels) centroid frame is
+        // re-assembled with collect_list(struct)+transform, broadcast
+        // against the corpus, and the argmax is a partial-aggregable
+        // max_by over (cosine DESC, label ASC) — no driver collect, no
+        // job boundary between fit and assign.
         val e = emb(s, dir)
-        val cents = e
-          .select(col("label").cast("long").as("label"),
+        val parts = e
+          .select(col("label").cast("long").as("clabel"),
             posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("label", "pos")
-          .agg(avg(col("v").cast("double")).as("m"))
-          .collect()
-          .groupBy(_.getLong(0))
-          .map { case (l, rows) =>
-            (l, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat))
-          }
-          .toArray.sortBy(_._1)
-        val pred = e.withColumn("pred",
-          graft.functions.VectorExpressions.best_cell(
-            col("embedding"), cents.map(_._2), cents.map(_._1)))
+          .groupBy("clabel", "pos")
+          .agg(avg(col("v").cast("double")).cast("float").cast("double")
+            .as("m"))
+        val cents = parts.groupBy("clabel")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m)))," +
+            " x -> x.m)").as("cemb"))
+        val pred = e.crossJoin(broadcast(cents))
+          .withColumn("__sim", cosine_sim(col("embedding"), col("cemb")))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(max_by(col("clabel"),
+            struct(col("__sim"), (-col("clabel")).as("nc"))).as("pred"))
         pred.groupBy(col("label"))
           .agg(count(lit(1)).as("n"),
             sum((col("pred") === col("label").cast("long")).cast("long"))
@@ -404,9 +408,10 @@ object VectorQueries extends QueryPack {
               |  ROUND(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) + 0.0 AS acc
               |FROM p GROUP BY label ORDER BY label""".stripMargin),
       doc = "nearest-centroid label eval: per-label mean embedding (one " +
-        "partial-agg shuffle, float32-quantized means), map-only codegen'd " +
-        "assignment, per-label accuracy — the embedding-separability check " +
-        "run before trusting labels for sampling or dedup"),
+        "partial-agg shuffle, float32-quantized means) re-assembled and " +
+        "BROADCAST-JOINED in-plan, argmax via partial-aggregable max_by, " +
+        "per-label accuracy — the embedding-separability check run before " +
+        "trusting labels for sampling or dedup; no driver collect"),
 
     Query(
       "q_e_quantize_int8",
@@ -676,12 +681,15 @@ object VectorQueries extends QueryPack {
             abs(max(col("v").cast("double")))) / 127.0).as("scale"))
           .agg(expr("transform(array_sort(collect_list(struct(dim, scale)))," +
             " x -> x.scale)").as("__sc"))
-        def q8(vecCol: org.apache.spark.sql.Column) = expr(
-          s"""transform(${vecCol.toString}, (v, i) ->
-             |  CASE WHEN element_at(__sc, i + 1) = 0.0 THEN 0L
-             |  ELSE CAST(GREATEST(-127.0, LEAST(127.0,
-             |    FLOOR(CAST(v AS DOUBLE) / element_at(__sc, i + 1) + 0.5))) AS BIGINT)
-             |  END)""".stripMargin)
+        // Column-API lambda (no expr() string splicing — a qualified or
+        // derived input column would silently break interpolation)
+        def q8(vecCol: org.apache.spark.sql.Column) =
+          transform(vecCol, (v, i) => {
+            val scale = element_at(col("__sc"), i + 1)
+            when(scale === 0.0, lit(0L))
+              .otherwise(greatest(lit(-127.0), least(lit(127.0),
+                floor(v.cast("double") / scale + lit(0.5)))).cast("long"))
+          })
         val qv = e.where(col("vec_id") === 0).crossJoin(broadcast(sc))
           .select(q8(col("embedding")).as("qq8"),
             col("embedding").as("q_emb"))

@@ -37,6 +37,32 @@ class AccuracySpec extends AnyFunSuite {
       s"exact=$exact approx=$approx")
   }
 
+  test("MAD gate on sketches flags within rank-error of the exact gate") {
+    // heavy-tailed mixture: bulk uniform + 1% far outliers, so the gate
+    // has something to flag and the sketch error is exercised off-center
+    val n = 50000
+    val df = (1 to n).map { i =>
+      val v = if (i % 100 == 0) 1000.0 + i else i.toDouble % 97
+      ("k", v)
+    }.toDF("k", "v")
+    def gate(p50: String => String): Double = {
+      val med = df.groupBy("k").agg(expr(p50("v")).as("med"))
+      val wm = df.join(med, "k")
+      val mad = wm.groupBy("k").agg(expr(p50("abs(v - med)")).as("mad"))
+      wm.join(mad, "k")
+        .agg(avg((abs($"v" - $"med") * 0.6745 > $"mad" * 3.5).cast("double")))
+        .head().getDouble(0)
+    }
+    val exactFrac = gate(c => s"percentile($c, 0.5)")
+    val approxFrac = gate(c =>
+      s"approx_percentile($c, 0.5, ${graft.queries.ApproxQueries.Accuracy})")
+    // rank error n/accuracy on each percentile can shift the threshold by
+    // a few unit steps; the flagged 1% tail sits far from it, so the
+    // fractions must agree to well under half the tail mass
+    assert(math.abs(exactFrac - approxFrac) <= 0.005,
+      s"exact=$exactFrac approx=$approxFrac")
+  }
+
   test("winsorize approx bounds clip to within rank error of exact bounds") {
     val n = 10000
     val df = (1 to n).map(i => ("k", i.toDouble)).toDF("k", "v")
