@@ -138,6 +138,31 @@ object ServingQueries extends QueryPack {
         "36-horizon fan-out with ±5% default confidence and JSON metadata; " +
         "oracle replays the fold bit-exactly"),
 
+    // ---- U1: the REAL reimplemented model forward pass ----
+    Query(
+      "q_u1_real_forward",
+      (s, dir) =>
+        // The reference's actual model stack (lstm_model.py:16-44):
+        // Linear→GELU→LayerNorm→LSTM→Linear over the newest window per
+        // key, run as deterministic Scala linear algebra in the same UDF
+        // slot as the surrogate. Fixture dims (F=2,H=4,S=8,P=3) keep the
+        // oracle's fully-unrolled recurrence tractable; the SQL is
+        // GENERATED from the same weight arrays the UDF reads, so both
+        // engines replay identical constants and fold orders.
+        Serving.predictLatestWith(ev(s, dir), K, "ts", "event_id",
+          "value", graft.serve.LstmForward.S, 300, "lstm-fixture-v1",
+          graft.serve.LstmForward.forward)
+          .select(col(K), col("horizon"), col("target_ts"),
+            (round(col("predicted_price"), 6) + lit(0.0)).as("prediction"))
+          .orderBy(K, "horizon"),
+      Some(graft.serve.LstmForward.oracleSql),
+      doc = "SURVEY U1 (real model): Linear→GELU→LayerNorm→LSTM(1)→" +
+        "Linear→LayerNorm→GELU→Linear forward pass (the reference's " +
+        "lstm_model.py) as deterministic double-precision Scala in the " +
+        "U1 UDF slot; tanh-GELU + k/1024 fixture weights; oracle is the " +
+        "recurrence unrolled to generated SQL (the Lloyd-rounds " +
+        "discipline), ROUND(·,6) absorbing libm-vs-JVM ulps"),
+
     // ---- U2: scaler transform + inverse round-trip ----
     Query(
       "q_u2_scale_roundtrip",

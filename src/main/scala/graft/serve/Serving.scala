@@ -68,12 +68,24 @@ object Serving {
 
   /** U1+W15+U5+P16: latest window per key → forward pass → one row per
     * horizon with target timestamp, ±5% default confidence band and a
-    * JSON metadata column.
+    * JSON metadata column. The surrogate fills the model slot; the real
+    * reimplemented stack is [[predictLatestWith]]+[[LstmForward.forward]].
     */
   def predictLatest(df: DataFrame, key: String, ts: String, id: String,
       featureCol: String, seqLen: Int, predLen: Int,
-      stepSeconds: Int, modelName: String): DataFrame = {
-    val forward = udf((x: Seq[Double]) => surrogateForward(x, predLen))
+      stepSeconds: Int, modelName: String): DataFrame =
+    predictLatestWith(df, key, ts, id, featureCol, seqLen, stepSeconds,
+      modelName, x => surrogateForward(x, predLen))
+
+  /** The U1 model slot, forward pass injectable: any deterministic
+    * `Seq[Double] ⇒ Seq[Double]` (the surrogate, [[LstmForward.forward]],
+    * or an ONNX-session call) runs as the single UDF between the window
+    * build and the horizon fan-out — the plan around it is identical.
+    */
+  def predictLatestWith(df: DataFrame, key: String, ts: String, id: String,
+      featureCol: String, seqLen: Int, stepSeconds: Int, modelName: String,
+      forwardFn: Seq[Double] => Seq[Double]): DataFrame = {
+    val forward = udf(forwardFn)
     latestWindow(df, key, ts, id, featureCol, seqLen)
       .withColumn("__preds", forward(col("x")))
       .select(col(key), col("last_ts"),

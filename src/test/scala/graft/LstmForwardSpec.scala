@@ -1,0 +1,59 @@
+package graft
+
+import graft.serve.LstmForward
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the reimplemented LSTM forward pass (U1) against values computed
+  * by an independent offline implementation of the same architecture
+  * (pure-python float64 loops over the identical Lehmer fixture weights,
+  * op-for-op: tanh-GELU, LayerNorm eps 1e-5, PyTorch i/f/g/o gate order).
+  * Tolerance 1e-9 absorbs libm-vs-JVM transcendental ulps.
+  */
+class LstmForwardSpec extends AnyFunSuite {
+
+  private val Tol = 1e-9
+
+  private def check(window: Seq[Double], expected: Seq[Double]): Unit = {
+    val got = LstmForward.forward(window)
+    assert(got.length == LstmForward.P)
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) <= Tol, s"horizon ${i + 1}: got $g want $e")
+    }
+  }
+
+  test("pinned outputs match the offline reference implementation") {
+    check(Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0),
+      Seq(-1.1965434991233093, -0.5221256821430448, 0.4404934261725578))
+    check(Seq(8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0),
+      Seq(-1.0858442052868695, -0.47283941522779643, 0.35737067936472844))
+    check(Seq(100.0, 101.5, 99.25, 102.75, 98.5, 103.0, 97.0, 104.5),
+      Seq(-1.1575549645633216, -0.5215477461480299, 0.36455058289461684))
+    check(Seq(5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0),
+      Seq(-1.1426411973585093, -0.49422731088135896, 0.40072449415938777))
+    check(Seq(1.0, 8.0, 2.0, 7.0, 3.0, 6.0, 4.0, 5.0),
+      Seq(-1.1648536172636215, -0.5046073118227354, 0.4169965248162983))
+  }
+
+  test("the recurrence is sequence-order sensitive (a real LSTM, not a pooler)") {
+    val asc = LstmForward.forward((1 to 8).map(_.toDouble))
+    val desc = LstmForward.forward((8 to 1 by -1).map(_.toDouble))
+    assert(asc != desc,
+      "ascending and descending windows must produce different predictions")
+  }
+
+  test("scale invariance of the min-max front end") {
+    // input_net sees min-max-scaled values, so an affine rescale of the
+    // window (a·x + b, a > 0) leaves predictions within float noise
+    val base = Seq(1.0, 4.0, 2.0, 6.0, 3.0, 8.0, 5.0, 7.0)
+    val scaled = base.map(v => v * 1000.0 + 250.0)
+    LstmForward.forward(base).zip(LstmForward.forward(scaled)).foreach {
+      case (a, b) => assert(math.abs(a - b) <= 1e-6, s"$a vs $b")
+    }
+  }
+
+  test("window length is enforced") {
+    intercept[IllegalArgumentException] {
+      LstmForward.forward(Seq(1.0, 2.0, 3.0))
+    }
+  }
+}
