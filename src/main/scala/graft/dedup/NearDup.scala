@@ -211,6 +211,52 @@ object NearDup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** INCREMENTAL winnowing — the substring-level twin of
+    * [[incrementalDedup]]: a new batch (`delta`) is probed against an
+    * existing corpus's winnow fingerprint index without ever mining
+    * corpus×corpus pairs. In production the corpus side IS the persisted
+    * index (fingerprints + document frequency); here it is re-derived.
+    *
+    * Scale shape:
+    *  1. one O(n) codegen fingerprint pass per side;
+    *  2. the STOP list comes from the CORPUS index df (> `stopDf` docs =
+    *     template text) — free in production where df is stored with the
+    *     index; it prunes both probe sides, so no hot fingerprint fans
+    *     k²/2 pairs (a delta-only hot fingerprint is bounded by the
+    *     delta size — documented residual, same as the MinHash gate's
+    *     within-batch self-join);
+    *  3. the corpus index is probed with the BROADCAST delta
+    *     fingerprints, so the corpus is never shuffled; within-batch
+    *     pairs are a delta-only self-join. Per-batch cost is
+    *     O(delta + matches), the ingest-gate contract.
+    *
+    * Output: (new_doc, dup_of, n_shared) with `new_doc` from the delta
+    * and `n_shared ≥ minShared` shared fingerprints (≥ 3 gates out
+    * single-phrase coincidence, the q_d_winnow_pairs convention).
+    */
+  def incrementalWinnow(corpus: DataFrame, delta: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int, minShared: Long,
+      stopDf: Long): DataFrame = {
+    import graft.functions.TextHashes.winnow_fingerprints
+    def fps(df: DataFrame) = df.select(col(idCol),
+      explode(winnow_fingerprints(col(textCol), k, w)).as("fp"))
+    val fpC = fps(corpus)
+    val hot = fpC.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") > stopDf).select("fp")
+    val coldC = fpC.join(broadcast(hot), Seq("fp"), "left_anti")
+    val coldD = fps(delta).join(broadcast(hot), Seq("fp"), "left_anti")
+    val candCorpus = coldC.alias("c")
+      .join(broadcast(coldD).alias("nw"), col("c.fp") === col("nw.fp"))
+      .select(col(s"nw.$idCol").as("new_doc"), col(s"c.$idCol").as("dup_of"))
+    val candBatch = coldD.alias("a").join(coldD.alias("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"b.$idCol").as("new_doc"), col(s"a.$idCol").as("dup_of"))
+    candCorpus.unionByName(candBatch)
+      .groupBy("new_doc", "dup_of")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Containment near-dup pairs: |A∩B|/|A| and |A∩B|/|B| per candidate
     * pair, kept when EITHER direction ≥ threshold. Containment catches
     * what symmetric Jaccard misses — a document embedded inside a larger

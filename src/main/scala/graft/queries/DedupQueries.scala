@@ -537,6 +537,58 @@ object DedupQueries extends QueryPack {
         "all-pairs"),
 
     Query(
+      "q_d_winnow_incremental",
+      (s, dir) => {
+        // The INGEST-GATE form of winnowing (VERDICT r5 #5): docs with
+        // id >= 400 arrive as the new batch, everything below is the
+        // already-fingerprinted corpus (in production: the persisted
+        // fingerprint index, df included — the stop list is free). The
+        // corpus is never self-joined — only probed with the broadcast
+        // delta fingerprints — so substring-level dedup gets the same
+        // O(delta) per-batch cost the MinHash gate has.
+        val d = docs(s, dir)
+        NearDup.incrementalWinnow(
+          d.where(col("doc_id") < 400), d.where(col("doc_id") >= 400),
+          "doc_id", "text", k = 16, w = 8, minShared = 3, stopDf = 64)
+          .withColumn("origin",
+            when(col("dup_of") < 400, lit("corpus")).otherwise(lit("batch")))
+          .orderBy("new_doc", "dup_of")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    CASE WHEN length(text) < 16 THEN CAST([] AS BIGINT[])
+             |    ELSE list_transform(range(1, length(text) - 16 + 2), i ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(i, i + 16), c -> CAST(ord(text[c]) AS BIGINT))),
+             |        (a, x) -> (a * 31 + x) % 2147483647)) END AS hs
+             |  FROM documents),
+             |wn AS (SELECT doc_id,
+             |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+             |         WHEN len(hs) <= 8 THEN [list_min(hs)]
+             |         ELSE list_transform(range(1, len(hs) - 8 + 2),
+             |                j -> list_min(hs[j : j + 7])) END AS wins
+             |  FROM h),
+             |fp0 AS (SELECT DISTINCT doc_id, unnest(wins) AS fp FROM wn),
+             |fpc AS (SELECT doc_id, fp FROM fp0 WHERE doc_id < 400),
+             |fpd AS (SELECT doc_id, fp FROM fp0 WHERE doc_id >= 400),
+             |hot AS (SELECT fp FROM fpc GROUP BY fp HAVING COUNT(*) > 64),
+             |cc AS (SELECT * FROM fpc WHERE fp NOT IN (SELECT fp FROM hot)),
+             |cd AS (SELECT * FROM fpd WHERE fp NOT IN (SELECT fp FROM hot)),
+             |cand AS (SELECT d.doc_id AS new_doc, c.doc_id AS dup_of
+             |         FROM cc c JOIN cd d ON c.fp = d.fp
+             |         UNION ALL
+             |         SELECT b.doc_id, a.doc_id FROM cd a
+             |         JOIN cd b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+             |SELECT new_doc, dup_of, COUNT(*) AS n_shared,
+             |  CASE WHEN dup_of < 400 THEN 'corpus' ELSE 'batch' END AS origin
+             |FROM cand GROUP BY 1, 2 HAVING COUNT(*) >= 3
+             |ORDER BY 1, 2""".stripMargin),
+      doc = "incremental winnowing ingest gate: new batch probes the " +
+        "persisted corpus fingerprint index (broadcast delta, corpus " +
+        "never self-joined or shuffled) + a delta-only within-batch " +
+        "self-join — substring-level dedup at O(delta) per batch; " +
+        "corpus-df stop list prunes template fingerprints on both sides"),
+
+    Query(
       "q_d_group_stats",
       (s, dir) => {
         // The dedup-impact report a corpus sweep publishes BEFORE anyone

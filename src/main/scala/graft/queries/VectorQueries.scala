@@ -556,6 +556,52 @@ object VectorQueries extends QueryPack {
         "vs the LSH-banded generator, same CC collapse operator"),
 
     Query(
+      "q_e_semdedup_incremental",
+      (s, dir) => {
+        // The ingest-gate form of SemDeDup (VERDICT r5 #6): vec_id >= 400
+        // arrives as the new batch, everything below is the cell-indexed
+        // corpus (in production: partitioned by cell, centroids kept
+        // fresh by StreamingCentroids). The corpus is only probed with
+        // the broadcast delta — never self-joined — so the semantic gate
+        // has the same O(delta) per-batch cost as the MinHash/winnow
+        // gates. Same seeded quantizer as q_e_semdedup_groups.
+        val e = emb(s, dir)
+        val cents = VectorSearch.seedCentroids(
+          e.where(col("vec_id") < 400), "vec_id", "embedding", 16)
+        VectorSearch.incrementalSemDedup(
+          e.where(col("vec_id") < 400), e.where(col("vec_id") >= 400),
+          "vec_id", "embedding", cents, threshold = 0.35)
+          .withColumn("origin",
+            when(col("dup_of") < 400, lit("corpus")).otherwise(lit("batch")))
+          .orderBy("new_vec", "dup_of")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |cents AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+             |asg AS (SELECT e.vec_id, e.emb,
+             |         (SELECT c.cid FROM cents c
+             |          ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid
+             |          LIMIT 1) AS cell
+             |       FROM e),
+             |cand AS (SELECT d.vec_id AS new_vec, c.vec_id AS dup_of,
+             |           ROUND(list_cosine_similarity(d.emb, c.emb), 6) + 0.0 AS sim
+             |         FROM asg c JOIN asg d ON c.cell = d.cell
+             |         WHERE c.vec_id < 400 AND d.vec_id >= 400
+             |         UNION ALL
+             |         SELECT b.vec_id, a.vec_id,
+             |           ROUND(list_cosine_similarity(b.emb, a.emb), 6) + 0.0
+             |         FROM asg a JOIN asg b ON a.cell = b.cell
+             |         WHERE a.vec_id >= 400 AND b.vec_id >= 400
+             |           AND a.vec_id < b.vec_id)
+             |SELECT new_vec, dup_of, sim,
+             |  CASE WHEN dup_of < 400 THEN 'corpus' ELSE 'batch' END AS origin
+             |FROM cand WHERE sim >= 0.35 ORDER BY 1, 2""".stripMargin),
+      doc = "incremental SemDeDup ingest gate: arriving embeddings are " +
+        "cell-assigned (stateless codegen map) and probe the cell-indexed " +
+        "corpus via broadcast cell-equi join + a delta-only within-batch " +
+        "self-join — within-cell cosine only, corpus never self-joined; " +
+        "the embedding twin of the MinHash/winnow gates"),
+
+    Query(
       "q_e_ann_recall",
       (s, dir) => {
         // ANN quality eval: recall@10 of the LSH-banded index against

@@ -267,4 +267,44 @@ object VectorSearch extends Serializable {
       .where(col("__cell").isin(probed: _*))
     cosineTopK(cand, query, idCol, vecCol, k)
   }
+
+  /** INCREMENTAL SemDeDup — the embedding twin of the MinHash/winnow
+    * ingest gates (`NearDup.incrementalDedup`/`incrementalWinnow`): a
+    * batch of arriving embeddings is checked against the existing
+    * cell-indexed corpus without ever comparing corpus×corpus.
+    *
+    * Scale shape:
+    *  1. cell assignment is the stateless codegen'd BestCell map pass on
+    *     BOTH sides (the corpus side is pre-assigned state in production
+    *     — a table partitioned by cell, kept fresh by StreamingCentroids);
+    *  2. the corpus is probed with the BROADCAST delta (cell-equi join):
+    *     never shuffled, never self-joined;
+    *  3. within-batch dups are a delta-only self-join on cell.
+    *
+    * Pairwise cosine happens only inside a shared cell — SemDeDup's
+    * O(Σ n_c·δ_c) contract, with δ the (small) batch. Output:
+    * (new_vec, dup_of, sim) for every within-cell pair at `sim ≥
+    * threshold`, `new_vec` always from the delta.
+    */
+  def incrementalSemDedup(corpus: DataFrame, delta: DataFrame,
+      idCol: String, vecCol: String,
+      centroids: Array[(Long, Array[Float])], threshold: Double): DataFrame = {
+    def assign(df: DataFrame) = df.select(col(idCol), col(vecCol),
+      graft.functions.VectorExpressions.best_cell(
+        col(vecCol), centroids.map(_._2), centroids.map(_._1)).as("cell"))
+    val asgC = assign(corpus)
+    val asgD = assign(delta)
+    val candCorpus = asgC.alias("c")
+      .join(broadcast(asgD).alias("nw"), col("c.cell") === col("nw.cell"))
+      .select(col(s"nw.$idCol").as("new_vec"), col(s"c.$idCol").as("dup_of"),
+        (round(cosine_sim(col(s"nw.$vecCol"), col(s"c.$vecCol")), 6)
+          + lit(0.0)).as("sim"))
+    val candBatch = asgD.alias("a").join(asgD.alias("b"),
+        col("a.cell") === col("b.cell") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"b.$idCol").as("new_vec"), col(s"a.$idCol").as("dup_of"),
+        (round(cosine_sim(col(s"b.$vecCol"), col(s"a.$vecCol")), 6)
+          + lit(0.0)).as("sim"))
+    candCorpus.unionByName(candBatch).where(col("sim") >= threshold)
+  }
 }
