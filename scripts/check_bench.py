@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Loud consistency gate between Bench's two artifacts (VERDICT r5 #7).
+
+Bench prints a COMPACT JSON line to stdout (sized for the harness's
+bounded ~2000-char capture) and writes the FULL per-query map to
+bench_detail.json. If the two ever disagree — a truncated pipe, a stale
+detail file from an earlier run, an edited budget constant — the round's
+numbers are garbage. This script fails loudly instead of letting that
+ship.
+
+Usage:
+    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' > /tmp/bench_line.json
+    python3 scripts/check_bench.py /tmp/bench_line.json [bench_detail.json]
+
+Checks:
+  1. both artifacts parse as JSON (one object each);
+  2. totals agree to the compact line's 3-decimal rounding;
+  3. n_ok / n_err / sf / errors agree exactly;
+  4. every query on the compact line exists in the detail map with the
+     same 3-decimal value;
+  5. len(compact queries) + q_omitted == n_ok (nothing silently dropped).
+
+Dev/driver-side tool (python env); NOT part of the shipped library.
+"""
+import json
+import sys
+
+
+def fail(msg: str) -> None:
+    print(f"BENCH-INCONSISTENT: {msg}", file=sys.stderr)
+    sys.exit(1)
+
+
+def main() -> None:
+    line_path = sys.argv[1]
+    detail_path = sys.argv[2] if len(sys.argv) > 2 else "bench_detail.json"
+
+    raw = open(line_path).read().strip()
+    if not raw:
+        fail(f"{line_path} is empty — no compact line captured")
+    # tolerate surrounding log lines: keep the last line containing "metric"
+    lines = [l for l in raw.splitlines() if '"metric"' in l]
+    if not lines:
+        fail(f"{line_path} has no line containing \"metric\"")
+    try:
+        compact = json.loads(lines[-1])
+    except json.JSONDecodeError as e:
+        fail(f"compact stdout line is not valid JSON ({e}) — truncated capture?")
+    try:
+        detail = json.loads(open(detail_path).read())
+    except json.JSONDecodeError as e:
+        fail(f"{detail_path} is not valid JSON ({e})")
+
+    if round(detail["value"], 3) != round(compact["value"], 3):
+        fail(f"total mismatch: detail={detail['value']} vs compact={compact['value']}")
+    for k in ("n_ok", "n_err", "sf", "errors"):
+        if detail.get(k) != compact.get(k):
+            fail(f"{k} mismatch: detail={detail.get(k)!r} vs compact={compact.get(k)!r}")
+    dq, cq = detail["queries"], compact["queries"]
+    missing = [q for q in cq if q not in dq]
+    if missing:
+        fail(f"compact queries absent from detail: {missing}")
+    off = {q: (round(dq[q], 3), cq[q]) for q in cq if round(dq[q], 3) != cq[q]}
+    if off:
+        fail(f"per-query value drift (detail-rounded vs compact): {off}")
+    if len(cq) + compact.get("q_omitted", 0) != compact["n_ok"]:
+        fail(f"count drift: {len(cq)} listed + {compact.get('q_omitted', 0)} omitted "
+             f"!= n_ok {compact['n_ok']}")
+    if len(dq) != detail["n_ok"]:
+        fail(f"detail map has {len(dq)} queries but n_ok={detail['n_ok']}")
+
+    print(f"bench artifacts consistent: total={detail['value']:.3f}s, "
+          f"{detail['n_ok']} ok, {detail['n_err']} err, "
+          f"{len(cq)} listed + {compact.get('q_omitted', 0)} omitted")
+
+
+if __name__ == "__main__":
+    main()
