@@ -640,6 +640,46 @@ object DedupQueries extends QueryPack {
       doc = "dedup-impact report: cluster count, corpus coverage, largest " +
         "cluster, and the removable fraction — the go/no-go summary a " +
         "dedup sweep publishes; same miner + CC collapse, O(#groups) " +
-        "aggregation")
+        "aggregation"),
+
+    Query(
+      "q_sql_dedup_groups",
+      (s, dir) => {
+        // S8 for the dedup pillar (VERDICT r5 #8): the dedup-groups
+        // result registered as a temp VIEW, then queried with pure SQL
+        // text — the one pillar that wasn't reachable from the Grafana-
+        // style surface (CC is iterative, so the VIEW carries the
+        // collapse and the text SQL is the dashboard rollup on top).
+        NearDup.connectedComponents(
+            NearDup.exactJaccardPairs(docs(s, dir), "doc_id", "text",
+              3, 0.5, maxDocsPerShingle = Some(64)), "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("group_id"))
+          .createOrReplaceTempView("dedup_groups")
+        s.sql("""SELECT group_id, COUNT(*) AS group_size,
+                |  MIN(doc_id) AS canonical_doc
+                |FROM dedup_groups GROUP BY group_id HAVING COUNT(*) >= 2
+                |ORDER BY group_size DESC, group_id LIMIT 20""".stripMargin)
+      },
+      Some(s"""WITH RECURSIVE ${cappedShingleCtes(64)},
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+              |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |pairs AS ($jaccardTail),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |          UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(node, lbl) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+              |grp AS (SELECT node AS doc_id, MIN(lbl) AS group_id
+              |        FROM reach GROUP BY node)
+              |SELECT group_id, COUNT(*) AS group_size,
+              |  MIN(doc_id) AS canonical_doc
+              |FROM grp GROUP BY group_id HAVING COUNT(*) >= 2
+              |ORDER BY group_size DESC, group_id LIMIT 20""".stripMargin),
+      doc = "S8 x dedup pillar: the CC group collapse registered as a temp " +
+        "view, dashboard rollup (largest duplicate clusters + canonical " +
+        "doc) as pure SQL text over it — total ORDER BY so the LIMIT is " +
+        "engine-stable; oracle replays view + rollup in one recursive query")
   )
 }

@@ -57,6 +57,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"EXCEPT should be an anti join:\n$p")
   }
 
+  test("DSIR: every shuffle is keyed on bucket/doc_id (feature-hashing " +
+      "contract), never on raw grams; log-ratio table broadcasts") {
+    val p = plan("q_t_dsir_select")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"expected hash exchanges in:\n$p")
+    exchanges.foreach { e =>
+      assert(!e.contains("gram"),
+        s"a shuffle keyed on raw grams breaks the 1024-bucket bound:\n$e")
+      assert(e.contains("bucket") || e.contains("doc_id"),
+        s"unexpected shuffle key (feature hashing should bound keys to " +
+          s"B buckets or the doc id):\n$e")
+    }
+    assert(p.contains("BroadcastExchange"),
+      s"the B-row log-ratio table should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("label centroids: fit+assign is one plan with a broadcast join, " +
+      "no driver collect boundary") {
+    val p = plan("q_e_label_centroids")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"centroid frame should broadcast against the corpus:\n$p")
+    assert(p.contains("max_by") || p.contains("HashAggregate"),
+      s"argmax should be a partial-aggregable max_by:\n$p")
+  }
+
   test("normalized dedup: one exchange on the hash, no extra sort shuffles") {
     val p = plan("q_d_norm_dedup")
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
