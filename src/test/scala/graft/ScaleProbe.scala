@@ -115,8 +115,19 @@ object ScaleProbe {
       "funnel" -> (dir => SparkEntry.queries("q_a_funnel_steps")(spark, dir)),
       "int8_topk" -> (dir => SparkEntry.queries("q_e_int8_topk")(spark, dir)),
       "rollup_levels" -> (dir => SparkEntry.queries("q_a_rollup_levels")(spark, dir)),
-      "set_ops" -> (dir => SparkEntry.queries("q_r_set_ops")(spark, dir))
+      "set_ops" -> (dir => SparkEntry.queries("q_r_set_ops")(spark, dir)),
+      "u1_real_forward" -> (dir => SparkEntry.queries("q_u1_real_forward")(spark, dir)),
+      "winnow_incremental" -> (dir => SparkEntry.queries("q_d_winnow_incremental")(spark, dir)),
+      "semdedup_incremental" -> (dir => SparkEntry.queries("q_e_semdedup_incremental")(spark, dir)),
+      "mad_approx" -> (dir => SparkEntry.queries("q_p_outlier_mad_approx")(spark, dir))
     )
+
+    // optional arg: comma-separated op-name filter (dev iteration on a
+    // few ops without re-measuring all ~50)
+    val opsRun: Seq[(String, String => DataFrame)] =
+      if (args.nonEmpty) { val only = args(0).split(",").toSet
+        ops.filter { case (n, _) => only.contains(n) } }
+      else ops
 
     // release builder caches between ops (the production request-boundary
     // posture) so one op's retained frames don't distort the next op's
@@ -128,13 +139,13 @@ object ScaleProbe {
       n
     }
     println("== warmup ==")
-    ops.foreach { case (_, f) => run(f, base) }
+    opsRun.foreach { case (_, f) => run(f, base) }
     println("== 1x (sf0.1) ==")
-    val t1 = ops.map { case (n, f) => n -> time(n)(run(f, base)) }.toMap
+    val t1 = opsRun.map { case (n, f) => n -> time(n)(run(f, base)) }.toMap
     println("== 10x (synthetic) ==")
-    val t10 = ops.map { case (n, f) => n -> time(n)(run(f, big)) }.toMap
+    val t10 = opsRun.map { case (n, f) => n -> time(n)(run(f, big)) }.toMap
     println("== scaling factor (10x time / 1x time; 10.0 = linear) ==")
-    ops.foreach { case (n, _) =>
+    opsRun.foreach { case (n, _) =>
       println(f"$n%-34s ${t10(n) / t1(n)}%5.1f x")
     }
     spark.stop()
