@@ -241,13 +241,19 @@ object NearDup {
     import graft.functions.TextHashes.winnow_fingerprints
     def fps(df: DataFrame) = df.select(col(idCol),
       explode(winnow_fingerprints(col(textCol), k, w)).as("fp"))
-    val fpC = fps(corpus)
-    val fpD = fps(delta)
-    val hot = fpC.unionByName(fpD).groupBy("fp")
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") > stopDf).select("fp")
+    // retained: fpC/fpD each feed the stop list AND a probe side, hot is
+    // referenced by three anti-joins — without the cache every reference
+    // re-runs the fingerprint pass + df shuffle (the r3 CC 203× lesson;
+    // the plan showed 4 recomputed hashpartitioning(fp) exchanges)
+    val fpC = graft.CacheScope.retain(fps(corpus))
+    val fpD = graft.CacheScope.retain(fps(delta))
+    val hot = graft.CacheScope.retain(
+      fpC.unionByName(fpD).groupBy("fp")
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") > stopDf).select("fp"))
     val coldC = fpC.join(broadcast(hot), Seq("fp"), "left_anti")
-    val coldD = fpD.join(broadcast(hot), Seq("fp"), "left_anti")
+    val coldD = graft.CacheScope.retain(
+      fpD.join(broadcast(hot), Seq("fp"), "left_anti"))
     val candCorpus = coldC.alias("c")
       .join(broadcast(coldD).alias("nw"), col("c.fp") === col("nw.fp"))
       .select(col(s"nw.$idCol").as("new_doc"), col(s"c.$idCol").as("dup_of"))

@@ -63,4 +63,19 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("literal int"))
   }
+
+  test("wrong-arity calls raise a descriptive error, not IndexOOB") {
+    GraftExtensions.register(spark)
+    Seq("x").toDF("text").createOrReplaceTempView("t_ext4")
+    def err(sql: String): String =
+      intercept[Exception] { spark.sql(sql).collect() }.getMessage
+    assert(err("SELECT might_contain(text) FROM t_ext4")
+      .contains("might_contain expects 2 arguments"))
+    assert(err("SELECT bloom_filter_agg(rolling_hash(text)) FROM t_ext4")
+      .contains("bloom_filter_agg expects 3 arguments"))
+    assert(err("SELECT key_hash(1, 2) FROM t_ext4")
+      .contains("key_hash expects 1 arguments"))
+    assert(err("SELECT cosine_sim(text) FROM t_ext4")
+      .contains("cosine_sim expects 2 arguments"))
+  }
 }

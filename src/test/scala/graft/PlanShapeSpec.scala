@@ -85,6 +85,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"argmax should be a partial-aggregable max_by:\n$p")
   }
 
+  test("incremental gates: corpus probed via broadcast joins, shared " +
+      "frames cached, no cartesian") {
+    val pw = plan("q_d_winnow_incremental")
+    assert(pw.contains("BroadcastHashJoin"),
+      s"delta/stop-list probes should broadcast against the corpus:\n$pw")
+    assert(pw.contains("InMemoryTableScan"),
+      s"fp frames + stop list are multi-referenced and must be cached " +
+        s"(the r3 CC recompute lesson):\n$pw")
+    assert(!pw.contains("CartesianProduct"), pw)
+    val ps = plan("q_e_semdedup_incremental")
+    assert(ps.contains("BroadcastHashJoin"),
+      s"cell-equi probe should broadcast the delta:\n$ps")
+    assert(!ps.contains("SortMergeJoin"),
+      s"the corpus side must stream, not shuffle into a sort-merge:\n$ps")
+    assert(!ps.contains("CartesianProduct"), ps)
+  }
+
   test("normalized dedup: one exchange on the hash, no extra sort shuffles") {
     val p = plan("q_d_norm_dedup")
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
