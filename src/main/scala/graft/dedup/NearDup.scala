@@ -241,19 +241,21 @@ object NearDup {
     import graft.functions.TextHashes.winnow_fingerprints
     def fps(df: DataFrame) = df.select(col(idCol),
       explode(winnow_fingerprints(col(textCol), k, w)).as("fp"))
-    // retained: fpC/fpD each feed the stop list AND a probe side, hot is
-    // referenced by three anti-joins — without the cache every reference
-    // re-runs the fingerprint pass + df shuffle (the r3 CC 203× lesson;
-    // the plan showed 4 recomputed hashpartitioning(fp) exchanges)
-    val fpC = graft.CacheScope.retain(fps(corpus))
-    val fpD = graft.CacheScope.retain(fps(delta))
-    val hot = graft.CacheScope.retain(
-      fpC.unionByName(fpD).groupBy("fp")
-        .agg(count(lit(1)).as("df"))
-        .where(col("df") > stopDf).select("fp"))
+    // fpC/fpD/hot are each referenced by several joins, but deliberately
+    // NOT CacheScope-retained: the repeated subtrees are IDENTICAL, so
+    // Spark's ReusedExchange dedups them at execution — measured on the
+    // 10× replica corpus, retaining these (and incrementalDedup's cand/
+    // shingle frames) made the gates 2-5× SLOWER (forced materialization
+    // of large candidate frames vs free exchange reuse). Caching earns
+    // its keep only when the reused subtree is NOT plan-identical
+    // across references (docShingles' capped index, the CC pair list).
+    val fpC = fps(corpus)
+    val fpD = fps(delta)
+    val hot = fpC.unionByName(fpD).groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > stopDf).select("fp")
     val coldC = fpC.join(broadcast(hot), Seq("fp"), "left_anti")
-    val coldD = graft.CacheScope.retain(
-      fpD.join(broadcast(hot), Seq("fp"), "left_anti"))
+    val coldD = fpD.join(broadcast(hot), Seq("fp"), "left_anti")
     val candCorpus = coldC.alias("c")
       .join(broadcast(coldD).alias("nw"), col("c.fp") === col("nw.fp"))
       .select(col(s"nw.$idCol").as("new_doc"), col(s"c.$idCol").as("dup_of"))

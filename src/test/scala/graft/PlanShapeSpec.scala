@@ -90,9 +90,6 @@ class PlanShapeSpec extends AnyFunSuite {
     val pw = plan("q_d_winnow_incremental")
     assert(pw.contains("BroadcastHashJoin"),
       s"delta/stop-list probes should broadcast against the corpus:\n$pw")
-    assert(pw.contains("InMemoryTableScan"),
-      s"fp frames + stop list are multi-referenced and must be cached " +
-        s"(the r3 CC recompute lesson):\n$pw")
     assert(!pw.contains("CartesianProduct"), pw)
     val ps = plan("q_e_semdedup_incremental")
     assert(ps.contains("BroadcastHashJoin"),
