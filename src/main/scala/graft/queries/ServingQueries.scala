@@ -163,6 +163,27 @@ object ServingQueries extends QueryPack {
         "recurrence unrolled to generated SQL (the Lloyd-rounds " +
         "discipline), ROUND(·,6) absorbing libm-vs-JVM ulps"),
 
+    // ---- U1: the CNN-LSTM model variant ----
+    Query(
+      "q_u1_cnn_forward",
+      (s, dir) =>
+        // Second model family from the reference (cnn_lstm_model.py):
+        // temporal Conv1d(kernel 3, zero pad)+ReLU front end into the
+        // same LSTM + head machinery — same fixture discipline, same
+        // UDF slot, independent Lehmer weight stream.
+        Serving.predictLatestWith(ev(s, dir), K, "ts", "event_id",
+          "value", graft.serve.CnnLstmForward.S, 300, "cnn-lstm-fixture-v1",
+          graft.serve.CnnLstmForward.forward)
+          .select(col(K), col("horizon"), col("target_ts"),
+            (round(col("predicted_price"), 6) + lit(0.0)).as("prediction"))
+          .orderBy(K, "horizon"),
+      Some(graft.serve.CnnLstmForward.oracleSql),
+      doc = "SURVEY U1 (CNN-LSTM variant): Conv1d(k=3, zero-pad)+ReLU -> " +
+        "LSTM -> Linear/LayerNorm/GELU/Linear head (the reference's " +
+        "cnn_lstm_model.py) as deterministic Scala in the U1 UDF slot; " +
+        "conv fold order pinned (channel->feature->tap, padded taps " +
+        "skipped identically), oracle is the generated unrolled SQL"),
+
     // ---- U2: scaler transform + inverse round-trip ----
     Query(
       "q_u2_scale_roundtrip",

@@ -56,4 +56,31 @@ class LstmForwardSpec extends AnyFunSuite {
       LstmForward.forward(Seq(1.0, 2.0, 3.0))
     }
   }
+
+  private def checkCnn(window: Seq[Double], expected: Seq[Double]): Unit = {
+    val got = graft.serve.CnnLstmForward.forward(window)
+    assert(got.length == graft.serve.CnnLstmForward.P)
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) <= Tol, s"horizon ${i + 1}: got $g want $e")
+    }
+  }
+
+  test("CNN-LSTM pinned outputs match the offline reference implementation") {
+    checkCnn(Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0),
+      Seq(0.2826277009949086, -0.09774357809551837, 0.31556666516802834))
+    checkCnn(Seq(8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0),
+      Seq(0.29189364654256933, -0.11396426983561231, 0.363404959742603))
+    checkCnn(Seq(100.0, 101.5, 99.25, 102.75, 98.5, 103.0, 97.0, 104.5),
+      Seq(0.2948994370223147, -0.09388723872777428, 0.34298500675635696))
+    checkCnn(Seq(5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0),
+      Seq(0.29262452484015117, -0.1317186280091034, 0.3911592680448218))
+    checkCnn(Seq(1.0, 8.0, 2.0, 7.0, 3.0, 6.0, 4.0, 5.0),
+      Seq(0.2911982314805034, -0.09372559099436174, 0.3325539736830362))
+  }
+
+  test("CNN-LSTM differs from the plain LSTM on the same window " +
+    "(two genuinely distinct model families)") {
+    val w = (1 to 8).map(_.toDouble)
+    assert(LstmForward.forward(w) != graft.serve.CnnLstmForward.forward(w))
+  }
 }
