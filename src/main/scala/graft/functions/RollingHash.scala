@@ -42,14 +42,20 @@ object RollingHash {
   final val Mod = 2147483647L // 2^31 − 1
   final val Mult = 31L
 
-  /** Static entry point shared by interpreted eval and generated code. */
+  /** Static entry point shared by interpreted eval and generated code.
+    * Folds Unicode CODE POINTS (not UTF-8 bytes) so the SQL oracles'
+    * character indexing (`ord(text[c])`) replays it exactly on
+    * non-ASCII text too (the winnow/ADVICE r5 lesson, applied to the
+    * whole hash family).
+    */
   def hash(s: UTF8String): Long = {
-    val bytes = s.getBytes
+    val str = s.toString
     var h = 0L
     var i = 0
-    while (i < bytes.length) {
-      h = (h * Mult + (bytes(i) & 0xff)) % Mod
-      i += 1
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * Mult + cp) % Mod
+      i += Character.charCount(cp)
     }
     h
   }

@@ -51,12 +51,33 @@ object TextHashes {
     spans.toArray
   }
 
+  /** Fold a token's Unicode CODE POINTS (not raw bytes) into the rolling
+    * hash — the SQL oracles replay token hashes with `ord(text[c])`, so
+    * the byte fold diverged on any non-ASCII token (latent while the
+    * fixtures were ASCII; the ADVICE r5 winnow lesson applied to the
+    * whole family). Token spans are byte offsets from [[tokenSpans]] —
+    * safe, since UTF-8 continuation bytes are never ASCII whitespace —
+    * and the span's code points are decoded inline (truncated/invalid
+    * sequences fall back to the single byte, bounded by the span).
+    */
   private def foldToken(h0: Long, bytes: Array[Byte], from: Int, until: Int): Long = {
     var h = h0
     var i = from
     while (i < until) {
-      h = (h * 31L + (bytes(i) & 0xff)) % P
-      i += 1
+      val b0 = bytes(i) & 0xff
+      var cp = b0
+      var len = 1
+      if (b0 >= 0xc0 && b0 < 0xe0 && i + 1 < until) {
+        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); len = 2
+      } else if (b0 >= 0xe0 && b0 < 0xf0 && i + 2 < until) {
+        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+          (bytes(i + 2) & 0x3f); len = 3
+      } else if (b0 >= 0xf0 && i + 3 < until) {
+        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); len = 4
+      }
+      h = (h * 31L + cp) % P
+      i += len
     }
     h
   }

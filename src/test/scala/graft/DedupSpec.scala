@@ -129,6 +129,33 @@ class DedupSpec extends AnyFunSuite {
     assert(sig("a b c d e") != sig("a b c d f"))
   }
 
+  test("hash family folds Unicode code points (oracle ord() semantics), " +
+    "not UTF-8 bytes") {
+    // every SQL oracle replays token/text hashes with ord(text[c]) —
+    // code points. Pin the Scala side to the same alphabet with
+    // non-ASCII text (é = U+00E9: one code point, two UTF-8 bytes).
+    def cpFold(s: String): Long = {
+      var h = 0L
+      s.codePoints().forEach(cp => h = (h * 31L + cp) % 2147483647L)
+      h
+    }
+    val t = "héllo wörld €100" // 2-byte chars + a 3-byte euro sign
+    assert(graft.functions.RollingHash.hash(UTF8String.fromString(t))
+      == cpFold(t))
+    // minhash: the 1-gram token hash of a non-ASCII token must equal the
+    // code-point fold of that token (what the oracle's ord() computes)
+    val tok = "café"
+    val sig = TextHashes.minhash(UTF8String.fromString(s"$tok x y"), 1, 4)
+      .toLongArray().toSeq
+    val h = cpFold(tok)
+    val expected = (0 until 4).map { j =>
+      val a = ((j + 1L) * 2654435761L) % TextHashes.P
+      val b = (j.toLong * 40503L * 65537L + 12345L) % TextHashes.P
+      Seq(h, cpFold("x"), cpFold("y")).map(hh => (a * hh + b) % TextHashes.P).min
+    }
+    assert(sig == expected)
+  }
+
   test("identical minhash under duplicated shingles (set semantics)") {
     val sig = (t: String) =>
       TextHashes.minhash(UTF8String.fromString(t), 3, 8).toLongArray().toSeq
