@@ -184,6 +184,32 @@ object ServingQueries extends QueryPack {
         "conv fold order pinned (channel->feature->tap, padded taps " +
         "skipped identically), oracle is the generated unrolled SQL"),
 
+    // ---- U1: the LSTM-attention model variant ----
+    Query(
+      "q_u1_attention_forward",
+      (s, dir) =>
+        // Third model family from the reference registry
+        // (lstm_attention_model.py): input_proj + positional encoding ->
+        // 2-layer LSTM -> 3 causal self-attention layers -> constant-
+        // query cross-attention -> per-horizon head. The positional
+        // encodings and cross-attention queries are input-independent
+        // constants, computed once in Scala and emitted into the oracle
+        // as shortest-roundtrip literals.
+        Serving.predictLatestWith(ev(s, dir), K, "ts", "event_id",
+          "value", graft.serve.AttentionLstmForward.S, 300,
+          "lstm-attention-fixture-v1",
+          graft.serve.AttentionLstmForward.forward)
+          .select(col(K), col("horizon"), col("target_ts"),
+            (round(col("predicted_price"), 6) + lit(0.0)).as("prediction"))
+          .orderBy(K, "horizon"),
+      Some(graft.serve.AttentionLstmForward.oracleSql),
+      doc = "SURVEY U1 (LSTM-attention variant): input_proj + sin/cos " +
+        "positional encoding -> stacked LSTM(2) -> 3 causal multihead " +
+        "self-attention layers (head_dim 1) -> cross-attention with " +
+        "constant pos-encoded queries -> per-horizon head (the " +
+        "reference's lstm_attention_model.py); max-subtraction softmax " +
+        "replayed fold-for-fold in the generated unrolled oracle"),
+
     // ---- U2: scaler transform + inverse round-trip ----
     Query(
       "q_u2_scale_roundtrip",

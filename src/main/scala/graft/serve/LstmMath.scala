@@ -57,6 +57,43 @@ private[serve] object LstmMath {
   @inline def d(k: Int): Double = k / 1024.0
   @inline def gd(k: Int): Double = (1024 + k) / 1024.0
 
+  /** Width-parametric LayerNorm (same fold discipline as [[layerNorm4]];
+    * needed for the attention head's LayerNorm(2d)).
+    */
+  def layerNormW(g: Array[Double], gmk: Array[Int], btk: Array[Int],
+      w: Int): Array[Double] = {
+    var s = 0.0
+    var j = 0
+    while (j < w) { s = s + g(j); j += 1 }
+    val m = s / w.toDouble
+    var v = 0.0
+    j = 0
+    while (j < w) { v = v + (g(j) - m) * (g(j) - m); j += 1 }
+    val den = math.sqrt(v / w.toDouble + Eps)
+    Array.tabulate(w)(j => ((g(j) - m) / den) * gd(gmk(j)) + d(btk(j)))
+  }
+
+  /** Dense layer y = W·x + b with k/1024 integer weights, row-major
+    * [dout][din], pinned ascending-k fold.
+    */
+  def linear(x: Array[Double], wk: Array[Int], bk: Array[Int],
+      dout: Int, din: Int): Array[Double] =
+    Array.tabulate(dout) { j =>
+      var acc = d(bk(j))
+      var k = 0
+      while (k < din) { acc = acc + d(wk(j * din + k)) * x(k); k += 1 }
+      acc
+    }
+
+  /** Shortest-roundtrip double literal — DuckDB parses it back to the
+    * bit-identical double, so runtime-computed constants (positional
+    * encodings, constant attention queries) can ride into the oracle.
+    */
+  def dLit(x: Double): String = {
+    val s = java.lang.Double.toString(x)
+    if (s.contains("E")) s"($s)" else s
+  }
+
   /** One LSTM cell step over hidden width H and input width W, PyTorch
     * gate order i/f/g/o; mutates `h` and `c` in place. Fold order per
     * gate: combined bias, then W_ih·x ascending k, then W_hh·h
@@ -99,34 +136,36 @@ private[serve] object LstmMath {
 
   /** One LSTM timestep as SQL CTEs (pre-activations z, gates gt, cell ct,
     * hidden st), continuing from CTE `from0`. `xRef(k)` names the step's
-    * k-th input column; step 1 reads literal zeros for h/c.
+    * k-th input column; step 1 reads literal zeros for h/c. `pfx`
+    * namespaces the CTE/column names so stacked LSTM layers coexist in
+    * one query.
     */
   def lstmStepSql(t: Int, hDim: Int, wDim: Int, xRef: Int => String,
       wih: Array[Int], whh: Array[Int], bih: Array[Int], bhh: Array[Int],
-      from0: String): String = {
+      from0: String, pfx: String = ""): String = {
     val sb = new StringBuilder
-    def hRef(k: Int): String = if (t == 1) "0.0" else s"h${t - 1}_$k"
-    def cRef(k: Int): String = if (t == 1) "0.0" else s"c${t - 1}_$k"
+    def hRef(k: Int): String = if (t == 1) "0.0" else s"h$pfx${t - 1}_$k"
+    def cRef(k: Int): String = if (t == 1) "0.0" else s"c$pfx${t - 1}_$k"
     val pre = (0 until 4 * hDim).map { j =>
       val terms = new StringBuilder(kLit(bih(j) + bhh(j)))
       for (k <- 0 until wDim) terms ++= s" + ${kLit(wih(j * wDim + k))} * ${xRef(k)}"
       for (k <- 0 until hDim) terms ++= s" + ${kLit(whh(j * hDim + k))} * ${hRef(k)}"
-      s"($terms) AS z${t}_$j"
+      s"($terms) AS z$pfx${t}_$j"
     }
-    sb ++= s",\nz$t AS (SELECT *, ${pre.mkString(", ")} FROM $from0)"
+    sb ++= s",\nz$pfx$t AS (SELECT *, ${pre.mkString(", ")} FROM $from0)"
     val gates = (0 until hDim).flatMap { j =>
-      Seq(s"${sigSql(s"z${t}_$j")} AS i${t}_$j",
-        s"${sigSql(s"z${t}_${hDim + j}")} AS f${t}_$j",
-        s"${tanhSql(s"z${t}_${2 * hDim + j}")} AS cg${t}_$j",
-        s"${sigSql(s"z${t}_${3 * hDim + j}")} AS o${t}_$j")
+      Seq(s"${sigSql(s"z$pfx${t}_$j")} AS i$pfx${t}_$j",
+        s"${sigSql(s"z$pfx${t}_${hDim + j}")} AS f$pfx${t}_$j",
+        s"${tanhSql(s"z$pfx${t}_${2 * hDim + j}")} AS cg$pfx${t}_$j",
+        s"${sigSql(s"z$pfx${t}_${3 * hDim + j}")} AS o$pfx${t}_$j")
     }
-    sb ++= s",\ngt$t AS (SELECT *, ${gates.mkString(", ")} FROM z$t)"
+    sb ++= s",\ngt$pfx$t AS (SELECT *, ${gates.mkString(", ")} FROM z$pfx$t)"
     val cs = (0 until hDim).map(j =>
-      s"f${t}_$j * ${cRef(j)} + i${t}_$j * cg${t}_$j AS c${t}_$j")
-    sb ++= s",\nct$t AS (SELECT *, ${cs.mkString(", ")} FROM gt$t)"
+      s"f$pfx${t}_$j * ${cRef(j)} + i$pfx${t}_$j * cg$pfx${t}_$j AS c$pfx${t}_$j")
+    sb ++= s",\nct$pfx$t AS (SELECT *, ${cs.mkString(", ")} FROM gt$pfx$t)"
     val hs = (0 until hDim).map(j =>
-      s"o${t}_$j * ${tanhSql(s"c${t}_$j")} AS h${t}_$j")
-    sb ++= s",\nst$t AS (SELECT *, ${hs.mkString(", ")} FROM ct$t)"
+      s"o$pfx${t}_$j * ${tanhSql(s"c$pfx${t}_$j")} AS h$pfx${t}_$j")
+    sb ++= s",\nst$pfx$t AS (SELECT *, ${hs.mkString(", ")} FROM ct$pfx$t)"
     sb.toString
   }
 

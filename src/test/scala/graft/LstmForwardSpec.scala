@@ -83,4 +83,34 @@ class LstmForwardSpec extends AnyFunSuite {
     val w = (1 to 8).map(_.toDouble)
     assert(LstmForward.forward(w) != graft.serve.CnnLstmForward.forward(w))
   }
+
+  private def checkAttn(window: Seq[Double], expected: Seq[Double]): Unit = {
+    val got = graft.serve.AttentionLstmForward.forward(window)
+    assert(got.length == graft.serve.AttentionLstmForward.P)
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) <= Tol, s"horizon ${i + 1}: got $g want $e")
+    }
+  }
+
+  test("LSTM-attention pinned outputs match the offline reference " +
+    "implementation") {
+    checkAttn(Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0),
+      Seq(-0.6074669950185156, -0.6811050170579659, -0.6620661142846668))
+    checkAttn(Seq(8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0),
+      Seq(-0.6073418312723824, -0.6809305571661745, -0.6615487429991339))
+    checkAttn(Seq(100.0, 101.5, 99.25, 102.75, 98.5, 103.0, 97.0, 104.5),
+      Seq(-0.6075161961312393, -0.6811577405216749, -0.6621305718061159))
+    checkAttn(Seq(5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0),
+      Seq(-0.6073124864656682, -0.6809099633667732, -0.6616769594746866))
+    checkAttn(Seq(1.0, 8.0, 2.0, 7.0, 3.0, 6.0, 4.0, 5.0),
+      Seq(-0.6073922216692135, -0.6809694907013158, -0.661603543859365))
+  }
+
+  test("all three model families produce distinct predictions") {
+    val w = (1 to 8).map(_.toDouble)
+    val outs = Seq(LstmForward.forward(w),
+      graft.serve.CnnLstmForward.forward(w),
+      graft.serve.AttentionLstmForward.forward(w))
+    assert(outs.distinct.size == 3)
+  }
 }
