@@ -14,6 +14,24 @@ class TrainingPrepSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("quality filter fit: GD actually learns — log-loss strictly " +
+    "decreases per step and stays under the zero-weight baseline") {
+    val rows = SparkEntry.queries("q_t_quality_filter_fit")(spark, dir)
+      .orderBy("step")
+      .select("step", "log_loss", "w0")
+      .as[(Int, Double, Double)].collect()
+    CacheScope.release(spark)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    val losses = rows.map(_._2)
+    // ln(2) = 0.6931 is the loss at w = 0; every step must improve on
+    // the previous one
+    assert(losses.head < 0.6931, s"step-1 loss ${losses.head}")
+    assert(losses.sliding(2).forall(p => p(1) < p(0)),
+      s"log-loss must decrease monotonically: ${losses.toSeq}")
+    // the bias absorbs the class imbalance (negative: minority positives)
+    assert(rows.last._3 < 0.0)
+  }
+
   test("chunk_overlap tiles every document: stride 48, last chunk reaches the end") {
     val chunks = SparkEntry.queries("q_t_chunk_overlap")(spark, dir)
       .select("doc_id", "chunk_idx", "start_tok", "n_tokens")
