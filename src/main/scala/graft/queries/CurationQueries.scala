@@ -652,71 +652,13 @@ object CurationQueries extends QueryPack {
       "q_t_quality_filter_fit",
       (s, dir) => {
         import s.implicits._
-        // TRAINED quality filter (the CCNet/GPT-3 recipe: fit a linear
-        // classifier on weak labels). Weak label: a fixed editorial list
-        // of "curated" sources (production swaps in wiki-vs-crawl —
-        // same plan). Features are min-max centered IN-PLAN (min/max
-        // aggregates are order-free exact — no quantization needed for
-        // the standardizer, unlike mean/std), then 3 batch-GD steps
-        // over logistic loss, each ONE partial-agg corpus pass (the
-        // Lloyd-rounds shape; per-step driver state is 4 doubles).
-        // DETERMINISM: each doc's gradient and loss contribution is
-        // quantized to integer MICRO-units summed as longs (the DSIR
-        // lesson — a double sum is summation-order-dependent under
-        // Spark's partial aggregation). |q| ≤ 2e6/doc → the long sum
-        // holds ~4e12 docs before overflow.
-        val ntok = greatest(tokenCount(col("text")).cast("double"), lit(1.0))
-        val raw = graft.CacheScope.retain(
-          Tables(s, dir, "documents").select(
-            col("source").isin(CuratedSources: _*).cast("int").as("y"),
-            (least(col("n_chars").cast("double"), lit(2000.0)) / 1000.0)
-              .as("r1"),
-            least(tokenCount(col("text")).cast("double") / 100.0, lit(1.0))
-              .as("r2"),
-            (col("n_chars").cast("double") / ntok / 10.0).as("r3")))
-        val b = raw.agg(count(lit(1)).as("n"),
-          min("r1").as("n1"), max("r1").as("x1"),
-          min("r2").as("n2"), max("r2").as("x2"),
-          min("r3").as("n3"), max("r3").as("x3")).head()
-        val n = b.getLong(0)
-        def centered(j: Int) =
-          ((col(s"r$j") - lit(b.getDouble(2 * j - 1)))
-            / ((lit(b.getDouble(2 * j)) - lit(b.getDouble(2 * j - 1)))
-              + lit(1e-9)) - lit(0.5)).as(s"x$j")
-        val feats = graft.CacheScope.retain(
-          raw.select(col("y"), lit(1.0).as("x0"),
-            centered(1), centered(2), centered(3)))
-        val w = Array(0.0, 0.0, 0.0, 0.0)
-        val lr = 4.0
-        def z(wv: Array[Double]) =
-          lit(wv(0)) * col("x0") + lit(wv(1)) * col("x1") +
-            lit(wv(2)) * col("x2") + lit(wv(3)) * col("x3")
-        val rows = (1 to 3).map { step =>
-          val p = lit(1.0) / (lit(1.0) + exp(-z(w)))
-          val err = col("y").cast("double") - p
-          def q(j: Int) =
-            floor(err * col(s"x$j") * lit(1000000.0) + lit(0.5)).cast("long")
-          val g = feats.agg(sum(q(0)).as("s0"), sum(q(1)).as("s1"),
-            sum(q(2)).as("s2"), sum(q(3)).as("s3")).head()
-          var j = 0
-          while (j < 4) {
-            w(j) = w(j) + lr * ((g.getLong(j) / 1000000.0) / n.toDouble)
-            j += 1
-          }
-          // metrics with the UPDATED weights: exact correct count +
-          // micro-unit log-loss sum (same order-free discipline)
-          val p2 = lit(1.0) / (lit(1.0) + exp(-z(w)))
-          val lossMicro = floor(-(col("y").cast("double") * log(p2)
-            + (lit(1.0) - col("y").cast("double")) * log(lit(1.0) - p2))
-            * lit(1000000.0) + lit(0.5)).cast("long")
-          val m = feats.agg(
-            sum(((z(w) > lit(0.0)) === (col("y") === 1)).cast("long"))
-              .as("c"),
-            sum(lossMicro).as("l")).head()
-          (step, w(0), w(1), w(2), w(3),
-            (m.getLong(1) / 1000000.0) / n.toDouble,
-            m.getLong(0).toDouble / n.toDouble)
-        }
+        // TRAINED quality filter, fit half (the CCNet/GPT-3 recipe: fit
+        // a linear classifier on weak labels). Weak label: a fixed
+        // editorial list of "curated" sources (production swaps in
+        // wiki-vs-crawl — same plan). See [[qfFit]] for the shape and
+        // determinism discipline.
+        val (feats, n) = qfFeatures(s, dir)
+        val (rows, _) = qfFit(feats, n)
         rows.toDF("step", "w0", "w1", "w2", "w3", "log_loss", "train_acc")
           .select(col("step"),
             (round(col("w0"), 6) + lit(0.0)).as("w0"),
@@ -727,79 +669,187 @@ object CurationQueries extends QueryPack {
             (round(col("train_acc"), 4) + lit(0.0)).as("train_acc"))
           .orderBy("step")
       },
-      Some(qualityFilterFitSql),
-      doc = "trained quality filter (CCNet recipe): logistic regression " +
-        "on weak source labels — min-max centered features (order-free " +
-        "exact standardizer), 3 unrolled batch-GD steps, one partial-agg " +
-        "corpus pass each; per-doc gradient AND loss contributions " +
-        "quantized to integer micro-units (the DSIR discipline) so every " +
-        "sum is order-free exact; oracle replays weights, log-loss " +
-        "(monotonically decreasing) and accuracy per step")
+      Some(s"""WITH $qfCtePrefix
+              |${qfStepSelect(1)}
+              |UNION ALL
+              |${qfStepSelect(2)}
+              |UNION ALL
+              |${qfStepSelect(3)}
+              |ORDER BY step""".stripMargin),
+      doc = "trained quality filter (CCNet recipe), fit: logistic " +
+        "regression on weak source labels — min-max centered features " +
+        "(order-free exact standardizer), 3 unrolled batch-GD steps, one " +
+        "partial-agg corpus pass each; per-doc gradient AND loss " +
+        "contributions quantized to integer micro-units (the DSIR " +
+        "discipline) so every sum is order-free exact; oracle replays " +
+        "weights, log-loss (monotonically decreasing) and accuracy"),
+
+    Query(
+      "q_t_quality_filter_apply",
+      (s, dir) => {
+        // Apply half: refit (deterministic — identical weights), then
+        // score EVERY doc with the step-3 weights and emit the gate
+        // decision. At 100 TB the weights are a 4-double broadcast and
+        // scoring is one map-only codegen pass — the shape of every
+        // model-based quality gate in production.
+        val (feats, n) = qfFeatures(s, dir)
+        val (_, w) = qfFit(feats, n)
+        val z = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+        feats.select(col("doc_id"),
+          (round(lit(1.0) / (lit(1.0) + exp(-z)), 6) + lit(0.0)).as("score"),
+          (z > lit(0.0)).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $qfCtePrefix
+              |SELECT f.doc_id,
+              |  ROUND(1.0 / (1.0 + exp(-($qfZExpr))), 6) + 0.0 AS score,
+              |  ($qfZExpr > 0.0) AS keep
+              |FROM f, wt3 w ORDER BY f.doc_id""".stripMargin),
+      doc = "trained quality filter, apply: every doc scored by the " +
+        "fitted classifier (sigmoid + gate flag) — the weights broadcast " +
+        "as 4 doubles, scoring is map-only codegen; fit+apply in one " +
+        "deterministic plan pair, oracle replays the full fit then scores")
   )
 
   /** The fixed editorial "curated sources" weak-label list. */
   private val CuratedSources = Seq("src0", "src1", "src7", "src11", "src13")
 
-  /** DuckDB replay of the 3-step GD fit: bounds, centered features,
-    * per-step weight CTEs from the previous step's weights + the exact
-    * integer gradient sums, and a metrics CTE per step.
+  private val QfLr = 4.0
+  private val QfSteps = 3
+
+  /** Weak label + min-max-centered features for the quality-filter fit;
+    * returns the retained feature frame and the corpus count. The
+    * min/max standardizer aggregates are order-free exact, so no
+    * quantization is needed to keep both engines identical.
     */
-  private def qualityFilterFitSql: String = {
+  private def qfFeatures(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Long) = {
+    val ntok = greatest(tokenCount(col("text")).cast("double"), lit(1.0))
+    val raw = graft.CacheScope.retain(
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        col("source").isin(CuratedSources: _*).cast("int").as("y"),
+        (least(col("n_chars").cast("double"), lit(2000.0)) / 1000.0)
+          .as("r1"),
+        least(tokenCount(col("text")).cast("double") / 100.0, lit(1.0))
+          .as("r2"),
+        (col("n_chars").cast("double") / ntok / 10.0).as("r3")))
+    val b = raw.agg(count(lit(1)).as("n"),
+      min("r1").as("n1"), max("r1").as("x1"),
+      min("r2").as("n2"), max("r2").as("x2"),
+      min("r3").as("n3"), max("r3").as("x3")).head()
+    def centered(j: Int) =
+      ((col(s"r$j") - lit(b.getDouble(2 * j - 1)))
+        / ((lit(b.getDouble(2 * j)) - lit(b.getDouble(2 * j - 1)))
+          + lit(1e-9)) - lit(0.5)).as(s"x$j")
+    val feats = graft.CacheScope.retain(
+      raw.select(col("doc_id"), col("y"), lit(1.0).as("x0"),
+        centered(1), centered(2), centered(3)))
+    (feats, b.getLong(0))
+  }
+
+  /** 3 batch-GD steps over logistic loss, each ONE partial-agg corpus
+    * pass (the Lloyd-rounds shape; per-step driver state is 4 doubles).
+    * DETERMINISM: each doc's gradient and loss contribution is quantized
+    * to integer MICRO-units summed as longs (the DSIR lesson — a double
+    * sum is summation-order-dependent under Spark's partial
+    * aggregation). |q| ≤ 2e6/doc → the long sum holds ~4e12 docs before
+    * overflow. Returns the per-step report rows and the final weights.
+    */
+  private def qfFit(feats: org.apache.spark.sql.DataFrame, n: Long)
+      : (Seq[(Int, Double, Double, Double, Double, Double, Double)], Array[Double]) = {
+    val w = Array(0.0, 0.0, 0.0, 0.0)
+    def z(wv: Array[Double]) =
+      lit(wv(0)) * col("x0") + lit(wv(1)) * col("x1") +
+        lit(wv(2)) * col("x2") + lit(wv(3)) * col("x3")
+    val rows = (1 to QfSteps).map { step =>
+      val p = lit(1.0) / (lit(1.0) + exp(-z(w)))
+      val err = col("y").cast("double") - p
+      def q(j: Int) =
+        floor(err * col(s"x$j") * lit(1000000.0) + lit(0.5)).cast("long")
+      val g = feats.agg(sum(q(0)).as("s0"), sum(q(1)).as("s1"),
+        sum(q(2)).as("s2"), sum(q(3)).as("s3")).head()
+      var j = 0
+      while (j < 4) {
+        w(j) = w(j) + QfLr * ((g.getLong(j) / 1000000.0) / n.toDouble)
+        j += 1
+      }
+      // metrics with the UPDATED weights: exact correct count +
+      // micro-unit log-loss sum (same order-free discipline)
+      val p2 = lit(1.0) / (lit(1.0) + exp(-z(w)))
+      val lossMicro = floor(-(col("y").cast("double") * log(p2)
+        + (lit(1.0) - col("y").cast("double")) * log(lit(1.0) - p2))
+        * lit(1000000.0) + lit(0.5)).cast("long")
+      val m = feats.agg(
+        sum(((z(w) > lit(0.0)) === (col("y") === 1)).cast("long")).as("c"),
+        sum(lossMicro).as("l")).head()
+      (step, w(0), w(1), w(2), w(3),
+        (m.getLong(1) / 1000000.0) / n.toDouble,
+        m.getLong(0).toDouble / n.toDouble)
+    }
+    (rows, w)
+  }
+
+  // ---- DuckDB replay: bounds, centered features, per-step weight CTEs
+  // derived from the previous step's weights + exact integer gradient
+  // sums, and a metrics CTE per step. Shared by fit and apply.
+
+  private val qfZExpr = "w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3"
+  private val qfPExpr = s"(1.0 / (1.0 + exp(-($qfZExpr))))"
+
+  private def qfGCte(k: Int, wFrom: String): String = {
+    val sums = (0 to 3).map(j =>
+      s"SUM(CAST(FLOOR((CAST(y AS DOUBLE) - $qfPExpr) " +
+        s"* x$j * 1000000.0 + 0.5) AS BIGINT)) AS s$j").mkString(",\n    ")
+    s"g$k AS (SELECT\n    $sums\n  FROM f, $wFrom w)"
+  }
+
+  private def qfWCte(k: Int, wFrom: String): String = {
+    val ws = (0 to 3).map(j =>
+      s"w.w$j + $QfLr * ((g.s$j / 1000000.0) / c.n) AS w$j").mkString(", ")
+    s"wt$k AS (SELECT $ws FROM $wFrom w, g$k g, cnt c)"
+  }
+
+  private def qfMCte(k: Int): String =
+    s"""a$k AS (SELECT
+       |    SUM(CASE WHEN ($qfZExpr > 0.0) = (y = 1) THEN 1 ELSE 0 END) AS c,
+       |    SUM(CAST(FLOOR(-(CAST(y AS DOUBLE) * ln($qfPExpr)
+       |      + (1.0 - CAST(y AS DOUBLE)) * ln(1.0 - $qfPExpr))
+       |      * 1000000.0 + 0.5) AS BIGINT)) AS l
+       |  FROM f, wt$k w)""".stripMargin
+
+  private def qfStepSelect(k: Int): String =
+    s"SELECT $k AS step, ROUND(w.w0, 6) + 0.0 AS w0, ROUND(w.w1, 6) + 0.0 AS w1, " +
+      s"ROUND(w.w2, 6) + 0.0 AS w2, ROUND(w.w3, 6) + 0.0 AS w3, " +
+      s"ROUND((a$k.l / 1000000.0) / cnt.n, 4) + 0.0 AS log_loss, " +
+      s"ROUND(a$k.c * 1.0 / cnt.n, 4) + 0.0 AS train_acc FROM wt$k w, a$k, cnt"
+
+  private def qfCtePrefix: String = {
     val ntokSql = TextQueries.nTokSql
-    val zExpr = "w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3"
-    val pExpr = s"(1.0 / (1.0 + exp(-($zExpr))))"
-    def gCte(k: Int, wFrom: String): String = {
-      val sums = (0 to 3).map(j =>
-        s"SUM(CAST(FLOOR((CAST(y AS DOUBLE) - $pExpr) " +
-          s"* x$j * 1000000.0 + 0.5) AS BIGINT)) AS s$j").mkString(",\n    ")
-      s"g$k AS (SELECT\n    $sums\n  FROM f, $wFrom w)"
-    }
-    def wCte(k: Int, wFrom: String): String = {
-      val ws = (0 to 3).map(j =>
-        s"w.w$j + 4.0 * ((g.s$j / 1000000.0) / c.n) AS w$j").mkString(", ")
-      s"wt$k AS (SELECT $ws FROM $wFrom w, g$k g, cnt c)"
-    }
-    def mCte(k: Int): String =
-      s"""a$k AS (SELECT
-         |    SUM(CASE WHEN ($zExpr > 0.0) = (y = 1) THEN 1 ELSE 0 END) AS c,
-         |    SUM(CAST(FLOOR(-(CAST(y AS DOUBLE) * ln($pExpr)
-         |      + (1.0 - CAST(y AS DOUBLE)) * ln(1.0 - $pExpr))
-         |      * 1000000.0 + 0.5) AS BIGINT)) AS l
-         |  FROM f, wt$k w)""".stripMargin
-    def stepSelect(k: Int): String =
-      s"SELECT $k AS step, ROUND(w.w0, 6) + 0.0 AS w0, ROUND(w.w1, 6) + 0.0 AS w1, " +
-        s"ROUND(w.w2, 6) + 0.0 AS w2, ROUND(w.w3, 6) + 0.0 AS w3, " +
-        s"ROUND((a$k.l / 1000000.0) / cnt.n, 4) + 0.0 AS log_loss, " +
-        s"ROUND(a$k.c * 1.0 / cnt.n, 4) + 0.0 AS train_acc FROM wt$k w, a$k, cnt"
     val curated = CuratedSources.map(s => s"'$s'").mkString(", ")
-    s"""WITH r AS (SELECT CAST(source IN ($curated) AS INT) AS y,
+    s"""r AS (SELECT doc_id, CAST(source IN ($curated) AS INT) AS y,
        |    LEAST(CAST(n_chars AS DOUBLE), 2000.0) / 1000.0 AS r1,
        |    LEAST($ntokSql / 100.0, 1.0) AS r2,
        |    CAST(n_chars AS DOUBLE) / GREATEST($ntokSql, 1.0) / 10.0 AS r3
        |  FROM documents),
        |bounds AS (SELECT MIN(r1) AS n1, MAX(r1) AS x1, MIN(r2) AS n2,
        |    MAX(r2) AS x2, MIN(r3) AS n3, MAX(r3) AS x3 FROM r),
-       |f AS (SELECT y, 1.0 AS x0,
+       |f AS (SELECT doc_id, y, 1.0 AS x0,
        |    (r1 - b.n1) / ((b.x1 - b.n1) + 1e-9) - 0.5 AS x1,
        |    (r2 - b.n2) / ((b.x2 - b.n2) + 1e-9) - 0.5 AS x2,
        |    (r3 - b.n3) / ((b.x3 - b.n3) + 1e-9) - 0.5 AS x3
        |  FROM r, bounds b),
        |cnt AS (SELECT COUNT(*) AS n FROM f),
        |wt0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
-       |${gCte(1, "wt0")},
-       |${wCte(1, "wt0")},
-       |${mCte(1)},
-       |${gCte(2, "wt1")},
-       |${wCte(2, "wt1")},
-       |${mCte(2)},
-       |${gCte(3, "wt2")},
-       |${wCte(3, "wt2")},
-       |${mCte(3)}
-       |${stepSelect(1)}
-       |UNION ALL
-       |${stepSelect(2)}
-       |UNION ALL
-       |${stepSelect(3)}
-       |ORDER BY step""".stripMargin
+       |${qfGCte(1, "wt0")},
+       |${qfWCte(1, "wt0")},
+       |${qfMCte(1)},
+       |${qfGCte(2, "wt1")},
+       |${qfWCte(2, "wt1")},
+       |${qfMCte(2)},
+       |${qfGCte(3, "wt2")},
+       |${qfWCte(3, "wt2")},
+       |${qfMCte(3)}""".stripMargin
   }
 }
