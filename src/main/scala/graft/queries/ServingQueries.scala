@@ -210,6 +210,29 @@ object ServingQueries extends QueryPack {
         "reference's lstm_attention_model.py); max-subtraction softmax " +
         "replayed fold-for-fold in the generated unrolled oracle"),
 
+    // ---- U1: the CNN-LSTM-attention model variant ----
+    Query(
+      "q_u1_cnn_attn_forward",
+      (s, dir) =>
+        // Fourth model family from the reference registry
+        // (cnn_lstm_attention_model.py): conv front end, MaxPool(2)
+        // halving the sequence, LSTM over the pooled steps, ADDITIVE
+        // attention pooling (score = w_s . tanh(W_a h_t + b_a), softmax
+        // over steps) instead of last-step readout, shared head.
+        Serving.predictLatestWith(ev(s, dir), K, "ts", "event_id",
+          "value", graft.serve.CnnLstmAttentionForward.S, 300,
+          "cnn-lstm-attn-fixture-v1",
+          graft.serve.CnnLstmAttentionForward.forward)
+          .select(col(K), col("horizon"), col("target_ts"),
+            (round(col("predicted_price"), 6) + lit(0.0)).as("prediction"))
+          .orderBy(K, "horizon"),
+      Some(graft.serve.CnnLstmAttentionForward.oracleSql),
+      doc = "SURVEY U1 (CNN-LSTM-attention variant): Conv1d+ReLU -> " +
+        "MaxPool1d(2) -> LSTM over pooled steps -> additive-attention " +
+        "pooling (max-subtraction softmax) -> head (the reference's " +
+        "cnn_lstm_attention_model.py); pairwise GREATEST pool and the " +
+        "attention fold replayed exactly in the generated oracle"),
+
     // ---- U2: scaler transform + inverse round-trip ----
     Query(
       "q_u2_scale_roundtrip",

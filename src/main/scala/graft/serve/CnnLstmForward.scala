@@ -119,8 +119,8 @@ object CnnLstmForward {
     for (t <- 1 to S)
       sb ++= lstmStepSql(t, H, C, k => s"rl${t}_$k", wihk, whhk, bihk, bhhk,
         if (t == 1) "rl" else s"st${t - 1}")
-    sb ++= headSql(H, P, S, w2k, b2k, gm2k, bt2k, w3k, b3k,
-      "event_type, last_ts", s"st$S")
+    sb ++= headSql(H, P, k => s"h${S}_$k", w2k, b2k, gm2k, bt2k,
+      w3k, b3k, "event_type, last_ts", s"st$S")
     sb ++= horizonSelectSql(P)
     sb.toString
   }

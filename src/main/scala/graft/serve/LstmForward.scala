@@ -125,8 +125,8 @@ object LstmForward {
       sb ++= lstmStepSql(t, H, H, k => s"x${t}_$k", wihk, whhk, bihk, bhhk,
         s"x$t")
     }
-    sb ++= headSql(H, P, S, w2k, b2k, gm2k, bt2k, w3k, b3k,
-      "event_type, last_ts", s"st$S")
+    sb ++= headSql(H, P, k => s"h${S}_$k", w2k, b2k, gm2k, bt2k,
+      w3k, b3k, "event_type, last_ts", s"st$S")
     sb ++= horizonSelectSql(P)
     sb.toString
   }

@@ -170,16 +170,16 @@ private[serve] object LstmMath {
   }
 
   /** The shared output head (Linear H→H, LayerNorm, GELU, Linear H→P)
-    * as SQL CTEs over `h{S}_*` from CTE `from0`, producing `y_0..y_{P-1}`
-    * in CTE `hy` alongside `keyCols`.
+    * as SQL CTEs over the hidden-state columns named by `hRef`, from CTE
+    * `from0`, producing `y_0..y_{P-1}` in CTE `hy` alongside `keyCols`.
     */
-  def headSql(hDim: Int, pDim: Int, sLast: Int, w2: Array[Int],
+  def headSql(hDim: Int, pDim: Int, hRef: Int => String, w2: Array[Int],
       b2: Array[Int], gm2: Array[Int], bt2: Array[Int], w3: Array[Int],
       b3: Array[Int], keyCols: String, from0: String): String = {
     val sb = new StringBuilder
     val q = (0 until hDim).map { j =>
       val terms = new StringBuilder(kLit(b2(j)))
-      for (k <- 0 until hDim) terms ++= s" + ${kLit(w2(j * hDim + k))} * h${sLast}_$k"
+      for (k <- 0 until hDim) terms ++= s" + ${kLit(w2(j * hDim + k))} * ${hRef(k)}"
       s"($terms) AS q_$j"
     }
     sb ++= s",\nhq AS (SELECT *, ${q.mkString(", ")} FROM $from0)"

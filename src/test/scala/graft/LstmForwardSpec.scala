@@ -106,11 +106,34 @@ class LstmForwardSpec extends AnyFunSuite {
       Seq(-0.6073922216692135, -0.6809694907013158, -0.661603543859365))
   }
 
-  test("all three model families produce distinct predictions") {
+  private def checkCnnAttn(window: Seq[Double], expected: Seq[Double]): Unit = {
+    val got = graft.serve.CnnLstmAttentionForward.forward(window)
+    assert(got.length == graft.serve.CnnLstmAttentionForward.P)
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) <= Tol, s"horizon ${i + 1}: got $g want $e")
+    }
+  }
+
+  test("CNN-LSTM-attention pinned outputs match the offline reference " +
+    "implementation") {
+    checkCnnAttn(Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0),
+      Seq(0.6306143422235251, 0.22945495076000746, -0.10848473665042613))
+    checkCnnAttn(Seq(8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0),
+      Seq(0.6264832926429771, 0.2225743717045875, -0.10360863663848381))
+    checkCnnAttn(Seq(100.0, 101.5, 99.25, 102.75, 98.5, 103.0, 97.0, 104.5),
+      Seq(0.6231295531588039, 0.2106622353199845, -0.08960289455177273))
+    checkCnnAttn(Seq(5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0),
+      Seq(0.6459074576413117, 0.2755780708736641, -0.1547906338311517))
+    checkCnnAttn(Seq(1.0, 8.0, 2.0, 7.0, 3.0, 6.0, 4.0, 5.0),
+      Seq(0.6204468106434212, 0.2042881152415029, -0.08320125987658718))
+  }
+
+  test("all four model families produce distinct predictions") {
     val w = (1 to 8).map(_.toDouble)
     val outs = Seq(LstmForward.forward(w),
       graft.serve.CnnLstmForward.forward(w),
-      graft.serve.AttentionLstmForward.forward(w))
-    assert(outs.distinct.size == 3)
+      graft.serve.AttentionLstmForward.forward(w),
+      graft.serve.CnnLstmAttentionForward.forward(w))
+    assert(outs.distinct.size == 4)
   }
 }
