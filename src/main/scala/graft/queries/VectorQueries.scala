@@ -927,6 +927,105 @@ object VectorQueries extends QueryPack {
         "(state collapses map-side, shuffle is O(dim) keys at any corpus " +
         "size); float32-quantized moments keep both engines' doubles " +
         "identical; the pre-flight check before quantizer or index " +
-        "training")
+        "training"),
+
+    Query(
+      "q_e_hybrid_rrf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Hybrid retrieval: reciprocal-rank fusion (Cormack et al., k=60)
+        // of a sparse BM25 leg and a dense cosine leg — the standard RAG
+        // first-stage retriever. Each leg is the already-proven operator
+        // (q_t_bm25_topk / q_e_cosine_topk) truncated to its top-50;
+        // ranks are integers, so the fused 1/(60+r) sums are bit-identical
+        // across engines. Scale shape: both legs end in
+        // TakeOrderedAndProject (per-partition heaps), the rank windows
+        // and the full-outer fuse run over ≤50-row frames — the corpus is
+        // never shuffled wider than each leg already shuffles it. Doc 0
+        // is the query (its embedding = the dense probe) and is excluded
+        // from both legs.
+        val K = 50
+        val dense = VectorSearch.cosineTopK(
+          emb(s, dir).where(col("vec_id") =!= 0), queryVec(s, dir),
+          "vec_id", "embedding", K)
+          .select(col("vec_id").as("doc_id"),
+            row_number().over(Window.orderBy(col("sim").desc, col("vec_id")))
+              .cast("long").as("r_dense"))
+        val toks = graft.CacheScope.retain(
+          Tables(s, dir, "documents").where(col("doc_id") =!= 0)
+            .select(col("doc_id"),
+              explode(expr(
+                "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
+                .as("tok")))
+        val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        val st = lens.agg(count(lit(1)).as("n_docs"),
+          sum("len").as("tot_len"))
+        val tf = toks.where(col("tok").isin("join", "vector", "stream"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(st))
+          .select(col("tok"),
+            (round(log((col("n_docs") - col("df") + 0.5)
+              / (col("df") + 0.5) + 1.0), 6) + lit(0.0)).as("idf"))
+        val sparse = tf.join(broadcast(idf), "tok")
+          .join(lens, "doc_id")
+          .crossJoin(broadcast(st))
+          .groupBy("doc_id")
+          .agg((round(sum(col("idf") * col("tf") * lit(2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25)
+              + lit(0.75) * col("len")
+                / (col("tot_len") * lit(1.0) / col("n_docs"))))), 4)
+            + lit(0.0)).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(K)
+          .select(col("doc_id"),
+            row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+              .cast("long").as("r_bm25"))
+        dense.join(sparse, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("r_dense"), col("r_bm25"),
+            (round(
+              coalesce(lit(1.0) / (lit(60.0) + col("r_dense")), lit(0.0))
+                + coalesce(lit(1.0) / (lit(60.0) + col("r_bm25")), lit(0.0)),
+              6) + lit(0.0)).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+             |dense AS (SELECT e.vec_id AS doc_id,
+             |            ROUND(list_cosine_similarity(e.emb, q.qv), 6) + 0.0 AS sim
+             |          FROM e, q WHERE e.vec_id <> 0
+             |          ORDER BY sim DESC, doc_id LIMIT 50),
+             |dr AS (SELECT doc_id,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS r_dense
+             |       FROM dense),
+             |tk AS (SELECT doc_id, unnest(list_filter(
+             |         string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS tok
+             |       FROM documents WHERE doc_id <> 0),
+             |lens AS (SELECT doc_id, COUNT(*) AS len FROM tk GROUP BY 1),
+             |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(len) AS BIGINT) AS tot_len FROM lens),
+             |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+             |       WHERE tok IN ('join', 'vector', 'stream') GROUP BY 1, 2),
+             |idf AS (SELECT tok,
+             |          ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) + 0.0 AS idf
+             |        FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1), st),
+             |bm AS (SELECT t.doc_id,
+             |         ROUND(SUM(i.idf * t.tf * 2.2
+             |           / (t.tf + 1.2 * (0.25 + 0.75 * l.len
+             |               / (tot_len * 1.0 / n_docs)))), 4) + 0.0 AS bm25
+             |       FROM tf t JOIN idf i USING (tok) JOIN lens l USING (doc_id), st
+             |       GROUP BY t.doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+             |br AS (SELECT doc_id,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_bm25
+             |       FROM bm)
+             |SELECT COALESCE(dr.doc_id, br.doc_id) AS doc_id, dr.r_dense, br.r_bm25,
+             |  ROUND(COALESCE(1.0/(60 + dr.r_dense), 0) + COALESCE(1.0/(60 + br.r_bm25), 0), 6) + 0.0 AS rrf
+             |FROM dr FULL JOIN br ON dr.doc_id = br.doc_id
+             |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
+      doc = "hybrid retrieval: reciprocal-rank fusion (k=60) of BM25 and " +
+        "dense-cosine top-50 legs — integer ranks make the fused scores " +
+        "engine-exact; both legs end in per-partition heaps and the fuse " +
+        "itself touches ≤100 rows; the standard RAG first-stage retriever")
   )
 }
