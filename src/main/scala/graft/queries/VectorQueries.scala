@@ -1026,6 +1026,94 @@ object VectorQueries extends QueryPack {
       doc = "hybrid retrieval: reciprocal-rank fusion (k=60) of BM25 and " +
         "dense-cosine top-50 legs — integer ranks make the fused scores " +
         "engine-exact; both legs end in per-partition heaps and the fuse " +
-        "itself touches ≤100 rows; the standard RAG first-stage retriever")
+        "itself touches ≤100 rows; the standard RAG first-stage retriever"),
+
+    Query(
+      "q_e_mmr_topk",
+      (s, dir) => {
+        import graft.functions.VectorExpressions.cosine_sim
+        // Maximal-marginal-relevance diversification (Carbonell &
+        // Goldstein, λ=0.7): greedily pick 5 results from the dense
+        // top-20 shortlist, each round scoring every remaining candidate
+        // as λ·rel − (1−λ)·max-sim-to-already-selected. The greedy
+        // recursion is data-dependent, so the 4 selection rounds are
+        // unrolled in-plan (the Lloyd-round discipline): the shortlist
+        // and its 20×19 pairwise-cosine table are retained once, each
+        // round is an anti-join + MAX penalty + 1-row TakeOrdered over
+        // those ≤380-row frames. Scale shape: the corpus-sized work is
+        // exactly one cosine pass + per-partition heaps (the shortlist
+        // build); everything after is O(k²) regardless of corpus size.
+        // All cosines and MMR scores are ROUND(…,6)+0.0, ties by doc_id,
+        // so both engines replay the identical greedy path.
+        val q = broadcast(queryVec(s, dir).select(col("embedding").as("qv")))
+        val short = graft.CacheScope.retain(
+          emb(s, dir).where(col("vec_id") =!= 0).crossJoin(q)
+            .select(col("vec_id").as("doc_id"), col("embedding"),
+              (round(cosine_sim(col("embedding"), col("qv")), 6)
+                + lit(0.0)).as("rel"))
+            .orderBy(col("rel").desc, col("doc_id")).limit(20))
+        val pairs = graft.CacheScope.retain(
+          short.select(col("doc_id").as("ida"), col("embedding").as("ea"))
+            .join(short.select(col("doc_id").as("idb"),
+              col("embedding").as("eb")), col("ida") =!= col("idb"))
+            .select(col("ida"), col("idb"),
+              (round(cosine_sim(col("ea"), col("eb")), 6)
+                + lit(0.0)).as("sim")))
+        var sel = short.orderBy(col("rel").desc, col("doc_id")).limit(1)
+          .select(col("doc_id"), col("rel"),
+            (round(col("rel") * 0.7, 6) + lit(0.0)).as("mmr"),
+            lit(1).as("pick_order"))
+        for (i <- 2 to 5) {
+          val selIds = sel.select(col("doc_id").as("sel_id"))
+          val pen = pairs.join(selIds, col("idb") === col("sel_id"))
+            .groupBy("ida").agg(max(col("sim")).as("pen"))
+          val cand = short
+            .join(selIds, short("doc_id") === col("sel_id"), "left_anti")
+            .join(pen, short("doc_id") === pen("ida"))
+            .select(short("doc_id"), col("rel"),
+              (round(col("rel") * 0.7 - col("pen") * 0.3, 6)
+                + lit(0.0)).as("mmr"))
+          val pick = cand.orderBy(col("mmr").desc, col("doc_id")).limit(1)
+            .withColumn("pick_order", lit(i))
+          sel = graft.CacheScope.retain(sel.union(pick))
+        }
+        sel.orderBy("pick_order")
+      },
+      Some {
+        val rounds = (2 to 5).map { i =>
+          s"""sel${i - 1} AS (SELECT doc_id FROM ${
+            (1 until i).map(j => s"s$j").mkString(" UNION ALL SELECT doc_id FROM ")
+          }),
+             |p$i AS (SELECT p.ida AS doc_id, MAX(p.sim) AS pen
+             |      FROM pairs p JOIN sel${i - 1} s ON p.idb = s.doc_id GROUP BY 1),
+             |c$i AS (SELECT sh.doc_id, sh.rel,
+             |        ROUND(0.7*sh.rel - 0.3*p.pen, 6) + 0.0 AS mmr
+             |      FROM short sh JOIN p$i p USING (doc_id)
+             |      WHERE sh.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})),
+             |s$i AS (SELECT doc_id, rel, mmr, $i AS pick_order FROM c$i
+             |      ORDER BY mmr DESC, doc_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+           |short AS (SELECT e.vec_id AS doc_id, e.emb,
+           |            ROUND(list_cosine_similarity(e.emb, q.qv), 6) + 0.0 AS rel
+           |          FROM e, q WHERE e.vec_id <> 0
+           |          ORDER BY rel DESC, doc_id LIMIT 20),
+           |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+           |            ROUND(list_cosine_similarity(a.emb, b.emb), 6) + 0.0 AS sim
+           |          FROM short a JOIN short b ON a.doc_id <> b.doc_id),
+           |s1 AS (SELECT doc_id, rel, ROUND(0.7*rel, 6) + 0.0 AS mmr, 1 AS pick_order
+           |       FROM short ORDER BY rel DESC, doc_id LIMIT 1),
+           |$rounds
+           |SELECT doc_id, rel, mmr, pick_order FROM (
+           |  ${(1 to 5).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")}
+           |) ORDER BY pick_order""".stripMargin
+      },
+      doc = "MMR diversified top-k (λ=0.7, 5 picks from the dense top-20): " +
+        "the greedy rounds are unrolled in-plan over a retained shortlist " +
+        "+ pairwise-cosine table (≤380 rows) — corpus-sized work is one " +
+        "cosine pass + per-partition heaps, selection is O(k²) at any " +
+        "corpus size; oracle replays the identical greedy path round by " +
+        "round")
   )
 }
