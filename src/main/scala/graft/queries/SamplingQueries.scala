@@ -181,6 +181,65 @@ object SamplingQueries extends QueryPack {
       doc = "deterministic holdout split (90/5/5): KeyHash thresholds " +
         "partition every doc exactly once, reproducibly across corpus " +
         "growth — exhaustive and disjoint where keep-rate sampling is " +
-        "neither; map-only assignment, one partial-agg report")
+        "neither; map-only assignment, one partial-agg report"),
+
+    Query(
+      "q_s_shard_manifest",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        // Export-side shard manifest: deterministic hash sharding
+        // (shard = KeyHash(doc_id) mod 8 — stable across corpus growth,
+        // unlike repartition's round-robin) plus the per-shard audit a
+        // dataset release ships: row count, char volume, id range, an
+        // order-independent content anchor (MIN md5) and an id checksum
+        // (decimal-summed KeyHash mod P — overflow-exact at any corpus
+        // size where a BIGINT sum of 2^31-scale hashes would wrap), and
+        // the balance ratio (n·shards/total ≈ 1.0 when the hash is
+        // uniform). Scale shape: map-only assignment in the scan stage,
+        // one partial-agg shuffle on 8 keys, total via a broadcast 1-row
+        // frame — the writer then writes `partitionBy(shard)` with no
+        // further shuffle.
+        val N = 8
+        val P = graft.functions.KeyHash.P
+        val kh = graft.functions.KeyHash.column(col("doc_id"))
+        val m = Tables(s, dir, "documents")
+          .select(pmod(kh, lit(N.toLong)).as("shard"),
+            col("doc_id"), col("n_chars"),
+            md5(col("text")).as("h"), kh.as("kh"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("n_chars"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+            min("h").as("content_anchor"),
+            (sum(col("kh").cast(DecimalType(38, 0))) % lit(P))
+              .cast("long").as("id_checksum"))
+        val tot = m.agg(sum("n_docs").as("tot"))
+        m.crossJoin(broadcast(tot))
+          .select(col("shard"), col("n_docs"), col("n_chars"),
+            col("min_doc"), col("max_doc"), col("content_anchor"),
+            col("id_checksum"),
+            (round(col("n_docs") * N * 1.0 / col("tot"), 4)
+              + lit(0.0)).as("balance"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH a AS (SELECT ${graft.functions.KeyHash.sql("doc_id")} % 8 AS shard,
+              |    doc_id, n_chars, md5(text) AS h,
+              |    ${graft.functions.KeyHash.sql("doc_id")} AS kh
+              |  FROM documents),
+              |m AS (SELECT shard, COUNT(*) AS n_docs,
+              |        CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+              |        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+              |        MIN(h) AS content_anchor,
+              |        CAST(SUM(kh) % 2147483647 AS BIGINT) AS id_checksum
+              |      FROM a GROUP BY 1),
+              |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot FROM m)
+              |SELECT shard, n_docs, n_chars, min_doc, max_doc, content_anchor,
+              |  id_checksum, ROUND(n_docs * 8 * 1.0 / tot, 4) + 0.0 AS balance
+              |FROM m, t ORDER BY shard""".stripMargin),
+      doc = "deterministic shard manifest (KeyHash mod 8): per-shard row/" +
+        "char counts, id range, order-independent content anchor and " +
+        "overflow-exact id checksum, balance ratio — the release audit " +
+        "for a stable-sharded export; map-only assignment + one 8-key " +
+        "partial-agg shuffle")
   )
 }
