@@ -273,6 +273,83 @@ object CurationQueries extends QueryPack {
         "per-partition heaps (TakeOrderedAndProject)"),
 
     Query(
+      "q_t_bpe_train",
+      (s, dir) => {
+        // TWO full BPE training rounds, not just the pair count: pick the
+        // most frequent adjacent symbol pair (ties lexicographic), merge
+        // it corpus-wide with the greedy leftmost-first fold the published
+        // algorithm specifies, recount, pick again. The data-dependent
+        // recursion is unrolled in-plan (the Lloyd-round discipline).
+        // Scale shape: the corpus is collapsed ONCE to the distinct-word
+        // frequency table (the only corpus-sized shuffle); every round
+        // after that is O(|vocab|) — pair counts shuffle on the pair
+        // vocabulary, the winning pair broadcasts back, and the merge
+        // fold is map-only over distinct words. This is how production
+        // BPE trainers scale: rounds never touch the corpus again.
+        val words = graft.CacheScope.retain(
+          docs(s, dir)
+            .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+            .where(col("tok").rlike("^[a-z]+$"))
+            .groupBy("tok").agg(count(lit(1)).as("wf"))
+            .select(expr(
+              "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
+              .as("syms"), col("wf")))
+        def pairCounts(w: org.apache.spark.sql.DataFrame) = w
+          .where(size(col("syms")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+              |  i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"""
+              .stripMargin)).as("p"), col("wf"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("wf").as("freq"))
+        val top1 = pairCounts(words)
+          .orderBy(col("freq").desc, col("a"), col("b")).limit(1)
+        val merged = words.crossJoin(broadcast(top1))
+          .select(expr(
+            """aggregate(syms, cast(array() as array<string>), (acc, sy) ->
+              |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = a AND sy = b
+              |  THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))
+              |  ELSE concat(acc, array(sy)) END)""".stripMargin).as("syms"),
+            col("wf"))
+        val top2 = pairCounts(merged)
+          .orderBy(col("freq").desc, col("a"), col("b")).limit(1)
+        top1.select(lit(1).as("round"), col("a"), col("b"),
+          concat(col("a"), col("b")).as("merged"), col("freq"))
+          .union(top2.select(lit(2).as("round"), col("a"), col("b"),
+            concat(col("a"), col("b")).as("merged"), col("freq")))
+          .orderBy("round")
+      },
+      Some(s"""WITH tk AS (SELECT unnest(list_filter(
+              |         string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS tok
+              |       FROM documents),
+              |w0 AS (SELECT tok, COUNT(*) AS wf FROM tk
+              |       WHERE regexp_matches(tok, '^[a-z]+$$') GROUP BY 1),
+              |s0 AS (SELECT list_transform(range(1, length(tok) + 1),
+              |         i -> substr(tok, i, 1)) AS syms, wf FROM w0),
+              |p1 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wf) AS BIGINT) AS freq
+              |       FROM s0, unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+              |t1 AS (SELECT a, b, freq FROM p1 ORDER BY freq DESC, a, b LIMIT 1),
+              |s1 AS (SELECT list_filter(string_split(
+              |         list_reduce(list_prepend('', syms), (acc, sy) ->
+              |           CASE WHEN acc <> '' AND sy = t1.b AND
+              |             string_split(acc, '|')[len(string_split(acc, '|'))] = t1.a
+              |           THEN array_to_string(string_split(acc, '|')[1:len(string_split(acc, '|'))-1], '|')
+              |                || '|' || t1.a || t1.b
+              |           ELSE acc || '|' || sy END), '|'), p -> p <> '') AS syms, wf
+              |       FROM s0, t1),
+              |p2 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wf) AS BIGINT) AS freq
+              |       FROM s1, unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+              |t2 AS (SELECT a, b, freq FROM p2 ORDER BY freq DESC, a, b LIMIT 1)
+              |SELECT 1 AS round, a, b, a || b AS merged, freq FROM t1
+              |UNION ALL SELECT 2, a, b, a || b, freq FROM t2 ORDER BY round""".stripMargin),
+      doc = "BPE training, two full rounds unrolled in-plan: max-frequency " +
+        "pair (ties lexicographic) -> greedy leftmost-first corpus-wide " +
+        "merge (aggregate-HOF fold) -> recount; the corpus collapses once " +
+        "to the distinct-word frequency table and every round after is " +
+        "O(|vocab|) — the shape production BPE trainers scale with; the " +
+        "oracle replays both rounds including the merge fold"),
+
+    Query(
       "q_s_temperature_mix",
       (s, dir) => {
         // Temperature-based source mixing (the multilingual-corpus
