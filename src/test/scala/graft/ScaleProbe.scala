@@ -119,7 +119,11 @@ object ScaleProbe {
       "u1_real_forward" -> (dir => SparkEntry.queries("q_u1_real_forward")(spark, dir)),
       "winnow_incremental" -> (dir => SparkEntry.queries("q_d_winnow_incremental")(spark, dir)),
       "semdedup_incremental" -> (dir => SparkEntry.queries("q_e_semdedup_incremental")(spark, dir)),
-      "mad_approx" -> (dir => SparkEntry.queries("q_p_outlier_mad_approx")(spark, dir))
+      "mad_approx" -> (dir => SparkEntry.queries("q_p_outlier_mad_approx")(spark, dir)),
+      "hybrid_rrf" -> (dir => SparkEntry.queries("q_e_hybrid_rrf")(spark, dir)),
+      "mmr_topk" -> (dir => SparkEntry.queries("q_e_mmr_topk")(spark, dir)),
+      "shard_manifest" -> (dir => SparkEntry.queries("q_s_shard_manifest")(spark, dir)),
+      "bpe_train" -> (dir => SparkEntry.queries("q_t_bpe_train")(spark, dir))
     )
 
     // optional arg: comma-separated op-name filter (dev iteration on a
