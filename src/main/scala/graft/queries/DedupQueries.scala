@@ -682,6 +682,106 @@ object DedupQueries extends QueryPack {
       doc = "S8 x dedup pillar: the CC group collapse registered as a temp " +
         "view, dashboard rollup (largest duplicate clusters + canonical " +
         "doc) as pure SQL text over it — total ORDER BY so the LIMIT is " +
-        "engine-stable; oracle replays view + rollup in one recursive query")
+        "engine-stable; oracle replays view + rollup in one recursive query"),
+
+    Query(
+      "q_d_pagerank_canonical",
+      (s, dir) => {
+        import graft.dedup.NearDup
+        // Centrality-based canonical selection: instead of min-id, each
+        // duplicate cluster keeps its most CENTRAL member — 3 PageRank
+        // power iterations (d=0.85) over the near-dup graph, argmax per
+        // CC group. The pick favors the document most similar to the
+        // rest of its cluster (the survivor-quality heuristic dedup
+        // sweeps actually want). Determinism discipline: PageRank mass
+        // lives in integer micro-units (U=10^12) and every per-step op
+        // is integer division (`div`) — sums are order-free exact, no
+        // float summation drift for the oracle to chase (the DSIR
+        // discipline applied to a graph recursion). Scale shape: each
+        // iteration is one join + one partial-agg shuffle on node id
+        // (never materializing more than |E| rows), the same bounded
+        // pattern as the CC collapse it composes with; 3 iterations is
+        // the published early-convergence cut for ranking (not scoring).
+        val U = 1000000000000L
+        val pairs = graft.CacheScope.retain(
+          NearDup.exactJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5,
+            maxDocsPerShingle = Some(64)))
+        val edges = graft.CacheScope.retain(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            .union(pairs.select(col("doc_b").as("src"),
+              col("doc_a").as("dst"))))
+        val deg = graft.CacheScope.retain(
+          edges.groupBy("src").agg(count(lit(1)).as("deg")))
+        val nTot = deg.agg(count(lit(1)).as("n"))
+        var pr = deg.crossJoin(broadcast(nTot))
+          .select(col("src").as("node"), col("deg"), col("n"),
+            expr(s"$U div n").as("pr"))
+        for (_ <- 1 to 3) {
+          val agg = edges.join(pr, edges("src") === pr("node"))
+            .select(edges("dst"), expr("pr div deg").as("c"))
+            .groupBy("dst").agg(sum("c").as("sc"))
+          pr = deg.crossJoin(broadcast(nTot))
+            .join(agg, deg("src") === agg("dst"), "left")
+            .select(deg("src").as("node"), deg("deg"), col("n"),
+              (expr(s"(15 * $U) div (100 * n)")
+                + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
+                .as("pr"))
+        }
+        NearDup.connectedComponents(pairs, "doc_a", "doc_b")
+          .join(pr.select(col("node"), col("pr")), "node")
+          .groupBy("group_id")
+          .agg(count(lit(1)).as("sz"),
+            max(struct(col("pr"), (-col("node")).as("negnode"))).as("m"))
+          .select(col("group_id"), col("sz"),
+            (-col("m.negnode")).as("canonical"),
+            col("m.pr").as("canonical_pr"))
+          .orderBy("group_id")
+      },
+      Some {
+        val U = "1000000000000"
+        def iter(i: Int): String = {
+          val prev = s"pr${i - 1}"
+          s"""pr$i AS (SELECT d.src AS node, d.deg,
+             |        CAST((15 * $U) // (100 * n.n)
+             |          + (85 * COALESCE(s.sc, 0)) // 100 AS BIGINT) AS pr
+             |      FROM deg d CROSS JOIN n LEFT JOIN
+             |        (SELECT e.dst, SUM(p.pr // p.deg) AS sc
+             |         FROM edges e JOIN $prev p ON e.src = p.node GROUP BY 1) s
+             |        ON d.src = s.dst)""".stripMargin
+        }
+        s"""WITH RECURSIVE ${cappedShingleCtes(64)},
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+           |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2),
+           |pairs AS ($jaccardTail),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+           |n AS (SELECT COUNT(*) AS n FROM deg),
+           |pr0 AS (SELECT src AS node, deg, CAST($U // n.n AS BIGINT) AS pr
+           |        FROM deg CROSS JOIN n),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)},
+           |reach(node, lbl) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+           |grp AS (SELECT node, MIN(lbl) AS group_id FROM reach GROUP BY node),
+           |r AS (SELECT g.group_id, g.node, p.pr,
+           |        ROW_NUMBER() OVER (PARTITION BY g.group_id
+           |                           ORDER BY p.pr DESC, g.node) AS rn
+           |      FROM grp g JOIN pr3 p ON p.node = g.node),
+           |szs AS (SELECT group_id, COUNT(*) AS sz FROM grp GROUP BY 1)
+           |SELECT r.group_id, szs.sz, r.node AS canonical, r.pr AS canonical_pr
+           |FROM r JOIN szs USING (group_id) WHERE r.rn = 1
+           |ORDER BY group_id""".stripMargin
+      },
+      doc = "PageRank canonical selection (d=0.85, 3 power iterations in " +
+        "integer micro-units — order-free exact, the DSIR discipline on a " +
+        "graph recursion): each dup cluster keeps its most central member " +
+        "instead of min-id; per iteration one |E|-row join + node-keyed " +
+        "partial agg, composed with the CC collapse; oracle replays all " +
+        "three iterations and the argmax")
   )
 }
