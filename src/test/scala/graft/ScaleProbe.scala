@@ -123,7 +123,8 @@ object ScaleProbe {
       "hybrid_rrf" -> (dir => SparkEntry.queries("q_e_hybrid_rrf")(spark, dir)),
       "mmr_topk" -> (dir => SparkEntry.queries("q_e_mmr_topk")(spark, dir)),
       "shard_manifest" -> (dir => SparkEntry.queries("q_s_shard_manifest")(spark, dir)),
-      "bpe_train" -> (dir => SparkEntry.queries("q_t_bpe_train")(spark, dir))
+      "bpe_train" -> (dir => SparkEntry.queries("q_t_bpe_train")(spark, dir)),
+      "pagerank_canonical" -> (dir => SparkEntry.queries("q_d_pagerank_canonical")(spark, dir))
     )
 
     // optional arg: comma-separated op-name filter (dev iteration on a
