@@ -28,6 +28,44 @@ object CurationQueries extends QueryPack {
   }
 
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Spark-side greedy leftmost-first BPE merge fold: replace adjacent
+    * (`a`, `b`) symbol pairs in the array expression `arr` with their
+    * concatenation, overlaps resolved leftmost-first (the published
+    * algorithm's single-round contract). `a`/`b` are column names in
+    * scope (the broadcast winning pair).
+    */
+  private def bpeFoldExpr(arr: String, a: String, b: String): String =
+    s"""aggregate($arr, cast(array() as array<string>), (acc, sy) ->
+       |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = $a AND sy = $b
+       |  THEN concat(slice(acc, 1, size(acc) - 1), array(concat($a, $b)))
+       |  ELSE concat(acc, array(sy)) END)""".stripMargin
+
+  /** DuckDB replay of [[bpeFoldExpr]] — the accumulator is a '|'-joined
+    * string (list_reduce's accumulator must be scalar), split back to a
+    * list at the end; symbols are [a-z]+ concatenations so '|' is safe.
+    * Emitted as ONE line: the fragment embeds in stripMargin oracle
+    * templates, where a wrapped line starting with the `||` operator
+    * would be eaten as a margin.
+    */
+  private def bpeMergeSql(listExpr: String, a: String, b: String): String =
+    s"list_filter(string_split(list_reduce(list_prepend('', $listExpr), " +
+      s"(acc, sy) -> CASE WHEN acc <> '' AND sy = $b AND " +
+      s"string_split(acc, '|')[len(string_split(acc, '|'))] = $a " +
+      s"THEN array_to_string(string_split(acc, '|')[1:len(string_split(acc, '|'))-1], '|') " +
+      s"|| '|' || $a || $b ELSE acc || '|' || sy END), '|'), p -> p <> '')"
+
+  /** Adjacent-pair frequency counts over a (syms, wf) word frame — the
+    * shuffle is bounded by the pair vocabulary, never the corpus.
+    */
+  private def bpePairCounts(w: org.apache.spark.sql.DataFrame) = w
+    .where(size(col("syms")) >= 2)
+    .select(explode(expr(
+      """transform(sequence(1, size(syms) - 1),
+        |  i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"""
+        .stripMargin)).as("p"), col("wf"))
+    .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    .agg(sum("wf").as("freq"))
   private val numRe = "[0-9]{4,}"
 
   override def queries: Seq[Query] = Seq(
@@ -294,24 +332,11 @@ object CurationQueries extends QueryPack {
             .select(expr(
               "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
               .as("syms"), col("wf")))
-        def pairCounts(w: org.apache.spark.sql.DataFrame) = w
-          .where(size(col("syms")) >= 2)
-          .select(explode(expr(
-            """transform(sequence(1, size(syms) - 1),
-              |  i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"""
-              .stripMargin)).as("p"), col("wf"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("wf").as("freq"))
-        val top1 = pairCounts(words)
+        val top1 = bpePairCounts(words)
           .orderBy(col("freq").desc, col("a"), col("b")).limit(1)
         val merged = words.crossJoin(broadcast(top1))
-          .select(expr(
-            """aggregate(syms, cast(array() as array<string>), (acc, sy) ->
-              |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = a AND sy = b
-              |  THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))
-              |  ELSE concat(acc, array(sy)) END)""".stripMargin).as("syms"),
-            col("wf"))
-        val top2 = pairCounts(merged)
+          .select(expr(bpeFoldExpr("syms", "a", "b")).as("syms"), col("wf"))
+        val top2 = bpePairCounts(merged)
           .orderBy(col("freq").desc, col("a"), col("b")).limit(1)
         top1.select(lit(1).as("round"), col("a"), col("b"),
           concat(col("a"), col("b")).as("merged"), col("freq"))
@@ -329,13 +354,7 @@ object CurationQueries extends QueryPack {
               |p1 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wf) AS BIGINT) AS freq
               |       FROM s0, unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
               |t1 AS (SELECT a, b, freq FROM p1 ORDER BY freq DESC, a, b LIMIT 1),
-              |s1 AS (SELECT list_filter(string_split(
-              |         list_reduce(list_prepend('', syms), (acc, sy) ->
-              |           CASE WHEN acc <> '' AND sy = t1.b AND
-              |             string_split(acc, '|')[len(string_split(acc, '|'))] = t1.a
-              |           THEN array_to_string(string_split(acc, '|')[1:len(string_split(acc, '|'))-1], '|')
-              |                || '|' || t1.a || t1.b
-              |           ELSE acc || '|' || sy END), '|'), p -> p <> '') AS syms, wf
+              |s1 AS (SELECT ${bpeMergeSql("syms", "t1.a", "t1.b")} AS syms, wf
               |       FROM s0, t1),
               |p2 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wf) AS BIGINT) AS freq
               |       FROM s1, unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
@@ -348,6 +367,84 @@ object CurationQueries extends QueryPack {
         "to the distinct-word frequency table and every round after is " +
         "O(|vocab|) — the shape production BPE trainers scale with; the " +
         "oracle replays both rounds including the merge fold"),
+
+    Query(
+      "q_t_bpe_apply",
+      (s, dir) => {
+        // The apply half of BPE (fit/apply pairing, like the quality
+        // filter): tokenize every word with the 2 learned merges and
+        // report per-source symbol compression — the "how much does this
+        // tokenizer save on each feed" audit that decides whether a
+        // vocab is worth shipping. Scale shape: the fit reuses the
+        // distinct-word collapse (per-(source, word) counts, the only
+        // corpus-sized shuffle); the learned pairs broadcast as 1-row
+        // frames and BOTH merge folds are map-only over distinct
+        // (source, word) rows — the corpus text is never re-scanned.
+        val symsOfTok =
+          "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"
+        val wordsSrc = graft.CacheScope.retain(
+          docs(s, dir)
+            .select(col("source"),
+              explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+            .where(col("tok").rlike("^[a-z]+$"))
+            .groupBy("source", "tok").agg(count(lit(1)).as("wf")))
+        val words = wordsSrc.groupBy("tok")
+          .agg(sum("wf").as("wf"))
+          .select(expr(symsOfTok).as("syms"), col("wf"))
+        val top1 = bpePairCounts(words)
+          .orderBy(col("freq").desc, col("a"), col("b")).limit(1)
+          .select(col("a").as("a1"), col("b").as("b1"))
+        val merged = words.crossJoin(broadcast(top1))
+          .select(expr(bpeFoldExpr("syms", "a1", "b1")).as("syms"), col("wf"))
+        val top2 = bpePairCounts(merged)
+          .orderBy(col("freq").desc, col("a"), col("b")).limit(1)
+          .select(col("a").as("a2"), col("b").as("b2"))
+        wordsSrc.crossJoin(broadcast(top1)).crossJoin(broadcast(top2))
+          .select(col("source"), col("wf"),
+            length(col("tok")).as("chars"),
+            size(expr(bpeFoldExpr(
+              bpeFoldExpr(symsOfTok, "a1", "b1"), "a2", "b2"))).as("nsym"))
+          .groupBy("source")
+          .agg(sum("wf").as("n_words"),
+            sum(col("chars") * col("wf")).as("n_chars"),
+            sum(col("nsym") * col("wf")).as("n_symbols"),
+            (round(sum(col("chars") * col("wf")) * 1.0
+              / sum(col("nsym") * col("wf")), 4) + lit(0.0)).as("compression"))
+          .orderBy("source")
+      },
+      Some {
+        val symsOfTok =
+          "list_transform(range(1, length(tok) + 1), i -> substr(tok, i, 1))"
+        s"""WITH tks AS (SELECT source, unnest(list_filter(
+           |         string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS tok
+           |       FROM documents),
+           |w0s AS (SELECT source, tok, COUNT(*) AS wf FROM tks
+           |       WHERE regexp_matches(tok, '^[a-z]+$$') GROUP BY 1, 2),
+           |w0 AS (SELECT tok, CAST(SUM(wf) AS BIGINT) AS wf FROM w0s GROUP BY 1),
+           |s0 AS (SELECT $symsOfTok AS syms, wf FROM w0),
+           |p1 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wf) AS BIGINT) AS freq
+           |       FROM s0, unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+           |t1 AS (SELECT a, b, freq FROM p1 ORDER BY freq DESC, a, b LIMIT 1),
+           |s1 AS (SELECT ${bpeMergeSql("syms", "t1.a", "t1.b")} AS syms, wf
+           |       FROM s0, t1),
+           |p2 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wf) AS BIGINT) AS freq
+           |       FROM s1, unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+           |t2 AS (SELECT a, b, freq FROM p2 ORDER BY freq DESC, a, b LIMIT 1),
+           |ap AS (SELECT source, wf, length(tok) AS chars,
+           |         len(${bpeMergeSql(
+            bpeMergeSql(symsOfTok, "t1.a", "t1.b"), "t2.a", "t2.b")}) AS nsym
+           |       FROM w0s, t1, t2)
+           |SELECT source, CAST(SUM(wf) AS BIGINT) AS n_words,
+           |  CAST(SUM(chars * wf) AS BIGINT) AS n_chars,
+           |  CAST(SUM(nsym * wf) AS BIGINT) AS n_symbols,
+           |  ROUND(SUM(chars * wf) * 1.0 / SUM(nsym * wf), 4) + 0.0 AS compression
+           |FROM ap GROUP BY source ORDER BY source""".stripMargin
+      },
+      doc = "BPE apply (the fit/apply pairing): every word re-tokenized " +
+        "with the 2 learned merges, per-source symbol compression report " +
+        "— fit reuses the distinct-word collapse, learned pairs broadcast, " +
+        "both merge folds map-only over distinct (source, word) rows; the " +
+        "corpus text is scanned exactly once"),
 
     Query(
       "q_s_temperature_mix",
