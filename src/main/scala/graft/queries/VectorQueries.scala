@@ -1029,6 +1029,86 @@ object VectorQueries extends QueryPack {
         "itself touches ≤100 rows; the standard RAG first-stage retriever"),
 
     Query(
+      "q_e_context_pack",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // RAG context assembly: take the fused retrieval ranking and
+        // greedily pack documents into a 256-token context budget in
+        // rank order (running token cumsum; a doc is kept while the
+        // cumulative total fits). The audit columns (rank, n_tokens,
+        // cum_tokens, kept) are what a serving layer logs per request.
+        // Scale shape: identical to q_e_hybrid_rrf up to the 20-row
+        // fused frame; the doc-length join probes documents on its key
+        // and the pack window runs over 20 rows on one partition —
+        // per-request cost is O(k), independent of corpus size.
+        val fused = queries.find(_.name == "q_e_hybrid_rrf").get
+          .run(s, dir)
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            size(expr("filter(split(trim(text), '\\\\s+'), t -> t <> '')"))
+              .cast("long").as("n_tokens"))
+        val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+        fused.join(d, "doc_id")
+          .select(col("doc_id"), col("rrf"), col("n_tokens"),
+            row_number().over(w).cast("long").as("rank"),
+            sum("n_tokens").over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("cum_tokens"))
+          .withColumn("kept", col("cum_tokens") <= 256)
+          .orderBy("rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+             |dense AS (SELECT e.vec_id AS doc_id,
+             |            ROUND(list_cosine_similarity(e.emb, q.qv), 6) + 0.0 AS sim
+             |          FROM e, q WHERE e.vec_id <> 0
+             |          ORDER BY sim DESC, doc_id LIMIT 50),
+             |dr AS (SELECT doc_id,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS r_dense
+             |       FROM dense),
+             |tk AS (SELECT doc_id, unnest(list_filter(
+             |         string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS tok
+             |       FROM documents WHERE doc_id <> 0),
+             |lens AS (SELECT doc_id, COUNT(*) AS len FROM tk GROUP BY 1),
+             |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(len) AS BIGINT) AS tot_len FROM lens),
+             |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+             |       WHERE tok IN ('join', 'vector', 'stream') GROUP BY 1, 2),
+             |idf AS (SELECT tok,
+             |          ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) + 0.0 AS idf
+             |        FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1), st),
+             |bm AS (SELECT t.doc_id,
+             |         ROUND(SUM(i.idf * t.tf * 2.2
+             |           / (t.tf + 1.2 * (0.25 + 0.75 * l.len
+             |               / (tot_len * 1.0 / n_docs)))), 4) + 0.0 AS bm25
+             |       FROM tf t JOIN idf i USING (tok) JOIN lens l USING (doc_id), st
+             |       GROUP BY t.doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+             |br AS (SELECT doc_id,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_bm25
+             |       FROM bm),
+             |fused AS (SELECT COALESCE(dr.doc_id, br.doc_id) AS doc_id,
+             |            ROUND(COALESCE(1.0/(60 + dr.r_dense), 0)
+             |              + COALESCE(1.0/(60 + br.r_bm25), 0), 6) + 0.0 AS rrf
+             |          FROM dr FULL JOIN br ON dr.doc_id = br.doc_id
+             |          ORDER BY rrf DESC, doc_id LIMIT 20),
+             |j AS (SELECT f.doc_id, f.rrf,
+             |        CAST(len(list_filter(string_split_regex(trim(d.text), '\s+'),
+             |          t -> t <> '')) AS BIGINT) AS n_tokens
+             |      FROM fused f JOIN documents d USING (doc_id)),
+             |w AS (SELECT doc_id, rrf, n_tokens,
+             |        CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+             |        CAST(SUM(n_tokens) OVER (ORDER BY rrf DESC, doc_id
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |      FROM j)
+             |SELECT doc_id, rrf, n_tokens, rank, cum_tokens,
+             |  cum_tokens <= 256 AS kept
+             |FROM w ORDER BY rank""".stripMargin),
+      doc = "RAG context assembly: the fused top-20 greedily packed into " +
+        "a 256-token context budget in rank order — doc-length probe join " +
+        "+ a 20-row cumsum window; per-request cost is O(k) at any corpus " +
+        "size; logs the rank/token/kept audit a serving layer publishes"),
+
+    Query(
       "q_e_mmr_topk",
       (s, dir) => {
         import graft.functions.VectorExpressions.cosine_sim
