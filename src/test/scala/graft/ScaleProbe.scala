@@ -124,7 +124,9 @@ object ScaleProbe {
       "mmr_topk" -> (dir => SparkEntry.queries("q_e_mmr_topk")(spark, dir)),
       "shard_manifest" -> (dir => SparkEntry.queries("q_s_shard_manifest")(spark, dir)),
       "bpe_train" -> (dir => SparkEntry.queries("q_t_bpe_train")(spark, dir)),
-      "pagerank_canonical" -> (dir => SparkEntry.queries("q_d_pagerank_canonical")(spark, dir))
+      "pagerank_canonical" -> (dir => SparkEntry.queries("q_d_pagerank_canonical")(spark, dir)),
+      "bpe_apply" -> (dir => SparkEntry.queries("q_t_bpe_apply")(spark, dir)),
+      "context_pack" -> (dir => SparkEntry.queries("q_e_context_pack")(spark, dir))
     )
 
     // optional arg: comma-separated op-name filter (dev iteration on a
