@@ -202,7 +202,11 @@ object SamplingQueries extends QueryPack {
         val N = 8
         val P = graft.functions.KeyHash.P
         val kh = graft.functions.KeyHash.column(col("doc_id"))
-        val m = Tables(s, dir, "documents")
+        // the corpus total rides a whole-frame window over the 8-row
+        // aggregate (NOT a second aggregate of the scan — that plans as
+        // two corpus scans; plan-asserted in PlanShapeSpec)
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        Tables(s, dir, "documents")
           .select(pmod(kh, lit(N.toLong)).as("shard"),
             col("doc_id"), col("n_chars"),
             md5(col("text")).as("h"), kh.as("kh"))
@@ -213,13 +217,9 @@ object SamplingQueries extends QueryPack {
             min("h").as("content_anchor"),
             (sum(col("kh").cast(DecimalType(38, 0))) % lit(P))
               .cast("long").as("id_checksum"))
-        val tot = m.agg(sum("n_docs").as("tot"))
-        m.crossJoin(broadcast(tot))
-          .select(col("shard"), col("n_docs"), col("n_chars"),
-            col("min_doc"), col("max_doc"), col("content_anchor"),
-            col("id_checksum"),
-            (round(col("n_docs") * N * 1.0 / col("tot"), 4)
-              + lit(0.0)).as("balance"))
+          .withColumn("balance",
+            round(col("n_docs") * N * 1.0 / sum("n_docs").over(wAll), 4)
+              + lit(0.0))
           .orderBy("shard")
       },
       Some(s"""WITH a AS (SELECT ${graft.functions.KeyHash.sql("doc_id")} % 8 AS shard,

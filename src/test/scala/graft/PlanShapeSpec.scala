@@ -105,4 +105,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1,
       s"canonicalize+hash should shuffle exactly once, saw $exchanges:\n$p")
   }
+
+  test("hybrid RRF: both legs end in per-partition heaps, fuse has no cartesian") {
+    val p = plan("q_e_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"each retrieval leg should truncate via per-partition heaps:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("shard manifest: ONE corpus scan — the total is a window over the " +
+      "8-row aggregate, not a second aggregate of the scan") {
+    val p = plan("q_s_shard_manifest")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"manifest must come from ONE corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("BPE train: the distinct-word collapse is retained and reused by " +
+      "every round (cache hit, not corpus re-scan)") {
+    val p = plan("q_t_bpe_train")
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      s"both rounds must read the cached word table:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"winning pair must broadcast back for the merge fold:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("PageRank canonical: iterations are equi-joins + node-keyed aggs, " +
+      "no cartesian, retained edge frame reused") {
+    val p = plan("q_d_pagerank_canonical")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"),
+      s"edges/deg must be retained and reused across iterations:\n$p")
+  }
 }
