@@ -240,6 +240,72 @@ object SamplingQueries extends QueryPack {
         "char counts, id range, order-independent content anchor and " +
         "overflow-exact id checksum, balance ratio — the release audit " +
         "for a stable-sharded export; map-only assignment + one 8-key " +
-        "partial-agg shuffle")
+        "partial-agg shuffle"),
+
+    Query(
+      "q_s_shard_diff",
+      (s, dir) => {
+        import graft.functions.RollingHash.rolling_hash
+        import org.apache.spark.sql.types.DecimalType
+        // Incremental-export planner: which shards changed since the
+        // previous snapshot, so a release re-writes ONLY those. The
+        // previous snapshot is the same deterministic simulation as
+        // q_t_corpus_diff (KeyHash(doc_id) < 0.8·P existed; every 17th
+        // doc had a ' v1' body) — production swaps in the stored prev
+        // manifest, same plan. Per-shard content checksums are
+        // decimal-summed rolling_hash folds (order-independent,
+        // overflow-exact, content-SENSITIVE — an id checksum would miss
+        // changed bodies). Scale shape: ONE corpus scan computes both
+        // snapshots' fingerprints side by side (map-only codegen), one
+        // 8-key partial-agg shuffle; stable hash sharding means an
+        // unchanged shard's bytes are bit-identical and skippable.
+        val P = graft.functions.KeyHash.P
+        val kh = graft.functions.KeyHash.column(col("doc_id"))
+        Tables(s, dir, "documents")
+          .select(pmod(kh, lit(8L)).as("shard"),
+            (kh < lit(1717986917L)).as("in_prev"), // floor(0.8 * (2^31-1))
+            rolling_hash(col("text")).as("fp_cur"),
+            rolling_hash(when(pmod(col("doc_id"), lit(17)) === 3,
+              concat(col("text"), lit(" v1")))
+              .otherwise(col("text"))).as("fp_prev"))
+          .groupBy("shard")
+          .agg(count(when(col("in_prev"), lit(1))).as("n_prev"),
+            count(lit(1)).as("n_cur"),
+            (coalesce(sum(when(col("in_prev"), col("fp_prev"))
+              .cast(DecimalType(38, 0))), lit(0)) % lit(P))
+              .cast("long").as("cksum_prev"),
+            (sum(col("fp_cur").cast(DecimalType(38, 0))) % lit(P))
+              .cast("long").as("cksum_cur"))
+          .withColumn("changed",
+            col("n_prev") =!= col("n_cur")
+              || col("cksum_prev") =!= col("cksum_cur"))
+          .withColumn("n_export",
+            when(col("changed"), col("n_cur")).otherwise(lit(0L)))
+          .orderBy("shard")
+      },
+      Some(s"""WITH b AS (SELECT ${graft.functions.KeyHash.sql("doc_id")} % 8 AS shard,
+              |    ${graft.functions.KeyHash.sql("doc_id")} < 1717986917 AS in_prev,
+              |    ${DedupQueries.foldSql("text")} AS fp_cur,
+              |    ${DedupQueries.foldSql(
+               "(CASE WHEN doc_id % 17 = 3 THEN text || ' v1' ELSE text END)")} AS fp_prev
+              |  FROM documents),
+              |m AS (SELECT shard,
+              |    CAST(COUNT(CASE WHEN in_prev THEN 1 END) AS BIGINT) AS n_prev,
+              |    COUNT(*) AS n_cur,
+              |    CAST(COALESCE(SUM(CASE WHEN in_prev THEN fp_prev END), 0)
+              |      % 2147483647 AS BIGINT) AS cksum_prev,
+              |    CAST(SUM(fp_cur) % 2147483647 AS BIGINT) AS cksum_cur
+              |  FROM b GROUP BY 1)
+              |SELECT shard, n_prev, n_cur, cksum_prev, cksum_cur,
+              |  (n_prev <> n_cur OR cksum_prev <> cksum_cur) AS changed,
+              |  CAST(CASE WHEN n_prev <> n_cur OR cksum_prev <> cksum_cur
+              |       THEN n_cur ELSE 0 END AS BIGINT) AS n_export
+              |FROM m ORDER BY shard""".stripMargin),
+      doc = "incremental-export planner: per-shard content checksums " +
+        "(decimal-summed rolling_hash folds — order-independent, " +
+        "content-sensitive) for previous and current snapshots computed " +
+        "in ONE corpus scan, changed-shard flags + re-export row counts; " +
+        "with stable hash sharding an unchanged shard is skippable " +
+        "bit-for-bit — the op that turns a full re-export into O(changed)")
   )
 }
