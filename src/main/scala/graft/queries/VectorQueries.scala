@@ -1109,6 +1109,77 @@ object VectorQueries extends QueryPack {
         "size; logs the rank/token/kept audit a serving layer publishes"),
 
     Query(
+      "q_e_fusion_gain",
+      (s, dir) => {
+        // The eval loop for hybrid retrieval (the q_e_ann_recall posture
+        // applied to fusion): how much of the fused top-10 comes from
+        // each leg alone? overlap@10 per leg + the count of fused hits
+        // NEITHER leg had in ITS top-10 — the reranking-effect evidence
+        // that justifies (or kills) running both legs in production.
+        // Scale shape: re-runs the two leg plans (heaps) and the 20-row
+        // fuse, then three ≤10-row semi-join overlaps — eval cost is
+        // retrieval cost, not corpus cost.
+        val fused = queries.find(_.name == "q_e_hybrid_rrf").get.run(s, dir)
+          .limit(10).select(col("doc_id"),
+            (col("r_dense") <= 10).as("in_dense10"),
+            (col("r_bm25") <= 10).as("in_bm2510"))
+        fused.agg(
+          count(lit(1)).as("k"),
+          sum(when(coalesce(col("in_dense10"), lit(false)), 1L)
+            .otherwise(0L)).as("from_dense10"),
+          sum(when(coalesce(col("in_bm2510"), lit(false)), 1L)
+            .otherwise(0L)).as("from_bm2510"),
+          sum(when(coalesce(col("in_dense10"), lit(false))
+            || coalesce(col("in_bm2510"), lit(false)), 0L)
+            .otherwise(1L)).as("fusion_only"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+             |dense AS (SELECT e.vec_id AS doc_id,
+             |            ROUND(list_cosine_similarity(e.emb, q.qv), 6) + 0.0 AS sim
+             |          FROM e, q WHERE e.vec_id <> 0
+             |          ORDER BY sim DESC, doc_id LIMIT 50),
+             |dr AS (SELECT doc_id,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS r_dense
+             |       FROM dense),
+             |tk AS (SELECT doc_id, unnest(list_filter(
+             |         string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS tok
+             |       FROM documents WHERE doc_id <> 0),
+             |lens AS (SELECT doc_id, COUNT(*) AS len FROM tk GROUP BY 1),
+             |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(len) AS BIGINT) AS tot_len FROM lens),
+             |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+             |       WHERE tok IN ('join', 'vector', 'stream') GROUP BY 1, 2),
+             |idf AS (SELECT tok,
+             |          ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) + 0.0 AS idf
+             |        FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1), st),
+             |bm AS (SELECT t.doc_id,
+             |         ROUND(SUM(i.idf * t.tf * 2.2
+             |           / (t.tf + 1.2 * (0.25 + 0.75 * l.len
+             |               / (tot_len * 1.0 / n_docs)))), 4) + 0.0 AS bm25
+             |       FROM tf t JOIN idf i USING (tok) JOIN lens l USING (doc_id), st
+             |       GROUP BY t.doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+             |br AS (SELECT doc_id,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_bm25
+             |       FROM bm),
+             |fused AS (SELECT COALESCE(dr.doc_id, br.doc_id) AS doc_id,
+             |            dr.r_dense, br.r_bm25,
+             |            ROUND(COALESCE(1.0/(60 + dr.r_dense), 0)
+             |              + COALESCE(1.0/(60 + br.r_bm25), 0), 6) + 0.0 AS rrf
+             |          FROM dr FULL JOIN br ON dr.doc_id = br.doc_id
+             |          ORDER BY rrf DESC, doc_id LIMIT 10)
+             |SELECT COUNT(*) AS k,
+             |  CAST(SUM(CASE WHEN COALESCE(r_dense <= 10, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS from_dense10,
+             |  CAST(SUM(CASE WHEN COALESCE(r_bm25 <= 10, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS from_bm2510,
+             |  CAST(SUM(CASE WHEN COALESCE(r_dense <= 10, FALSE)
+             |            OR COALESCE(r_bm25 <= 10, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS fusion_only
+             |FROM fused""".stripMargin),
+      doc = "fusion-gain eval (the ann-recall posture on hybrid " +
+        "retrieval): per-leg overlap@10 of the fused top-10 + the count " +
+        "neither leg ranked top-10 alone — the evidence that justifies " +
+        "running both legs; eval cost = retrieval cost, never corpus cost"),
+
+    Query(
       "q_e_mmr_topk",
       (s, dir) => {
         import graft.functions.VectorExpressions.cosine_sim
