@@ -449,6 +449,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.json(out + "/channel=candles/product_id=BTC").count() == 1)
   }
 
+  test("streaming shard router: arriving docs land in their stable KeyHash " +
+      "shard, stream/batch assignment identical (export gate)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = tmpDir("shard-route-out") + "/docs"
+    val q = ms.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.withColumn("shard",
+          pmod(graft.functions.KeyHash.column(col("doc_id")), lit(8L)))
+          .write.mode("append").partitionBy("shard").parquet(out)
+      }
+      .option("checkpointLocation", tmpDir("shard-route-ckpt"))
+      .start()
+    ms.addData((0L until 40L).map(i => (i, s"doc $i")))
+    q.processAllAvailable()
+    ms.addData((40L until 60L).map(i => (i, s"doc $i")))
+    q.processAllAvailable()
+    q.stop()
+    val dirs = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("shard=")).toSet
+    assert(dirs.size == 8, s"60 docs across 8 shards should hit all: $dirs")
+    // stream assignment == batch assignment, doc by doc (the LWW/quality
+    // gates' bit-equality posture applied to the export router)
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("shard").cast("long")).as[(Long, Long)]
+      .collect().toMap
+    assert(got.size == 60, "every doc routed exactly once")
+    def kh(k: Long): Long = {
+      val P = graft.functions.KeyHash.P
+      ((k % P) * 48271 % P) * 48271 % P * 48271 % P % 8
+    }
+    got.foreach { case (id, sh) =>
+      assert(sh == kh(id), s"doc $id: stream shard $sh != batch ${kh(id)}")
+    }
+  }
+
   test("processing-time trigger drains the polling micro-batch loop (T6)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(String, Long, Double, Long)]
