@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank power iterations in exact integer micro-units.
+  *
+  * Determinism discipline: rank mass lives in integer micro-units of
+  * [[U]] and every per-step operation is integer division (`div`), so
+  * sums are order-free exact — no float summation drift for an oracle or
+  * a property test to chase (the DSIR micro-unit discipline applied to a
+  * graph recursion). Damping d = 0.85 is the 85/100 integer pair.
+  *
+  * Scale shape: each iteration is one |E|-row equi-join + one node-keyed
+  * partial-agg shuffle — the same bounded pattern as the connected-
+  * components collapse it typically composes with. Nothing materializes
+  * wider than the edge list.
+  */
+object PageRank {
+
+  /** One micro-unit of total rank mass (10^12: headroom for BIGINT sums
+    * at any realistic node count, precision far below rank-order ties).
+    */
+  val U = 1000000000000L
+
+  /** `edges` are DIRECTED (src, dst) rows — pass both directions for an
+    * undirected graph. Callers should retain `edges` (it is read
+    * `iters`+1 times). Returns (node, pr) with pr in micro-units.
+    */
+  def pagerankMicro(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = graft.CacheScope.retain(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    val nTot = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.crossJoin(broadcast(nTot))
+      .select(col("src").as("node"), col("deg"), col("n"),
+        expr(s"$U div n").as("pr"))
+    for (_ <- 1 to iters) {
+      val agg = edges.join(pr, edges("src") === pr("node"))
+        .select(edges("dst"), expr("pr div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+      pr = deg.crossJoin(broadcast(nTot))
+        .join(agg, deg("src") === agg("dst"), "left")
+        .select(deg("src").as("node"), deg("deg"), col("n"),
+          (expr(s"(15 * $U) div (100 * n)")
+            + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
+            .as("pr"))
+    }
+    pr.select(col("node"), col("pr"))
+  }
+}

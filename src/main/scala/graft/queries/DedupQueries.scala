@@ -702,7 +702,6 @@ object DedupQueries extends QueryPack {
         // (never materializing more than |E| rows), the same bounded
         // pattern as the CC collapse it composes with; 3 iterations is
         // the published early-convergence cut for ranking (not scoring).
-        val U = 1000000000000L
         val pairs = graft.CacheScope.retain(
           NearDup.exactJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5,
             maxDocsPerShingle = Some(64)))
@@ -710,25 +709,9 @@ object DedupQueries extends QueryPack {
           pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
             .union(pairs.select(col("doc_b").as("src"),
               col("doc_a").as("dst"))))
-        val deg = graft.CacheScope.retain(
-          edges.groupBy("src").agg(count(lit(1)).as("deg")))
-        val nTot = deg.agg(count(lit(1)).as("n"))
-        var pr = deg.crossJoin(broadcast(nTot))
-          .select(col("src").as("node"), col("deg"), col("n"),
-            expr(s"$U div n").as("pr"))
-        for (_ <- 1 to 3) {
-          val agg = edges.join(pr, edges("src") === pr("node"))
-            .select(edges("dst"), expr("pr div deg").as("c"))
-            .groupBy("dst").agg(sum("c").as("sc"))
-          pr = deg.crossJoin(broadcast(nTot))
-            .join(agg, deg("src") === agg("dst"), "left")
-            .select(deg("src").as("node"), deg("deg"), col("n"),
-              (expr(s"(15 * $U) div (100 * n)")
-                + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
-                .as("pr"))
-        }
+        val pr = graft.ops.PageRank.pagerankMicro(edges, 3)
         NearDup.connectedComponents(pairs, "doc_a", "doc_b")
-          .join(pr.select(col("node"), col("pr")), "node")
+          .join(pr, "node")
           .groupBy("group_id")
           .agg(count(lit(1)).as("sz"),
             max(struct(col("pr"), (-col("node")).as("negnode"))).as("m"))

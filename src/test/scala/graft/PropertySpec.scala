@@ -107,6 +107,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PageRank micro-units match a driver-side integer reimplementation " +
+      "on random graphs") {
+    // exact-integer arithmetic means the comparison is ==, not ≈ — any
+    // divergence (summation order, damping rounding, dangling handling)
+    // fails loudly
+    val edgeGen: Gen[List[(Long, Long)]] = for {
+      m <- Gen.chooseNum(3, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, 11L)
+        k <- Gen.chooseNum(1L, 10L)
+      } yield (a, (a + k) % 12L))
+    } yield es.distinct
+    samples(edgeGen, 5).filter(_.nonEmpty).foreach { pairs =>
+      val dirEdges = pairs.flatMap(p => Seq(p, p.swap)).distinct
+      val got = graft.ops.PageRank
+        .pagerankMicro(dirEdges.toDF("src", "dst"), 3)
+        .as[(Long, Long)].collect().toMap
+      CacheScope.release(spark)
+      val U = graft.ops.PageRank.U
+      val adj = dirEdges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val deg = adj.view.mapValues(_.size.toLong).toMap
+      val nodes = adj.keySet
+      val n = nodes.size.toLong
+      var pr = nodes.map(v => v -> U / n).toMap
+      for (_ <- 1 to 3) {
+        val contrib = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        for ((s0, ds) <- adj; d <- ds) contrib(d) += pr(s0) / deg(s0)
+        pr = nodes.map(v =>
+          v -> ((15L * U) / (100L * n) + (85L * contrib(v)) / 100L)).toMap
+      }
+      assert(got == pr,
+        s"PageRank mismatch on ${dirEdges.size} edges: " +
+          (got.toSet diff pr.toSet).take(5).toString)
+    }
+  }
+
   test("resample invariants: low=min <= open,close <= high=max; volume conserved") {
     samples(seriesGen, 8).foreach { vs =>
       val df = vs.zipWithIndex
