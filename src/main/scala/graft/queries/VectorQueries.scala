@@ -1180,6 +1180,108 @@ object VectorQueries extends QueryPack {
         "running both legs; eval cost = retrieval cost, never corpus cost"),
 
     Query(
+      "q_e_top_component",
+      (s, dir) => {
+        // "All-but-the-top" embedding postprocessing, step 1: the
+        // dominant principal direction of the mean-centered embedding
+        // cloud via 3 power iterations (x ← normalize(CᵀC x)), plus the
+        // variance fraction it explains — the diagnostic that decides
+        // whether common-direction removal is worth shipping (anisotropic
+        // embeddings hurt cosine retrieval). The data-dependent recursion
+        // is unrolled in-plan (the Lloyd discipline); every corpus-sized
+        // sum is float32-quantized (CAST REAL) so summation-order ulps
+        // can't diverge the engines, per-row dots are ascending-index
+        // ordered folds (aggregate HOF = DuckDB list_reduce), and each
+        // iterate is ROUND(·,6)-normalized. Scale shape: 5 map+agg corpus
+        // passes total (mean, 3 iterations, variance), each a map-only
+        // dot against a broadcast 64-double vector + an O(dim)-key or
+        // 1-row aggregate — no shuffle ever carries more than dim keys.
+        val e = emb(s, dir).select(col("embedding").cast("array<double>").as("emb"))
+        val muF = e.select(posexplode(col("emb")).as(Seq("j", "v")))
+          .groupBy("j").agg(avg("v").cast("float").cast("double").as("m"))
+          .agg(expr("transform(array_sort(collect_list(struct(j, m))), s -> s.m)")
+            .as("mu"))
+        val dotX = "aggregate(transform(sequence(0, 63), " +
+          "j -> (emb[j] - mu[j]) * x[j]), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+        var xF = s.range(1).select(expr(
+          """transform(sequence(0, 63), j -> CASE WHEN j = 0
+            |  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"""
+            .stripMargin).as("x"))
+        for (_ <- 1 to 3) {
+          val d = e.crossJoin(broadcast(muF)).crossJoin(broadcast(xF))
+            .select(col("emb"), col("mu"), expr(dotX).as("dot"))
+          val y = d.select(posexplode(expr(
+            "transform(sequence(0, 63), j -> dot * (emb[j] - mu[j]))"))
+            .as(Seq("j", "p")))
+            .groupBy("j").agg(sum("p").cast("float").cast("double").as("y"))
+          xF = y.agg(expr(
+            "transform(array_sort(collect_list(struct(j, y))), s -> s.y)")
+            .as("yv"))
+            .select(expr(
+              """transform(yv, v -> round(v / round(sqrt(
+                |  aggregate(transform(yv, w -> w * w), CAST(0 AS DOUBLE),
+                |    (a, b) -> a + b)), 6), 6))""".stripMargin).as("x"))
+        }
+        val st = e.crossJoin(broadcast(muF)).crossJoin(broadcast(xF))
+          .select(expr(dotX).as("dot"),
+            expr("aggregate(transform(sequence(0, 63), " +
+              "j -> (emb[j] - mu[j]) * (emb[j] - mu[j])), " +
+              "CAST(0 AS DOUBLE), (a, v) -> a + v)").as("n2"))
+          .agg(sum(col("dot") * col("dot")).cast("float").cast("double").as("num"),
+            sum("n2").cast("float").cast("double").as("den"))
+        muF.crossJoin(xF).crossJoin(st)
+          .select(posexplode(expr("arrays_zip(mu, x)")).as(Seq("dim", "z")),
+            col("num"), col("den"))
+          .select(col("dim").cast("int").as("dim"),
+            (round(col("z.mu"), 6) + lit(0.0)).as("mu"),
+            (col("z.x") + lit(0.0)).as("loading"),
+            (round(col("num") / col("den"), 6) + lit(0.0)).as("var_frac"))
+          .orderBy("dim")
+      },
+      Some {
+        def xiter(i: Int): String = {
+          val prev = s"x${i - 1}"
+          s"""d$i AS (SELECT e.emb, mu.mu,
+             |      list_reduce(list_prepend(0.0, list_transform(range(0, 64),
+             |        j -> (e.emb[j+1] - mu.mu[j+1]) * $prev.x[j+1])), (a, v) -> a + v) AS dot
+             |    FROM e, mu, $prev),
+             |y$i AS (SELECT j, CAST(CAST(SUM(dot * (emb[j] - mu[j])) AS REAL) AS DOUBLE) AS y
+             |    FROM d$i, (SELECT unnest(range(1, 65)) AS j) GROUP BY j),
+             |x$i AS (SELECT list_transform(yv, v -> ROUND(v / ROUND(sqrt(
+             |      list_reduce(list_prepend(0.0, list_transform(yv, w -> w*w)),
+             |        (a,b) -> a+b)), 6), 6)) AS x
+             |    FROM (SELECT list(y ORDER BY j) AS yv FROM y$i))""".stripMargin
+        }
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |mu0 AS (SELECT j, CAST(CAST(AVG(emb[j]) AS REAL) AS DOUBLE) AS m
+           |        FROM e, (SELECT unnest(range(1, 65)) AS j) GROUP BY j),
+           |mu AS (SELECT list(m ORDER BY j) AS mu FROM mu0),
+           |x0 AS (SELECT list_transform(range(0, 64),
+           |         j -> CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END) AS x),
+           |${xiter(1)},
+           |${xiter(2)},
+           |${xiter(3)},
+           |fin AS (SELECT
+           |      list_reduce(list_prepend(0.0, list_transform(range(0, 64),
+           |        j -> (e.emb[j+1] - mu.mu[j+1]) * x3.x[j+1])), (a, v) -> a + v) AS dot,
+           |      list_reduce(list_prepend(0.0, list_transform(range(0, 64),
+           |        j -> (e.emb[j+1] - mu.mu[j+1]) * (e.emb[j+1] - mu.mu[j+1]))), (a, v) -> a + v) AS n2
+           |    FROM e, mu, x3),
+           |st AS (SELECT CAST(CAST(SUM(dot*dot) AS REAL) AS DOUBLE) AS num,
+           |              CAST(CAST(SUM(n2) AS REAL) AS DOUBLE) AS den FROM fin)
+           |SELECT CAST(j - 1 AS INT) AS dim, ROUND(mu.mu[j], 6) + 0.0 AS mu,
+           |  x3.x[j] + 0.0 AS loading,
+           |  ROUND(st.num / st.den, 6) + 0.0 AS var_frac
+           |FROM (SELECT unnest(range(1, 65)) AS j), mu, x3, st ORDER BY dim""".stripMargin
+      },
+      doc = "all-but-the-top step 1: dominant principal direction of the " +
+        "mean-centered embedding cloud (3 power iterations unrolled " +
+        "in-plan, float32-quantized corpus sums, ordered-fold dots, " +
+        "ROUND-normalized iterates) + explained-variance fraction — the " +
+        "anisotropy diagnostic before common-direction removal; 5 map+agg " +
+        "corpus passes, no shuffle wider than dim keys"),
+
+    Query(
       "q_e_mmr_topk",
       (s, dir) => {
         import graft.functions.VectorExpressions.cosine_sim
