@@ -1282,6 +1282,99 @@ object VectorQueries extends QueryPack {
         "corpus passes, no shuffle wider than dim keys"),
 
     Query(
+      "q_e_abtt_topk",
+      (s, dir) => {
+        import graft.functions.VectorExpressions.cosine_sim
+        // All-but-the-top step 2 (the apply half): retrieval over the
+        // POSTPROCESSED embeddings — every vector mean-centered with the
+        // dominant direction projected out (p = c − (c·v)v), then exact
+        // cosine top-10 for the query vector. Fit (mean + 3 power
+        // iterations) rides the same unrolled plan as q_e_top_component;
+        // the removal itself is a map-only transform against two
+        // broadcast 64-double vectors, so the postprocessing adds ZERO
+        // shuffles to the retrieval path.
+        val e = emb(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        val muF = e.select(posexplode(col("emb")).as(Seq("j", "v")))
+          .groupBy("j").agg(avg("v").cast("float").cast("double").as("m"))
+          .agg(expr("transform(array_sort(collect_list(struct(j, m))), s -> s.m)")
+            .as("mu"))
+        val dotX = "aggregate(transform(sequence(0, 63), " +
+          "j -> (emb[j] - mu[j]) * x[j]), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+        var xF = s.range(1).select(expr(
+          """transform(sequence(0, 63), j -> CASE WHEN j = 0
+            |  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"""
+            .stripMargin).as("x"))
+        for (_ <- 1 to 3) {
+          val d = e.crossJoin(broadcast(muF)).crossJoin(broadcast(xF))
+            .select(col("emb"), col("mu"), expr(dotX).as("dot"))
+          val y = d.select(posexplode(expr(
+            "transform(sequence(0, 63), j -> dot * (emb[j] - mu[j]))"))
+            .as(Seq("j", "p")))
+            .groupBy("j").agg(sum("p").cast("float").cast("double").as("y"))
+          xF = y.agg(expr(
+            "transform(array_sort(collect_list(struct(j, y))), s -> s.y)")
+            .as("yv"))
+            .select(expr(
+              """transform(yv, v -> round(v / round(sqrt(
+                |  aggregate(transform(yv, w -> w * w), CAST(0 AS DOUBLE),
+                |    (a, b) -> a + b)), 6), 6))""".stripMargin).as("x"))
+        }
+        val proc = e.crossJoin(broadcast(muF)).crossJoin(broadcast(xF))
+          .select(col("vec_id"), col("emb"), col("mu"), col("x"),
+            expr(dotX).as("dot"))
+          .select(col("vec_id"), expr(
+            "transform(sequence(0, 63), j -> (emb[j] - mu[j]) - dot * x[j])")
+            .as("p"))
+        val q = broadcast(proc.where(col("vec_id") === 0)
+          .select(col("p").as("qp")))
+        proc.where(col("vec_id") =!= 0).crossJoin(q)
+          .select(col("vec_id"),
+            (round(cosine_sim(col("p"), col("qp")), 6) + lit(0.0)).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some {
+        def xiter(i: Int): String = {
+          val prev = s"x${i - 1}"
+          s"""d$i AS (SELECT e.emb, mu.mu,
+             |      list_reduce(list_prepend(0.0, list_transform(range(0, 64),
+             |        j -> (e.emb[j+1] - mu.mu[j+1]) * $prev.x[j+1])), (a, v) -> a + v) AS dot
+             |    FROM e, mu, $prev),
+             |y$i AS (SELECT j, CAST(CAST(SUM(dot * (emb[j] - mu[j])) AS REAL) AS DOUBLE) AS y
+             |    FROM d$i, (SELECT unnest(range(1, 65)) AS j) GROUP BY j),
+             |x$i AS (SELECT list_transform(yv, v -> ROUND(v / ROUND(sqrt(
+             |      list_reduce(list_prepend(0.0, list_transform(yv, w -> w*w)),
+             |        (a,b) -> a+b)), 6), 6)) AS x
+             |    FROM (SELECT list(y ORDER BY j) AS yv FROM y$i))""".stripMargin
+        }
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |mu0 AS (SELECT j, CAST(CAST(AVG(emb[j]) AS REAL) AS DOUBLE) AS m
+           |        FROM e, (SELECT unnest(range(1, 65)) AS j) GROUP BY j),
+           |mu AS (SELECT list(m ORDER BY j) AS mu FROM mu0),
+           |x0 AS (SELECT list_transform(range(0, 64),
+           |         j -> CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END) AS x),
+           |${xiter(1)},
+           |${xiter(2)},
+           |${xiter(3)},
+           |proc AS (SELECT e.vec_id,
+           |      list_transform(range(0, 64), j -> (e.emb[j+1] - mu.mu[j+1])
+           |        - (list_reduce(list_prepend(0.0, list_transform(range(0, 64),
+           |             k -> (e.emb[k+1] - mu.mu[k+1]) * x3.x[k+1])), (a, v) -> a + v))
+           |          * x3.x[j+1]) AS p
+           |    FROM e, mu, x3),
+           |q AS (SELECT p AS qp FROM proc WHERE vec_id = 0)
+           |SELECT proc.vec_id, ROUND(list_cosine_similarity(proc.p, q.qp), 6) + 0.0 AS sim
+           |FROM proc, q WHERE proc.vec_id <> 0
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+      },
+      doc = "all-but-the-top step 2 (apply): exact cosine top-10 over " +
+        "mean-centered, dominant-direction-removed embeddings — the fit " +
+        "rides the q_e_top_component plan, the removal is a map-only " +
+        "transform against two broadcast 64-double vectors; zero extra " +
+        "shuffles on the retrieval path"),
+
+    Query(
       "q_e_mmr_topk",
       (s, dir) => {
         import graft.functions.VectorExpressions.cosine_sim
