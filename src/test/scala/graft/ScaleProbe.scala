@@ -126,7 +126,10 @@ object ScaleProbe {
       "bpe_train" -> (dir => SparkEntry.queries("q_t_bpe_train")(spark, dir)),
       "pagerank_canonical" -> (dir => SparkEntry.queries("q_d_pagerank_canonical")(spark, dir)),
       "bpe_apply" -> (dir => SparkEntry.queries("q_t_bpe_apply")(spark, dir)),
-      "context_pack" -> (dir => SparkEntry.queries("q_e_context_pack")(spark, dir))
+      "context_pack" -> (dir => SparkEntry.queries("q_e_context_pack")(spark, dir)),
+      "shard_diff" -> (dir => SparkEntry.queries("q_s_shard_diff")(spark, dir)),
+      "top_component" -> (dir => SparkEntry.queries("q_e_top_component")(spark, dir)),
+      "abtt_topk" -> (dir => SparkEntry.queries("q_e_abtt_topk")(spark, dir))
     )
 
     // optional arg: comma-separated op-name filter (dev iteration on a
