@@ -447,6 +447,56 @@ object CurationQueries extends QueryPack {
         "corpus text is scanned exactly once"),
 
     Query(
+      "q_t_entropy_gate",
+      (s, dir) => {
+        // Character-entropy spam gate (the CCNet/Gopher-class signal the
+        // quality stack lacked): Shannon entropy of each doc's [a-z]
+        // character distribution — keyboard mash, repeated-char padding
+        // and template boilerplate sit well below natural text (the
+        // corpus floor here is ~2.54 nats vs English ≈ 2.8–2.9), so the
+        // gate flags the low tail (< 2.8). Determinism: the Σ n·ln n
+        // fold runs in CHARACTER order on both engines (array_sort +
+        // ordered aggregate = list(… ORDER BY c) + list_reduce), and the
+        // final ROUND(·,6) absorbs libm ln ulps (the idf discipline).
+        // Scale shape: one explode + (doc, char) partial-agg (≤26 keys
+        // per doc collapse map-side), then a doc-keyed agg — no
+        // corpus-wide state, no window.
+        val ch = docs(s, dir)
+          .select(col("doc_id"), explode(expr(
+            "filter(split(regexp_replace(lower(text), '[^a-z]', ''), ''), c -> c <> '')"))
+            .as("c"))
+        ch.groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(sum("n").as("n_chars_az"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(c, n))),
+              |  t -> CAST(t.n AS DOUBLE) * ln(t.n)), CAST(0 AS DOUBLE),
+              |  (a, b) -> a + b)""".stripMargin).as("__s"))
+          .select(col("doc_id"), col("n_chars_az"),
+            (round(log(col("n_chars_az")) - col("__s") / col("n_chars_az"), 6)
+              + lit(0.0)).as("entropy"))
+          .withColumn("flagged", col("entropy") < 2.8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (SELECT doc_id, unnest(list_transform(
+             |         range(1, length(regexp_replace(lower(text), '[^a-z]', '', 'g')) + 1),
+             |         i -> substr(regexp_replace(lower(text), '[^a-z]', '', 'g'), i, 1))) AS c
+             |       FROM documents),
+             |cnt AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars_az,
+             |          list_reduce(list_prepend(0.0, list_transform(
+             |            list(n ORDER BY c), v -> v * ln(v))), (a, b) -> a + b) AS s
+             |        FROM cnt GROUP BY doc_id)
+             |SELECT doc_id, n_chars_az,
+             |  ROUND(ln(n_chars_az) - s / n_chars_az, 6) + 0.0 AS entropy,
+             |  ROUND(ln(n_chars_az) - s / n_chars_az, 6) + 0.0 < 2.8 AS flagged
+             |FROM agg ORDER BY doc_id""".stripMargin),
+      doc = "character-entropy spam gate: per-doc Shannon entropy of the " +
+        "[a-z] distribution, low-tail flag (< 2.8 nats) — char-ordered " +
+        "n·ln n folds on both engines, ROUND absorbing libm ulps; one " +
+        "explode + two bounded partial aggs, flags mash/padding/template " +
+        "docs the token-level gates miss"),
+
+    Query(
       "q_s_temperature_mix",
       (s, dir) => {
         // Temperature-based source mixing (the multilingual-corpus
