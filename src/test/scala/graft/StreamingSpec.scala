@@ -486,6 +486,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("TTL stateful dedup: duplicates flagged while state lives, state " +
+      "evicted by the watermark, re-arrival passes (bounded-state gate)") {
+    import java.sql.Timestamp
+    implicit val ctx = spark.sqlContext
+    def ts(min: Int) = new Timestamp(3600000L + min * 60000L)
+    val ms = MemoryStream[(Long, Long, Timestamp)]
+    val docs = ms.toDF().toDF("key", "doc_id", "ts")
+      .as[graft.streaming.StatefulDedup.DocIn]
+    val q = graft.streaming.StatefulDedup
+      .attach(docs, watermarkDelay = "0 seconds", ttlMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("ttl_dedup")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ttl-dedup-ckpt"))
+      .start()
+    // batch 1: first arrival passes, in-batch duplicate flagged
+    ms.addData((1L, 10L, ts(0)), (1L, 11L, ts(1)))
+    q.processAllAvailable()
+    // batch 2: unrelated key advances the watermark to t=5
+    ms.addData((2L, 20L, ts(5)))
+    q.processAllAvailable()
+    // batch 3: key 1 again within TTL (timeout now t=6+10) -> dup
+    ms.addData((1L, 12L, ts(6)))
+    q.processAllAvailable()
+    // batch 4: watermark jumps past the timeout (t=30 > 16)
+    ms.addData((3L, 30L, ts(30)))
+    q.processAllAvailable()
+    // batch 5: a batch with no key-1 data lets the expired timeout fire
+    ms.addData((4L, 40L, ts(31)))
+    q.processAllAvailable()
+    // batch 6: key 1 re-arrives AFTER eviction -> passes again
+    ms.addData((1L, 13L, ts(32)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ttl_dedup")
+      .select("doc_id", "is_dup", "first_doc")
+      .as[(Long, Boolean, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(10L) == ((false, 10L)), "first arrival passes")
+    assert(got(11L) == ((true, 10L)), "in-batch duplicate flagged")
+    assert(got(12L) == ((true, 10L)), "within-TTL duplicate flagged")
+    assert(got(13L) == ((false, 13L)),
+      "after watermark-driven eviction the key passes again (bounded state)")
+  }
+
   test("processing-time trigger drains the polling micro-batch loop (T6)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(String, Long, Double, Long)]
