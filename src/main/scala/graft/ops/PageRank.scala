@@ -28,22 +28,30 @@ object PageRank {
     * `iters`+1 times). Returns (node, pr) with pr in micro-units.
     */
   def pagerankMicro(edges: DataFrame, iters: Int): DataFrame = {
-    val deg = graft.CacheScope.retain(
-      edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nTot = deg.agg(count(lit(1)).as("n"))
+    // the iterate CARRIES (node, deg, n): each round is then exactly one
+    // |E|-row join + one node-keyed agg + one tiny self-join — no
+    // per-round broadcast or degree re-aggregation. localCheckpoint per
+    // iterate (the CC-loop discipline) truncates lineage: the frame is
+    // O(nodes) small, but the un-truncated round chain re-plans
+    // adaptively under a long-lived JVM's accumulated state — measured
+    // 28 s in the bench harness vs 7 s fresh before; checkpointed
+    // iterates make the cost the data's, not the planner's
     var pr = deg.crossJoin(broadcast(nTot))
       .select(col("src").as("node"), col("deg"), col("n"),
         expr(s"$U div n").as("pr"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val agg = edges.join(pr, edges("src") === pr("node"))
         .select(edges("dst"), expr("pr div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("sc"))
-      pr = deg.crossJoin(broadcast(nTot))
-        .join(agg, deg("src") === agg("dst"), "left")
-        .select(deg("src").as("node"), deg("deg"), col("n"),
+      pr = pr.join(agg, pr("node") === agg("dst"), "left")
+        .select(pr("node"), pr("deg"), pr("n"),
           (expr(s"(15 * $U) div (100 * n)")
             + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
             .as("pr"))
+        .localCheckpoint(true)
     }
     pr.select(col("node"), col("pr"))
   }
