@@ -56,6 +56,33 @@ object SqlQueries extends QueryPack {
              |    (a, x) -> (a * 31 + x) % 2147483647) AS fp
              |FROM documents""".stripMargin),
       doc = "S8 + custom Expression: the codegen'd rolling_hash invoked from " +
-        "spark.sql text via the session function registry (GraftExtensions)")
+        "spark.sql text via the session function registry (GraftExtensions)"),
+
+    Query("q_sql_vector_search",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        // S8 × vector pillar: similarity search reachable from pure SQL
+        // text — the codegen'd cosine_sim from the session registry over
+        // the registered embeddings view; Catalyst plans the same
+        // broadcast-query-row + TakeOrderedAndProject shape as the
+        // DataFrame q_e_cosine_topk.
+        s.sql(
+          """SELECT e.vec_id,
+            |  ROUND(cosine_sim(CAST(e.embedding AS ARRAY<DOUBLE>), q.qv), 6) + 0.0 AS sim
+            |FROM embeddings e,
+            |  (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qv
+            |   FROM embeddings WHERE vec_id = 0) q
+            |WHERE e.vec_id <> 0
+            |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0)
+             |SELECT e.vec_id, ROUND(list_cosine_similarity(e.emb, q.qv), 6) + 0.0 AS sim
+             |FROM e, q WHERE e.vec_id <> 0
+             |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin),
+      doc = "S8 x vector pillar: brute-force cosine top-k as pure SQL " +
+        "text — the codegen'd cosine_sim expression invoked through the " +
+        "session function registry; same broadcast + per-partition-heap " +
+        "plan as the DataFrame form")
   )
 }
