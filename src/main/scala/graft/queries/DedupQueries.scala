@@ -104,7 +104,7 @@ object DedupQueries extends QueryPack {
        |    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
        |  (a, x) -> a + x) AS simhash FROM th)""".stripMargin
 
-  private val jaccardTail =
+  private[queries] val jaccardTail =
     """SELECT i.doc_a, i.doc_b,
       |  ROUND(i.cnt * 1.0 / (sa.n_sh + sb.n_sh - i.cnt), 4) AS jaccard
       |FROM inter i JOIN sz sa ON i.doc_a = sa.doc_id

@@ -1389,6 +1389,79 @@ object VectorQueries extends QueryPack {
         "shuffles on the retrieval path"),
 
     Query(
+      "q_e_contrastive_pairs",
+      (s, dir) => {
+        import graft.dedup.NearDup
+        import graft.functions.VectorExpressions.cosine_sim
+        import org.apache.spark.sql.expressions.Window
+        // Contrastive training-pair export: (anchor, positive, negative)
+        // triplets for embedding fine-tuning — positives are the verified
+        // near-dup pairs, the negative for each anchor is its HARDEST
+        // non-duplicate (top cosine among docs OUTSIDE the anchor's CC
+        // group, so a paraphrase can never leak in as a false negative —
+        // the failure mode naive random negatives have). Scale shape:
+        // anchors are bounded by the dup structure and broadcast with
+        // their vectors; the corpus side is one map pass + per-anchor
+        // WindowGroupLimit top-1; group labels ride the already-proven
+        // CC collapse over the retained pair list.
+        val pairs = graft.CacheScope.retain(
+          NearDup.exactJaccardPairs(Tables(s, dir, "documents"),
+            "doc_id", "text", 3, 0.5, maxDocsPerShingle = Some(64)))
+        val groups = NearDup.connectedComponents(pairs, "doc_a", "doc_b")
+        val e = emb(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        val lab = e.join(groups, e("vec_id") === groups("node"), "left")
+          .select(col("vec_id"), col("emb"),
+            coalesce(col("group_id"), col("vec_id")).as("grp"))
+        val anchors = pairs.select(col("doc_a").as("anchor")).distinct()
+          .join(lab, col("anchor") === lab("vec_id"))
+          .select(col("anchor"), col("emb").as("aemb"), col("grp").as("agrp"))
+        val negs = lab.join(broadcast(anchors), col("grp") =!= col("agrp"))
+          .select(col("anchor"), col("vec_id").as("negative"),
+            (round(cosine_sim(col("emb"), col("aemb")), 6) + lit(0.0))
+              .as("neg_cosine"))
+          .withColumn("rn", row_number().over(Window.partitionBy("anchor")
+            .orderBy(col("neg_cosine").desc, col("negative"))))
+          .where(col("rn") === 1).drop("rn")
+        pairs.join(negs, pairs("doc_a") === negs("anchor"))
+          .select(col("doc_a").as("anchor"), col("doc_b").as("positive"),
+            col("jaccard"), col("negative"), col("neg_cosine"))
+          .orderBy("anchor", "positive")
+      },
+      Some(s"""WITH RECURSIVE ${DedupQueries.cappedShingleCtes(64)},
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+              |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |pairs AS (${DedupQueries.jaccardTail}),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |          UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(node, lbl) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+              |grp AS (SELECT node, MIN(lbl) AS group_id FROM reach GROUP BY node),
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              |lab AS (SELECT e.vec_id, e.emb, COALESCE(g.group_id, e.vec_id) AS grp
+              |        FROM e LEFT JOIN grp g ON g.node = e.vec_id),
+              |anch AS (SELECT DISTINCT p.doc_a AS anchor, la.emb AS aemb, la.grp AS agrp
+              |         FROM pairs p JOIN lab la ON la.vec_id = p.doc_a),
+              |scored AS (SELECT a.anchor, l.vec_id AS negative,
+              |             ROUND(list_cosine_similarity(l.emb, a.aemb), 6) + 0.0 AS neg_cosine,
+              |             ROW_NUMBER() OVER (PARTITION BY a.anchor
+              |               ORDER BY ROUND(list_cosine_similarity(l.emb, a.aemb), 6) + 0.0 DESC,
+              |                        l.vec_id) AS rn
+              |           FROM anch a JOIN lab l ON l.grp <> a.agrp)
+              |SELECT p.doc_a AS anchor, p.doc_b AS positive, p.jaccard,
+              |  sc.negative, sc.neg_cosine
+              |FROM pairs p JOIN scored sc ON sc.anchor = p.doc_a AND sc.rn = 1
+              |ORDER BY anchor, positive""".stripMargin),
+      doc = "contrastive training-pair export: verified near-dup pairs as " +
+        "(anchor, positive) + the hardest non-duplicate negative per " +
+        "anchor (top cosine OUTSIDE the anchor's CC group — dedup-aware, " +
+        "so paraphrases can't leak in as false negatives); broadcast " +
+        "anchors, map-only cosine pass, per-anchor WindowGroupLimit"),
+
+    Query(
       "q_e_mmr_topk",
       (s, dir) => {
         import graft.functions.VectorExpressions.cosine_sim
