@@ -132,11 +132,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("PageRank canonical: iterations are equi-joins + node-keyed aggs, " +
-      "no cartesian, retained edge frame reused") {
+  test("PageRank canonical: no cartesian; the final join reads the " +
+      "CHECKPOINTED last iterate, not a re-derived round chain") {
     val p = plan("q_d_pagerank_canonical")
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("InMemoryTableScan"),
-      s"edges/deg must be retained and reused across iterations:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the pr side must be the localCheckpointed iterate (lineage " +
+        s"truncated per round — the CC-loop discipline):\n$p")
   }
 }
