@@ -765,6 +765,76 @@ object DedupQueries extends QueryPack {
         "graph recursion): each dup cluster keeps its most central member " +
         "instead of min-id; per iteration one |E|-row join + node-keyed " +
         "partial agg, composed with the CC collapse; oracle replays all " +
-        "three iterations and the argmax")
+        "three iterations and the argmax"),
+
+    Query(
+      "q_d_group_split",
+      (s, dir) => {
+        import graft.dedup.NearDup
+        // Leakage-safe holdout split: assignment is by DUP GROUP, not by
+        // document — every member of a near-dup cluster follows its
+        // group_id's KeyHash, so two near-duplicates can never straddle
+        // train/test (the leakage mode a per-doc split silently has; the
+        // cross-split audit column proves it's zero by construction).
+        // Same 90/5/5 thresholds as q_s_holdout_split. Scale shape: CC
+        // collapse over the retained pair list + one left join back to
+        // the corpus + map-only threshold assignment; the audit is one
+        // (group, split) partial agg.
+        val t1 = 1932735282L // floor(0.90 * (2^31-1))
+        val t2 = 2040109464L // floor(0.95 * (2^31-1))
+        val pairs = NearDup.exactJaccardPairs(docs(s, dir), "doc_id", "text",
+          3, 0.5, maxDocsPerShingle = Some(64))
+        val groups = NearDup.connectedComponents(pairs, "doc_a", "doc_b")
+        val kh = graft.functions.KeyHash.column(col("split_key"))
+        val d = docs(s, dir).select(col("doc_id"))
+          .join(groups, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("group_id"), col("doc_id")).as("split_key"))
+          .select(col("doc_id"), col("split_key"),
+            when(kh < t1, lit("train")).when(kh < t2, lit("val"))
+              .otherwise(lit("test")).as("split"))
+        // leakage audit computed for real (not asserted): a group whose
+        // members landed in >1 split shows in n_straddling_groups — zero
+        // by construction HERE, nonzero if you swap in a per-doc split
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("split_key")
+        d.groupBy("split_key", "split").agg(count(lit(1)).as("ng"))
+          .withColumn("nsplits", count(lit(1)).over(w))
+          .groupBy("split")
+          .agg(sum("ng").as("n_docs"),
+            count(lit(1)).as("n_groups"),
+            sum(when(col("nsplits") > 1, 1L).otherwise(0L))
+              .as("n_straddling_groups"))
+          .orderBy("split")
+      },
+      Some(s"""WITH RECURSIVE ${cappedShingleCtes(64)},
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+              |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |pairs AS ($jaccardTail),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |          UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(node, lbl) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+              |grp AS (SELECT node, MIN(lbl) AS group_id FROM reach GROUP BY node),
+              |a AS (SELECT dd.doc_id, COALESCE(g.group_id, dd.doc_id) AS split_key
+              |      FROM documents dd LEFT JOIN grp g ON g.node = dd.doc_id),
+              |s AS (SELECT doc_id, split_key,
+              |        CASE WHEN ${graft.functions.KeyHash.sql("split_key")} < 1932735282 THEN 'train'
+              |             WHEN ${graft.functions.KeyHash.sql("split_key")} < 2040109464 THEN 'val'
+              |             ELSE 'test' END AS split
+              |      FROM a),
+              |g2 AS (SELECT split_key, split, COUNT(*) AS ng FROM s GROUP BY 1, 2),
+              |g3 AS (SELECT split_key, split, ng,
+              |         COUNT(*) OVER (PARTITION BY split_key) AS nsplits FROM g2)
+              |SELECT split, CAST(SUM(ng) AS BIGINT) AS n_docs,
+              |  COUNT(*) AS n_groups,
+              |  CAST(SUM(CASE WHEN nsplits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling_groups
+              |FROM g3 GROUP BY split ORDER BY split""".stripMargin),
+      doc = "leakage-safe holdout split: 90/5/5 assignment by DUP GROUP " +
+        "(every near-dup follows its group's KeyHash), so duplicates can " +
+        "never straddle train/test — the leakage a per-doc split has; CC " +
+        "collapse + one corpus left join + map-only thresholds")
   )
 }
