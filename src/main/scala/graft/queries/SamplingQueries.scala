@@ -306,6 +306,53 @@ object SamplingQueries extends QueryPack {
         "content-sensitive) for previous and current snapshots computed " +
         "in ONE corpus scan, changed-shard flags + re-export row counts; " +
         "with stable hash sharding an unchanged shard is skippable " +
-        "bit-for-bit — the op that turns a full re-export into O(changed)")
+        "bit-for-bit — the op that turns a full re-export into O(changed)"),
+
+    Query(
+      "q_s_curriculum_phases",
+      (s, dir) => {
+        import graft.text.TextAnalysis
+        // 3-phase quality curriculum (clean-first): phase cut points are
+        // the corpus quality terciles fitted as exact interpolated
+        // percentiles and broadcast as a 1-row frame; assignment is then
+        // MAP-ONLY — deliberately not ntile over a global window, which
+        // would sort the corpus on one partition (the scale trap a naive
+        // curriculum implementation has). Report = the per-phase
+        // doc/token budget a curriculum dataloader consumes; phase 1 =
+        // cleanest.
+        val q = Tables(s, dir, "documents").select(col("doc_id"),
+          round(TextAnalysis.qualityScore("text"), 4).as("quality"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        val cuts = broadcast(q.agg(
+          (round(expr("percentile(quality, 1.0/3)"), 4) + lit(0.0)).as("c33"),
+          (round(expr("percentile(quality, 2.0/3)"), 4) + lit(0.0)).as("c66")))
+        q.crossJoin(cuts)
+          .select(col("quality"), col("n_tokens"),
+            when(col("quality") >= col("c66"), lit(1))
+              .when(col("quality") >= col("c33"), lit(2))
+              .otherwise(lit(3)).as("phase"))
+          .groupBy("phase")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+            (round(min("quality"), 4) + lit(0.0)).as("q_min"),
+            (round(max("quality"), 4) + lit(0.0)).as("q_max"))
+          .orderBy("phase")
+      },
+      Some(s"""WITH q AS (SELECT doc_id, ROUND(${TextQueries.qualityExprSql}, 4) AS quality,
+              |         CAST(${TextQueries.nTokSql} AS BIGINT) AS n_tokens
+              |       FROM documents),
+              |c AS (SELECT ROUND(quantile_cont(quality, 1.0/3), 4) + 0.0 AS c33,
+              |        ROUND(quantile_cont(quality, 2.0/3), 4) + 0.0 AS c66 FROM q),
+              |p AS (SELECT quality, n_tokens,
+              |        CASE WHEN quality >= c66 THEN 1
+              |             WHEN quality >= c33 THEN 2 ELSE 3 END AS phase
+              |      FROM q, c)
+              |SELECT phase, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+              |  ROUND(MIN(quality), 4) + 0.0 AS q_min,
+              |  ROUND(MAX(quality), 4) + 0.0 AS q_max
+              |FROM p GROUP BY phase ORDER BY phase""".stripMargin),
+      doc = "3-phase quality curriculum: tercile cut points fitted as " +
+        "exact percentiles (1-row broadcast), map-only phase assignment " +
+        "— no global sort; per-phase doc/token budgets for a clean-first " +
+        "dataloader schedule")
   )
 }
