@@ -1413,7 +1413,13 @@ object VectorQueries extends QueryPack {
         val lab = e.join(groups, e("vec_id") === groups("node"), "left")
           .select(col("vec_id"), col("emb"),
             coalesce(col("group_id"), col("vec_id")).as("grp"))
+        // ONE EXPORT BATCH of anchors (64, lowest ids — deterministic and
+        // oracle-replayed): negative mining is inherently anchors×corpus,
+        // so production drains anchors in bounded batches exactly like
+        // q_e_hard_negatives' anchor batch; without the cap the replica
+        // corpus measured 50× at 10× (anchors grow with dup structure)
         val anchors = pairs.select(col("doc_a").as("anchor")).distinct()
+          .orderBy("anchor").limit(64)
           .join(lab, col("anchor") === lab("vec_id"))
           .select(col("anchor"), col("emb").as("aemb"), col("grp").as("agrp"))
         val negs = lab.join(broadcast(anchors), col("grp") =!= col("agrp"))
@@ -1443,8 +1449,10 @@ object VectorQueries extends QueryPack {
               |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
               |lab AS (SELECT e.vec_id, e.emb, COALESCE(g.group_id, e.vec_id) AS grp
               |        FROM e LEFT JOIN grp g ON g.node = e.vec_id),
-              |anch AS (SELECT DISTINCT p.doc_a AS anchor, la.emb AS aemb, la.grp AS agrp
-              |         FROM pairs p JOIN lab la ON la.vec_id = p.doc_a),
+              |ab AS (SELECT DISTINCT doc_a AS anchor FROM pairs
+              |       ORDER BY anchor LIMIT 64),
+              |anch AS (SELECT a.anchor, la.emb AS aemb, la.grp AS agrp
+              |         FROM ab a JOIN lab la ON la.vec_id = a.anchor),
               |scored AS (SELECT a.anchor, l.vec_id AS negative,
               |             ROUND(list_cosine_similarity(l.emb, a.aemb), 6) + 0.0 AS neg_cosine,
               |             ROW_NUMBER() OVER (PARTITION BY a.anchor

@@ -75,4 +75,21 @@ class AccuracySpec extends AnyFunSuite {
     assert(math.abs(exact.getDouble(1) - approx.getDouble(1)) <= n / 10000.0 + 1)
     assert(math.abs(exact.getDouble(2) - approx.getDouble(2)) <= n / 10000.0 + 1)
   }
+
+  test("curriculum approx phases agree with exact phase populations within rank error") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("q_s_curriculum_phases")(spark, dir)
+      .select("phase", "n_docs").as[(Int, Long)].collect().toMap
+    val approx = SparkEntry.queries("q_s_curriculum_phases_approx")(spark, dir)
+      .select("phase", "n_docs").as[(Int, Long)].collect().toMap
+    val total = exact.values.sum
+    assert(approx.values.sum == total, "phases must partition the corpus")
+    // a rank-error shift of the cut moves at most n/Accuracy docs per
+    // boundary (plus ties at the rounded cut value)
+    (1 to 3).foreach { ph =>
+      val tol = math.max(total / graft.queries.ApproxQueries.Accuracy + 1, 16)
+      assert(math.abs(exact(ph) - approx.getOrElse(ph, 0L)) <= tol,
+        s"phase $ph: exact=${exact(ph)} approx=${approx.getOrElse(ph, 0L)}")
+    }
+  }
 }

@@ -129,7 +129,11 @@ object ScaleProbe {
       "context_pack" -> (dir => SparkEntry.queries("q_e_context_pack")(spark, dir)),
       "shard_diff" -> (dir => SparkEntry.queries("q_s_shard_diff")(spark, dir)),
       "top_component" -> (dir => SparkEntry.queries("q_e_top_component")(spark, dir)),
-      "abtt_topk" -> (dir => SparkEntry.queries("q_e_abtt_topk")(spark, dir))
+      "abtt_topk" -> (dir => SparkEntry.queries("q_e_abtt_topk")(spark, dir)),
+      "contrastive_pairs" -> (dir => SparkEntry.queries("q_e_contrastive_pairs")(spark, dir)),
+      "group_split" -> (dir => SparkEntry.queries("q_d_group_split")(spark, dir)),
+      "curriculum_phases" -> (dir => SparkEntry.queries("q_s_curriculum_phases")(spark, dir)),
+      "entropy_gate" -> (dir => SparkEntry.queries("q_t_entropy_gate")(spark, dir))
     )
 
     // optional arg: comma-separated op-name filter (dev iteration on a
