@@ -933,7 +933,70 @@ object CurationQueries extends QueryPack {
       doc = "trained quality filter, apply: every doc scored by the " +
         "fitted classifier (sigmoid + gate flag) — the weights broadcast " +
         "as 4 doubles, scoring is map-only codegen; fit+apply in one " +
-        "deterministic plan pair, oracle replays the full fit then scores")
+        "deterministic plan pair, oracle replays the full fit then scores"),
+
+    Query(
+      "q_t_quality_filter_calibration",
+      (s, dir) => {
+        // The eval loop for the trained filter: a reliability diagram —
+        // predicted probability (10 fixed bins) vs actual weak-label
+        // rate per bin, with the per-bin calibration gap. A filter whose
+        // scores aren't calibrated can't be thresholded meaningfully;
+        // this is the report that decides the gate's cutoff. Determinism:
+        // scores are the already-quantized apply scores; the per-bin
+        // mean is float32-quantized (the Lloyd discipline) and the
+        // positive rate is an exact integer ratio. One map pass over the
+        // retained feature frame + a 10-key partial agg.
+        val (feats, n) = qfFeatures(s, dir)
+        val (_, w) = qfFit(feats, n)
+        val z = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+        val scored = feats
+          .select(col("y"),
+            (round(lit(1.0) / (lit(1.0) + exp(-z)), 6) + lit(0.0)).as("score"))
+        // range-adaptive deciles (min/max are order-free exact, rounded,
+        // broadcast): absolute [0,1] bins collapse to one bin when a
+        // weak-label fit clusters its scores — the diagram must resolve
+        // the OBSERVED range to be a usable cutoff report
+        val rng = broadcast(scored.agg(
+          (round(min("score"), 6) + lit(0.0)).as("smin"),
+          (round(max("score"), 6) + lit(0.0)).as("smax")))
+        scored.crossJoin(rng)
+          .select(col("y"), col("score"),
+            least(floor((col("score") - col("smin"))
+              / (col("smax") - col("smin") + lit(1e-9)) * 10), lit(9L))
+              .cast("int").as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            (round(avg("score").cast("float").cast("double"), 4) + lit(0.0))
+              .as("mean_score"),
+            (round(sum("y") * lit(1.0) / count(lit(1)), 4) + lit(0.0))
+              .as("pos_rate"))
+          .withColumn("gap",
+            round(abs(col("mean_score") - col("pos_rate")), 4) + lit(0.0))
+          .orderBy("bin")
+      },
+      Some(s"""WITH $qfCtePrefix,
+              |sc AS (SELECT f.y,
+              |         ROUND(1.0 / (1.0 + exp(-($qfZExpr))), 6) + 0.0 AS score
+              |       FROM f, wt3 w),
+              |rng AS (SELECT ROUND(MIN(score), 6) + 0.0 AS smin,
+              |          ROUND(MAX(score), 6) + 0.0 AS smax FROM sc),
+              |bb AS (SELECT y, score,
+              |         CAST(LEAST(floor((score - smin) / (smax - smin + 1e-9) * 10), 9) AS INT) AS bin
+              |       FROM sc, rng),
+              |m AS (SELECT bin, COUNT(*) AS n,
+              |        ROUND(CAST(CAST(AVG(score) AS REAL) AS DOUBLE), 4) + 0.0 AS mean_score,
+              |        ROUND(SUM(y) * 1.0 / COUNT(*), 4) + 0.0 AS pos_rate
+              |      FROM bb GROUP BY bin)
+              |SELECT bin, n, mean_score, pos_rate,
+              |  ROUND(ABS(mean_score - pos_rate), 4) + 0.0 AS gap
+              |FROM m ORDER BY bin""".stripMargin),
+      doc = "quality-filter calibration report (reliability diagram): " +
+        "10 fixed score bins, float32-quantized mean prediction vs exact " +
+        "integer positive rate, per-bin gap — the eval that sets the " +
+        "gate cutoff; one map pass over the retained features + a 10-key " +
+        "partial agg")
   )
 
   /** The fixed editorial "curated sources" weak-label list. */
