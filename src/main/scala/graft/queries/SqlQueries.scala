@@ -83,6 +83,46 @@ object SqlQueries extends QueryPack {
       doc = "S8 x vector pillar: brute-force cosine top-k as pure SQL " +
         "text — the codegen'd cosine_sim expression invoked through the " +
         "session function registry; same broadcast + per-partition-heap " +
-        "plan as the DataFrame form")
+        "plan as the DataFrame form"),
+
+    sqlQuery("q_sql_tpch_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) + 0.0 AS sum_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) + 0.0 AS sum_base_price,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE), 2) + 0.0 AS sum_disc_price,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(8,2)))
+        |    * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE), 2) + 0.0 AS sum_charge,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) + 0.0 AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      doc = "TPC-H Q1 (pricing summary) as ONE shared SQL text: the " +
+        "classic OLAP scan-heavy aggregate — DECIMAL-cast sums are " +
+        "order-independent exact (the VWAP discipline), so a 1000-way " +
+        "partial aggregation can't drift a cent; predicate pushes to the " +
+        "parquet scan, partial aggs collapse map-side"),
+
+    sqlQuery("q_sql_tpch_q3",
+      """SELECT o_orderkey,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE), 2) + 0.0 AS revenue,
+        |  o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+      doc = "TPC-H Q3 (shipping priority) as ONE shared SQL text: " +
+        "selective dimension filter -> fact joins -> decimal-exact " +
+        "revenue top-k; Catalyst broadcast-joins the filtered customer " +
+        "side and pushes both date predicates into the scans — the " +
+        "classic join-reorder/pushdown showcase")
   )
 }
