@@ -116,6 +116,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rows.exists(_._6), "the simulated snapshot must produce a diff")
   }
 
+  test("group split: every near-dup pair lands in ONE split (the leakage " +
+      "guarantee, verified pair by pair, not just the aggregate audit)") {
+    import graft.dedup.NearDup
+    val d = Tables(spark, dir, "documents")
+    val pairs = NearDup.exactJaccardPairs(d, "doc_id", "text", 3, 0.5,
+      maxDocsPerShingle = Some(64))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assume(pairs.nonEmpty, "fixture corpus must contain near-dups")
+    // recompute each doc's split exactly as the query assigns it
+    val groups = NearDup.connectedComponents(
+      NearDup.exactJaccardPairs(d, "doc_id", "text", 3, 0.5,
+        maxDocsPerShingle = Some(64)), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val P = graft.functions.KeyHash.P
+    def kh(k: Long): Long = ((k % P) * 48271 % P) * 48271 % P * 48271 % P
+    def split(doc: Long): String = {
+      val key = groups.getOrElse(doc, doc)
+      val h = kh(key)
+      if (h < 1932735282L) "train" else if (h < 2040109464L) "val" else "test"
+    }
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dup pair ($a, $b) straddles splits ${split(a)}/${split(b)}")
+    }
+    CacheScope.release(spark)
+  }
+
   test("BPE merge fold: greedy leftmost-first on overlapping pairs") {
     // 'aaab' with winning pair (a,a) must become [aa, a, b] — leftmost
     // occurrence merges, the overlap does not cascade within the round
