@@ -258,7 +258,8 @@ object DedupQueries extends QueryPack {
         // joins back to the doc table; pair keys are canonicalized
         // (least/greatest) so one shuffle on the source pair aggregates.
         val d = docs(s, dir)
-        val pairs = NearDup.exactJaccardPairs(d, "doc_id", "text", 3, 0.5)
+        val pairs = NearDup.exactJaccardPairs(d, "doc_id", "text", 3, 0.5,
+          maxDocsPerShingle = Some(64))
         pairs
           .join(d.select(col("doc_id").as("doc_a"),
             col("source").as("src_a")), "doc_a")
@@ -270,7 +271,7 @@ object DedupQueries extends QueryPack {
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy("source_lo", "source_hi")
       },
-      Some(s"""WITH $shingleCtes,
+      Some(s"""WITH ${cappedShingleCtes(64)},
               |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
               |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               |          GROUP BY 1, 2),
@@ -358,11 +359,16 @@ object DedupQueries extends QueryPack {
         // dedup-side twin of q_e_ann_recall, and the number that decides
         // the (k, bands) trade before a 100 TB dedup run commits to a
         // signature family. Truth is only computable because the inverted
-        // index bounds it; both pair sets are retained (each feeds a
-        // count AND the overlap join) so neither miner re-evaluates.
+        // index bounds it — and the stop-shingle cap (64, same knob as the
+        // group-collapse queries) keeps a hot shingle from fanning k²/2
+        // truth candidates; the SIGNATURE side stays uncapped because
+        // MinHash is defined over each doc's full shingle set. Both pair
+        // sets are retained (each feeds a count AND the overlap join) so
+        // neither miner re-evaluates.
         val d = docs(s, dir)
         val truth = graft.CacheScope.retain(
-          NearDup.exactJaccardPairs(d, "doc_id", "text", 3, 0.5)
+          NearDup.exactJaccardPairs(d, "doc_id", "text", 3, 0.5,
+              maxDocsPerShingle = Some(64))
             .select("doc_a", "doc_b"))
         val banded = graft.CacheScope.retain(
           NearDup.bandedSignatures(d, "doc_id", "text", 3, 16, 4))
@@ -384,10 +390,18 @@ object DedupQueries extends QueryPack {
               |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.band_val = b.band_val
               |                    AND a.doc_id < b.doc_id),
+              |dc AS (SELECT d.doc_id, d.shingle FROM d
+              |       JOIN (SELECT shingle FROM d GROUP BY shingle
+              |             HAVING COUNT(*) <= 64) ok USING (shingle)),
+              |szc AS (SELECT doc_id, COUNT(*) AS n_sh FROM dc GROUP BY 1),
               |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
-              |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          FROM dc a JOIN dc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               |          GROUP BY 1, 2),
-              |truth AS ($jaccardTail)
+              |truth AS (SELECT i.doc_a, i.doc_b,
+              |  ROUND(i.cnt * 1.0 / (sa.n_sh + sb.n_sh - i.cnt), 4) AS jaccard
+              |  FROM inter i JOIN szc sa ON i.doc_a = sa.doc_id
+              |               JOIN szc sb ON i.doc_b = sb.doc_id
+              |  WHERE ROUND(i.cnt * 1.0 / (sa.n_sh + sb.n_sh - i.cnt), 4) >= 0.5)
               |SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
               |  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
               |  CAST((SELECT COUNT(*) FROM truth t JOIN cand c

@@ -348,7 +348,8 @@ object TextQueries extends QueryPack {
           .withColumn("__canon",
             min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
         val ndVictims = NearDup
-          .exactJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+          .exactJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+            maxDocsPerShingle = Some(64))
           .select(col("doc_b"))
         scored
           .where(col("doc_id") === col("__canon"))
@@ -364,7 +365,7 @@ object TextQueries extends QueryPack {
               |    $swEn AS s_en, $swEs AS s_es, $swDe AS s_de, $swFr AS s_fr, $cjk AS s_zh,
               |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
               |  FROM documents),
-              |${DedupQueries.shingleCtes},
+              |${DedupQueries.cappedShingleCtes(64)},
               |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
               |          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               |          GROUP BY 1, 2),

@@ -66,6 +66,29 @@ class DedupSpec extends AnyFunSuite {
     assert(ea == eb && ea.size == 25)
   }
 
+  test("stop-shingle cap (64) changes nothing on the driver corpus: every " +
+    "capped call site mines the same pairs as the uncapped miner") {
+    // The cap is a skew guard, not a semantic knob: on this corpus no
+    // shingle is shared by > 64 docs, so the capped miner (what
+    // q_t_corpus_filter / q_d_cross_source_pairs / q_d_lsh_recall's truth
+    // side run) must return the exact uncapped pair set, jaccard included.
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+    val uncapped = NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val capped = NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        maxDocsPerShingle = Some(64))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(capped == uncapped && capped.size == 25)
+    // and the cap DOES bite when a shingle is hotter than the limit: with
+    // cap=1 every shared shingle is a stop-shingle, so no pairs survive
+    val none = NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        maxDocsPerShingle = Some(1))
+      .count()
+    assert(none == 0L)
+  }
+
   test("minhashLshPairs recovers the same pairs as exact Jaccard here") {
     val pairs = NearDup.minhashLshPairs(corpus, "doc_id", "text",
       n = 3, k = 16, bands = 4, threshold = 0.5)
