@@ -27,10 +27,22 @@ object CacheScope {
 
   /** Persist `df` and register it for the next [[release]] of its session.
     * `onRelease` lets memoizing callers evict their lookup entry too.
+    *
+    * Idempotent on plan-identical frames: when a frame with the same
+    * canonicalized plan is already cached (`df.storageLevel` does that
+    * CacheManager lookup), the re-persist is skipped — composed queries
+    * routinely retain a frame one of their building blocks already
+    * retained (e.g. a pair miner's shingle index flowing into the
+    * group-collapse queries), and re-persisting only emits a CacheManager
+    * "already cached" WARN per occurrence. The entry is still registered
+    * so `onRelease` callbacks fire at the scope boundary either way.
     */
   def retain(df: DataFrame, onRelease: () => Unit = () => ()): DataFrame =
     synchronized {
-      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val cached =
+        if (df.storageLevel == StorageLevel.NONE)
+          df.persist(StorageLevel.MEMORY_AND_DISK)
+        else df
       live += Entry(df.sparkSession, cached, onRelease)
       cached
     }

@@ -23,6 +23,25 @@ class CacheScopeSpec extends AnyFunSuite {
     assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("retain is idempotent on plan-identical frames: no double-persist, " +
+    "both eviction callbacks still fire on release") {
+    var evictions = 0
+    val base = Seq(1, 2, 3).toDF("x")
+    val first = CacheScope.retain(base, onRelease = () => evictions += 1)
+    first.count()
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    // same canonicalized plan: must NOT create a second cache entry (the
+    // CacheManager would WARN "already cached" and ignore it anyway)
+    val again = CacheScope.retain(
+      Seq(1, 2, 3).toDF("x"), onRelease = () => evictions += 1)
+    again.count()
+    assert(spark.sparkContext.getPersistentRDDs.keySet == persistedBefore,
+      "plan-identical retain must not add a cache entry")
+    CacheScope.release(spark)
+    assert(evictions == 2, "every registrant's callback fires on release")
+    assert(first.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("a full dedup + indicator query pass leaves no pinned storage after release") {
     val sf = "/root/testdata/sf0.001"
     // delta vs baseline: other suites may hold their own (non-CacheScope)
