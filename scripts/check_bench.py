@@ -51,7 +51,10 @@ def main() -> None:
     except json.JSONDecodeError as e:
         fail(f"{detail_path} is not valid JSON ({e})")
 
-    if round(detail["value"], 3) != round(compact["value"], 3):
+    # tolerance, not rounded equality: Python round() is banker's rounding
+    # while the JVM emits half-up 3-decimal values, so an exact .0005
+    # boundary would otherwise produce a spurious failure
+    if abs(detail["value"] - compact["value"]) > 5e-4:
         fail(f"total mismatch: detail={detail['value']} vs compact={compact['value']}")
     for k in ("n_ok", "n_err", "sf", "errors"):
         if detail.get(k) != compact.get(k):
@@ -60,7 +63,7 @@ def main() -> None:
     missing = [q for q in cq if q not in dq]
     if missing:
         fail(f"compact queries absent from detail: {missing}")
-    off = {q: (round(dq[q], 3), cq[q]) for q in cq if round(dq[q], 3) != cq[q]}
+    off = {q: (dq[q], cq[q]) for q in cq if abs(dq[q] - cq[q]) > 5e-4}
     if off:
         fail(f"per-query value drift (detail-rounded vs compact): {off}")
     if len(cq) + compact.get("q_omitted", 0) != compact["n_ok"]:

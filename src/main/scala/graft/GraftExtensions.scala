@@ -39,8 +39,9 @@ object GraftExtensions {
       hi: Int): Unit =
     if (args.length < lo || args.length > hi) {
       val want = if (lo == hi) s"$lo" else s"$lo to $hi"
+      val noun = if (lo == hi && hi == 1) "argument" else "arguments"
       throw new IllegalArgumentException(
-        s"$who expects $want arguments, got ${args.length}")
+        s"$who expects $want $noun, got ${args.length}")
     }
 
   /** name → expression builder, shared by both registration hooks. */

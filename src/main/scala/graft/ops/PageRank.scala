@@ -24,8 +24,14 @@ object PageRank {
   val U = 1000000000000L
 
   /** `edges` are DIRECTED (src, dst) rows — pass both directions for an
-    * undirected graph. Callers should retain `edges` (it is read
-    * `iters`+1 times). Returns (node, pr) with pr in micro-units.
+    * undirected graph. Every node MUST have out-degree >= 1 (true by
+    * construction for symmetric edge lists, which is what every caller
+    * here builds): the node set, the count n, and the rank distribution
+    * all derive from `src`, so a sink node (no out-edges) would be
+    * absent from the output and its incoming rank mass silently dropped
+    * — this is NOT a general dangling-mass PageRank. Callers should
+    * retain `edges` (it is read `iters`+1 times). Returns (node, pr)
+    * with pr in micro-units.
     */
   def pagerankMicro(edges: DataFrame, iters: Int): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))

@@ -29,7 +29,12 @@ object StatefulDedup {
     * canonicalized text) — upstream computes it map-side.
     */
   case class DocIn(key: Long, doc_id: Long, ts: Timestamp)
-  case class SeenState(firstDoc: Long, firstTsMs: Long)
+  /** `timeoutMs` carries the last timeout we set so a later batch can
+    * guarantee monotonicity (the public GroupState API can't read it
+    * back); 0 = never set.
+    */
+  case class SeenState(firstDoc: Long, firstTsMs: Long,
+      timeoutMs: Long = 0L)
   case class DedupOut(key: Long, doc_id: Long, ts: Timestamp,
       is_dup: Boolean, first_doc: Long)
 
@@ -57,10 +62,20 @@ object StatefulDedup {
               }
             }
             st.foreach { s0 =>
-              state.update(s0)
               val lastTs = sorted.lastOption.map(_.ts.getTime)
                 .getOrElse(s0.firstTsMs)
-              state.setTimeoutTimestamp(lastTs + ttlMs)
+              // Spark requires the timeout to sit strictly past the
+              // current watermark (late-but-accepted rows can put
+              // lastTs + ttl behind it → IllegalArgumentException kills
+              // the query), and a late-rows-only batch must never pull
+              // an already-set timeout earlier — clamp to both; the
+              // previously-set value rides in the state because the
+              // public GroupState API can't read it back.
+              val timeout = math.max(
+                math.max(lastTs + ttlMs, state.getCurrentWatermarkMs() + 1),
+                s0.timeoutMs)
+              state.update(s0.copy(timeoutMs = timeout))
+              state.setTimeoutTimestamp(timeout)
             }
             out.iterator
           }

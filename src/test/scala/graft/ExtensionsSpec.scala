@@ -74,7 +74,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(err("SELECT bloom_filter_agg(rolling_hash(text)) FROM t_ext4")
       .contains("bloom_filter_agg expects 3 arguments"))
     assert(err("SELECT key_hash(1, 2) FROM t_ext4")
-      .contains("key_hash expects 1 arguments"))
+      .contains("key_hash expects 1 argument,"))
     assert(err("SELECT cosine_sim(text) FROM t_ext4")
       .contains("cosine_sim expects 2 arguments"))
   }

@@ -530,6 +530,76 @@ class StreamingSpec extends AnyFunSuite {
       "after watermark-driven eviction the key passes again (bounded state)")
   }
 
+  test("TTL stateful dedup survives late-but-accepted rows when TTL < " +
+      "watermark delay (timeout clamped past the watermark, never moved " +
+      "backward)") {
+    // Regression (ADVICE r6): with ttlMs < watermarkDelay a late row's
+    // lastTs + ttl can land BEHIND the current watermark;
+    // setTimeoutTimestamp then threw IllegalArgumentException and killed
+    // the query. The clamp floors the timeout at watermark + 1 and keeps
+    // it monotone per key.
+    import java.sql.Timestamp
+    implicit val ctx = spark.sqlContext
+    def ts(min: Int) = new Timestamp(3600000L + min * 60000L)
+    val ms = MemoryStream[(Long, Long, Timestamp)]
+    val docs = ms.toDF().toDF("key", "doc_id", "ts")
+      .as[graft.streaming.StatefulDedup.DocIn]
+    // With ttl << watermark delay, a late-but-accepted row's
+    // lastTs + ttl lands BARELY past (or, race-depending, behind) the
+    // eviction watermark. Pre-fix that either threw
+    // IllegalArgumentException (killing the query) or silently moved the
+    // key's timeout EARLIER than previously set, evicting live state.
+    // The observable contract pinned here: the timeout never moves
+    // backward, so a key deduped at minute 30 stays deduped until
+    // 30 + ttl even when late rows arrive in between.
+    val q = graft.streaming.StatefulDedup
+      .attach(docs, watermarkDelay = "20 minutes", ttlMs = 60000L) // ttl 1 min
+      .writeStream.format("memory").queryName("ttl_dedup_late")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ttl-dedup-late-ckpt"))
+      .start()
+    // batch 1: key 9 seeds state, timeout = 31 min; watermark 0
+    ms.addData((9L, 90L, ts(30)))
+    q.processAllAvailable()
+    // batch 2: max ET 45 min → watermark 25 min for batch 3
+    ms.addData((7L, 70L, ts(45)))
+    q.processAllAvailable()
+    // batch 3: key 9 late-but-accepted (26 > wm 25). Naive re-arm is
+    // 26 + 1 = 27 min — BEHIND the already-set 31; the clamp keeps 31.
+    ms.addData((9L, 91L, ts(26)))
+    q.processAllAvailable()
+    assert(q.exception.isEmpty,
+      s"query must survive a late-but-accepted row: ${q.exception}")
+    // batch 4 → watermark 28 for batch 5; batch 5 has no key-9 rows, so
+    // a backslid 27-min timeout would fire HERE and evict live state
+    ms.addData((6L, 60L, ts(48)))
+    q.processAllAvailable()
+    ms.addData((5L, 50L, ts(49)))
+    q.processAllAvailable()
+    // batch 6: wm 29 < 31 — state must still be alive → still a dup
+    ms.addData((9L, 92L, ts(30)))
+    q.processAllAvailable()
+    // batches 7+8: wm jumps past 31 → timeout fires → re-arrival passes
+    ms.addData((4L, 40L, ts(60)))
+    q.processAllAvailable()
+    ms.addData((3L, 30L, ts(61)))
+    q.processAllAvailable()
+    ms.addData((9L, 93L, ts(45)))
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, s"query must stay alive: ${q.exception}")
+    q.stop()
+    val got = spark.table("ttl_dedup_late")
+      .select("doc_id", "is_dup", "first_doc")
+      .as[(Long, Boolean, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(90L) == ((false, 90L)), "first arrival passes")
+    assert(got(91L) == ((true, 90L)), "late-but-accepted row deduped, not fatal")
+    assert(got(92L) == ((true, 90L)),
+      "timeout must not move backward: state alive until first + ttl")
+    assert(got(93L) == ((false, 93L)),
+      "clamped timeout still fires once the watermark passes it")
+  }
+
   test("processing-time trigger drains the polling micro-batch loop (T6)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(String, Long, Double, Long)]
