@@ -96,6 +96,25 @@ object GraftExtensions {
       arity(args, "might_contain", 2, 2)
       org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(args(0), args(1))
+    }),
+    // the text-curation pillar from pure SQL: the same composed column
+    // trees as graft.text.TextAnalysis, grafted over the call's argument
+    // via the Column<->Expression bridge — a Grafana-class consumer can
+    // run the quality gate without any Scala
+    "token_count" -> ((args: Seq[Expression]) => {
+      arity(args, "token_count", 1, 1)
+      import org.apache.spark.sql.graftbridge.ColumnBridge._
+      eagerExpression(graft.text.TextAnalysis.tokenCount(column(args.head)))
+    }),
+    "lang_id" -> ((args: Seq[Expression]) => {
+      arity(args, "lang_id", 1, 1)
+      import org.apache.spark.sql.graftbridge.ColumnBridge._
+      eagerExpression(graft.text.TextAnalysis.langId(column(args.head)))
+    }),
+    "quality_score" -> ((args: Seq[Expression]) => {
+      arity(args, "quality_score", 1, 1)
+      import org.apache.spark.sql.graftbridge.ColumnBridge._
+      eagerExpression(graft.text.TextAnalysis.qualityScore(column(args.head)))
     }))
 
   /** Register on a live session (idempotent — replaces same-name entries). */

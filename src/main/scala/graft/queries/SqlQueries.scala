@@ -123,6 +123,57 @@ object SqlQueries extends QueryPack {
         "selective dimension filter -> fact joins -> decimal-exact " +
         "revenue top-k; Catalyst broadcast-joins the filtered customer " +
         "side and pushes both date predicates into the scans — the " +
-        "classic join-reorder/pushdown showcase")
+        "classic join-reorder/pushdown showcase"),
+
+    // S8 × text-curation pillar: the quality gate from pure SQL text —
+    // token_count / quality_score / lang_id resolve from the session
+    // function registry (GraftExtensions) into the same codegen'd column
+    // trees as graft.text.TextAnalysis; the DuckDB oracle replays the
+    // score arithmetic term for term
+    Query("q_sql_quality_filter",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(
+          """SELECT doc_id, token_count(text) AS n_tokens,
+            |  ROUND(quality_score(text), 4) + 0.0 AS quality
+            |FROM documents
+            |WHERE quality_score(text) >= 0.4 AND token_count(text) >= 20
+            |  AND lang_id(text) = 'en'""".stripMargin)
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, ${TextQueries.nTokSql} AS n_tokens,
+              |    ${TextQueries.qualityExprSql} AS quality,
+              |    ${TextQueries.swEn} AS s_en, ${TextQueries.swEs} AS s_es,
+              |    ${TextQueries.swDe} AS s_de, ${TextQueries.swFr} AS s_fr,
+              |    ${TextQueries.cjk} AS s_zh
+              |  FROM documents)
+              |SELECT doc_id, n_tokens, ROUND(quality, 4) + 0.0 AS quality
+              |FROM scored
+              |WHERE quality >= 0.4 AND n_tokens >= 20
+              |  AND ${TextQueries.langCaseSql} = 'en'""".stripMargin),
+      doc = "S8 x curation pillar: the quality/language/token gate as pure " +
+        "SQL text — registry functions expand to the map-only codegen'd " +
+        "expressions, so a dashboard user curates without any Scala"),
+
+    // S8 × sampling pillar: the deterministic stratified sample from pure
+    // SQL text — key_hash from the registry, integer thresholds inline
+    Query("q_sql_stratified_sample",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(
+          """SELECT event_id, event_type, value FROM events
+            |WHERE key_hash(event_id) <
+            |  (CASE event_type WHEN 'purchase' THEN 1073741823
+            |        WHEN 'view' THEN 536870911
+            |        WHEN 'click' THEN 214748364 ELSE 107374182 END)""".stripMargin)
+      },
+      Some(s"""SELECT event_id, event_type, value FROM events
+              |WHERE ${graft.functions.KeyHash.sql("event_id")} <
+              |  (CASE event_type WHEN 'purchase' THEN 1073741823
+              |        WHEN 'view' THEN 536870911
+              |        WHEN 'click' THEN 214748364 ELSE 107374182 END)""".stripMargin),
+      doc = "S8 x sampling pillar: the reproducible per-stratum sample as " +
+        "pure SQL text — the registered Lehmer key_hash keeps the decision " +
+        "a pure function of the key (no rand()), map-only in the scan stage")
   )
 }

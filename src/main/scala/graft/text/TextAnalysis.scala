@@ -34,7 +34,10 @@ object TextAnalysis {
     * no interpreted higher-order lambda (the round-1 langId hot spot).
     */
   def stopwordCount(textCol: String, words: Seq[String]): Column =
-    regexp_count(lower(col(textCol)),
+    stopwordCount(col(textCol), words)
+
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    regexp_count(lower(text),
       lit("(?:^|\\s)(?:" + words.mkString("|") + ")(?=\\s|\\z)"))
 
   /** Small per-language stopword sets for the n-gram/stopword lang-ID
@@ -61,10 +64,12 @@ object TextAnalysis {
     * score O(n²) times — with the interpreted higher-order `filter` inside,
     * that dominated the whole corpus pass.
     */
-  def langId(textCol: String): Column = {
+  def langId(textCol: String): Column = langId(col(textCol))
+
+  def langId(text: Column): Column = {
     val scores = StopwordSets.map { case (lang, words) =>
-      lang -> stopwordCount(textCol, words)
-    } :+ ("zh" -> cjkCount(col(textCol)))
+      lang -> stopwordCount(text, words)
+    } :+ ("zh" -> cjkCount(text))
     val entries = scores.zipWithIndex.map { case ((lang, score), idx) =>
       struct(score.cast("long").as("score"),
         lit(-idx).as("neg_pri"), lit(lang).as("lang"))
@@ -78,14 +83,15 @@ object TextAnalysis {
     * ratios combined — the usual cheap pre-filter before expensive dedup /
     * model scoring. Weights are part of the engine contract.
     */
-  def qualityScore(textCol: String): Column = {
-    val text = col(textCol)
+  def qualityScore(textCol: String): Column = qualityScore(col(textCol))
+
+  def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val nChars = length(text).cast("double")
     val avgWordLen = nChars / greatest(nTok, lit(1.0))
     val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
     val punctRatio = punct / greatest(nChars, lit(1.0))
-    val sw = stopwordCount(textCol, StopwordSets.head._2).cast("double")
+    val sw = stopwordCount(text, StopwordSets.head._2).cast("double")
     val swRatio = sw / greatest(nTok, lit(1.0))
     val lenScore = least(nTok / 100.0, lit(1.0))
     val wordShape =

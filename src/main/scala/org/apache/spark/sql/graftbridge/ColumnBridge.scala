@@ -14,4 +14,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly converts the Column's whole node tree to a Catalyst
+    * expression (function registry builders need a real Expression tree
+    * — [[expression]]'s lazy ColumnNodeExpression placeholder never gets
+    * converted when returned from a registry builder and dies at
+    * codegen with INTERNAL_ERROR "Cannot generate code for expression:
+    * columnnodeexpression(...)").
+    */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

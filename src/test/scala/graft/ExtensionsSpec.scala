@@ -55,6 +55,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaFragment == viaColumn)
   }
 
+  test("text-curation functions from SQL equal the TextAnalysis columns " +
+    "(one definition, two surfaces)") {
+    GraftExtensions.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox is one of the best and a joy to all of us"),
+      (2L, "el la de que y los un perro grande corre"),
+      (3L, ""),
+      (4L, "der die und das ist ein nicht Haus Baum")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("t_ext_txt")
+    val viaSql = spark.sql(
+      """SELECT doc_id, token_count(text) AS tc, lang_id(text) AS lang,
+        |  quality_score(text) AS q FROM t_ext_txt ORDER BY doc_id""".stripMargin)
+      .as[(Long, Int, String, Double)].collect().toSeq
+    import graft.text.TextAnalysis
+    val viaColumn = docs.orderBy("doc_id")
+      .select($"doc_id", TextAnalysis.tokenCount($"text"),
+        TextAnalysis.langId($"text"), TextAnalysis.qualityScore($"text"))
+      .as[(Long, Int, String, Double)].collect().toSeq
+    assert(viaSql == viaColumn)
+    assert(viaSql.map(_._3) == Seq("en", "es", "und", "de"))
+  }
+
   test("literal-arg validation fails clearly") {
     GraftExtensions.register(spark)
     Seq("x").toDF("text").createOrReplaceTempView("t_ext3")
