@@ -41,20 +41,8 @@ object AttentionLstmForward {
   val S = 8
   val P = 3
 
-  private val Mod = 2147483647L
-  private val Seed = 99991L
-
-  private def intStream(n: Int, skip: Int): Array[Int] = {
-    var x = Seed
-    var i = 0
-    while (i < skip) { x = x * 48271L % Mod; i += 1 }
-    Array.fill(n) { x = x * 48271L % Mod; ((x % 1025L) - 512L).toInt }
-  }
-
-  private var cursor = 0
-  private def ints(n: Int): Array[Int] = {
-    val out = intStream(n, cursor); cursor += n; out
-  }
+  private val fixture = new LstmMath.LehmerFixture(99991L)
+  private def ints(n: Int): Array[Int] = fixture.ints(n)
 
   private[serve] val wink = ints(D * F)
   private[serve] val bink = ints(D)

@@ -31,20 +31,8 @@ object CnnLstmAttentionForward {
   val P = 3
   val K = 3
 
-  private val Mod = 2147483647L
-  private val Seed = 77777L
-
-  private def intStream(n: Int, skip: Int): Array[Int] = {
-    var x = Seed
-    var i = 0
-    while (i < skip) { x = x * 48271L % Mod; i += 1 }
-    Array.fill(n) { x = x * 48271L % Mod; ((x % 1025L) - 512L).toInt }
-  }
-
-  private var cursor = 0
-  private def ints(n: Int): Array[Int] = {
-    val out = intStream(n, cursor); cursor += n; out
-  }
+  private val fixture = new LstmMath.LehmerFixture(77777L)
+  private def ints(n: Int): Array[Int] = fixture.ints(n)
 
   private[serve] val wcvk = ints(C * F * K)
   private[serve] val bcvk = ints(C)

@@ -30,20 +30,8 @@ object CnnLstmForward {
   val P = 3 // prediction horizons
   val K = 3 // conv kernel size (padding 1)
 
-  private val Mod = 2147483647L
-  private val Seed = 54321L
-
-  private def intStream(n: Int, skip: Int): Array[Int] = {
-    var x = Seed
-    var i = 0
-    while (i < skip) { x = x * 48271L % Mod; i += 1 }
-    Array.fill(n) { x = x * 48271L % Mod; ((x % 1025L) - 512L).toInt }
-  }
-
-  private var cursor = 0
-  private def ints(n: Int): Array[Int] = {
-    val out = intStream(n, cursor); cursor += n; out
-  }
+  private val fixture = new LstmMath.LehmerFixture(54321L)
+  private def ints(n: Int): Array[Int] = fixture.ints(n)
 
   // conv weight layout [c][f][k] (the PyTorch [C_out, C_in, K] shape)
   private[serve] val wcvk = ints(C * F * K)

@@ -43,20 +43,8 @@ object LstmForward {
 
   // ---- fixture weights: one Lehmer stream, consumed in declaration order ----
 
-  private val Mod = 2147483647L
-  private val Seed = 12345L
-
-  private def intStream(n: Int, skip: Int): Array[Int] = {
-    var x = Seed
-    var i = 0
-    while (i < skip) { x = x * 48271L % Mod; i += 1 }
-    Array.fill(n) { x = x * 48271L % Mod; ((x % 1025L) - 512L).toInt }
-  }
-
-  private var cursor = 0
-  private def ints(n: Int): Array[Int] = {
-    val out = intStream(n, cursor); cursor += n; out
-  }
+  private val fixture = new LstmMath.LehmerFixture(12345L)
+  private def ints(n: Int): Array[Int] = fixture.ints(n)
 
   // integer weight units; double value = k/1024 (gamma = (1024+k)/1024)
   private[serve] val w1k = ints(H * F)

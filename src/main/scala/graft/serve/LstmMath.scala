@@ -12,6 +12,20 @@ private[serve] object LstmMath {
   val GeluC = 0.7978845608028654 // sqrt(2/pi), shared literal
   val Eps = 1e-5                 // LayerNorm eps (PyTorch default)
 
+  /** One fixture-weight stream per model family: Lehmer/MINSTD LCG
+    * (x ← 48271·x mod 2³¹−1) quantized to ints in [−512, 512] that the
+    * forward passes scale to exact dyadic k/1024 doubles. Stateful —
+    * each `ints(n)` call consumes the next n draws, so weight arrays
+    * must be declared in a fixed order (the scheme all four *Forward
+    * objects share; hoisted here so it lives once).
+    */
+  final class LehmerFixture(seed: Long) {
+    private val Mod = 2147483647L
+    private var x = seed
+    def ints(n: Int): Array[Int] =
+      Array.fill(n) { x = x * 48271L % Mod; ((x % 1025L) - 512L).toInt }
+  }
+
   // ---- scalar math (Scala side) ----
 
   /** tanh composed from exp — NOT `math.tanh`: the oracle engine

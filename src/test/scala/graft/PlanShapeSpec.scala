@@ -140,4 +140,67 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the pr side must be the localCheckpointed iterate (lineage " +
         s"truncated per round — the CC-loop discipline):\n$p")
   }
+
+  /** BNLJ is legitimate ONLY when the broadcast side is a bounded tiny
+    * frame (a ≤64-row anchor batch, a 1-row scalar aggregate, a learned
+    * pair vocabulary) joined non-equi by design. Every such site must be
+    * named here WITH its bound; anything unlisted is a regression.
+    */
+  private val bnljAllowed: Map[String, String] = Map(
+    "q_e_hard_negatives" -> "64-row anchor batch, non-equi by design",
+    "q_e_contrastive_pairs" -> "same 64-anchor batch posture",
+    "q_e_mmr_topk" -> "≤380-row shortlist × greedy round frames",
+    "q_e_context_pack" -> "fused ≤20-row shortlist, non-equi doc probe",
+    "q_e_hybrid_rrf" -> "≤100-row fused rank frames",
+    "q_e_fusion_gain" -> "≤10-row leg overlaps",
+    "q_t_bpe_train" -> "1-row winning-pair broadcast per merge round",
+    "q_t_bpe_apply" -> "learned pair vocabulary broadcast",
+    "q_t_bpe_merge_pairs" -> "1-row winning-pair broadcast",
+    "q_s_curriculum_phases" -> "1-row phase-cut aggregate",
+    "q_s_curriculum_phases_approx" -> "1-row sketch-cut aggregate",
+    "q_w14_latest_window" -> "1-row max-ts scalar",
+    "q_a4_histogram" -> "1-row min/max range aggregate",
+    // the retrieval family: the probe side is ONE query vector (or a
+    // ≤64-row batch) broadcast against the corpus — non-equi on purpose
+    "q_e_cosine_topk" -> "1-row query vector",
+    "q_e_ann_lsh_topk" -> "1-row query vector (band-bucketed corpus side)",
+    "q_e_ann_recall" -> "1-row query + 1-row truth aggregate",
+    "q_e_int8_topk" -> "1-row query + 1-row absmax params",
+    "q_e_ivf_topk" -> "O(nCells·dim) centroid frame",
+    "q_e_ivf_trained_topk" -> "O(nCells·dim) Lloyd-trained centroids",
+    "q_e_pq_topk" -> "O(M·K·dsub) codebook",
+    "q_e_top_component" -> "1×dim power-iterate frame",
+    "q_e_abtt_topk" -> "1×dim mu + top-component fit frames",
+    "q_e_label_centroids" -> "O(#labels)×dim centroid frame",
+    "q_sql_vector_search" -> "1-row query vector (SQL surface)",
+    // corpus-level scalar fits: a 1-row aggregate broadcast back over
+    // the corpus (the subquery-scalar posture, planned as BNLJ)
+    "q_d_group_stats" -> "always-1-row corpus rollup CTE",
+    "q_d_lsh_recall" -> "1-row truth-pair-count aggregate",
+    "q_s_temperature_mix" -> "1-row mix normalizer",
+    "q_t_bm25_topk" -> "1-row (N, avgdl) corpus stats",
+    "q_t_tfidf_top" -> "1-row doc-count aggregate",
+    "q_t_unigram_logprob" -> "1-row vocab-total aggregate",
+    "q_t_dsir_select" -> "B=1024 bucket importance weights",
+    "q_t_quality_filter_calibration" -> "1-row score-range aggregate")
+
+  test("GLOBAL: no query plans a CartesianProduct, and " +
+      "BroadcastNestedLoopJoin appears only at named, bounded sites") {
+    // The whole-surface sweep the per-query tests above can't give:
+    // ANY new query (or a refactor of an old one) that lets Catalyst
+    // fall back to an unbounded cross product fails here by name.
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      CacheScope.release(spark)
+      if (p.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (p.contains("BroadcastNestedLoopJoin") &&
+          !bnljAllowed.contains(name))
+        offenders += s"$name: unlisted BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty,
+      s"unbounded-join regressions:\n  ${offenders.mkString("\n  ")}")
+  }
 }

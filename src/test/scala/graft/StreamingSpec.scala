@@ -732,4 +732,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("pred") == 101.0)
     assert(out.head.getAs[Double]("actual") == 99.0)
   }
+
+  test("flatMapGroupsWithState survives kill-and-restart: dedup state is " +
+      "restored from the state store and output equals the uninterrupted " +
+      "run (K7 for user state, not just source offsets)") {
+    // T7/K7 proves OFFSET recovery; this pins STATE-STORE recovery: a
+    // key deduped before the crash must still flag its duplicates after
+    // restart, with first_doc pointing at the pre-crash survivor.
+    import graft.streaming.StatefulDedup
+    val srcDir = tmpDir("sd-restart-src")
+    def writeFile(name: String, rows: Seq[(Long, Long, Long)]): Unit =
+      Files.write(java.nio.file.Paths.get(srcDir, name),
+        rows.map { case (k, d, ms) =>
+          s"""{"key":$k,"doc_id":$d,"ts_ms":$ms}"""
+        }.mkString("\n").getBytes)
+    def min(m: Int): Long = 3600000L + m * 60000L
+    def run(ckpt: String, outDir: String): Unit = {
+      val docs = spark.readStream
+        .schema("key LONG, doc_id LONG, ts_ms LONG").json(srcDir)
+        .select(col("key"), col("doc_id"),
+          timestamp_millis(col("ts_ms")).as("ts"))
+        .as[StatefulDedup.DocIn]
+      val q = StatefulDedup
+        .attach(docs, watermarkDelay = "0 seconds", ttlMs = 60 * 60000L)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val (ckpt, outDir) = (tmpDir("sd-restart-ckpt"), tmpDir("sd-restart-out"))
+    // run 1: key 1 passes with doc 10, doc 11 flagged in-batch; then "crash"
+    writeFile("b1.json", Seq((1L, 10L, min(0)), (1L, 11L, min(1))))
+    run(ckpt, outDir)
+    // arrives while down: a within-TTL re-emission of key 1 + a fresh key
+    writeFile("b2.json", Seq((1L, 12L, min(2)), (2L, 20L, min(3))))
+    run(ckpt, outDir) // restart from the same checkpoint + state store
+    val got = spark.read.parquet(outDir)
+      .select("doc_id", "is_dup", "first_doc")
+      .as[(Long, Boolean, Long)].collect()
+    assert(got.length == 4, s"no loss, no reprocessing: ${got.toSeq}")
+    val byDoc = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byDoc(12L) == ((true, 10L)),
+      "post-restart duplicate is flagged against the PRE-crash survivor " +
+        "— only possible if SeenState came back from the state store")
+    assert(byDoc(20L) == ((false, 20L)), "fresh key still passes")
+    // control: the same data replayed in ONE uninterrupted run
+    val (ckpt2, outDir2) = (tmpDir("sd-ctrl-ckpt"), tmpDir("sd-ctrl-out"))
+    run(ckpt2, outDir2)
+    val ctrl = spark.read.parquet(outDir2)
+      .select("doc_id", "is_dup", "first_doc")
+      .as[(Long, Boolean, Long)].collect()
+    assert(ctrl.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq,
+      "interrupted and uninterrupted runs emit identical rows")
+  }
 }
