@@ -788,4 +788,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(ctrl.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq,
       "interrupted and uninterrupted runs emit identical rows")
   }
+
+  test("TTL dedup on the RocksDB state store: same semantics, state " +
+      "survives restart off-heap (the larger-than-memory 100TB posture)") {
+    // HDFSBackedStateStore holds every key's state on the executor heap —
+    // at 100 TB/day the TTL window's key set doesn't fit. RocksDB spills
+    // to local disk with changelog checkpointing; semantics must be
+    // IDENTICAL. newSession() scopes the provider conf so concurrently
+    // running suites keep the default store.
+    import graft.streaming.StatefulDedup
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    s2.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    val srcDir = tmpDir("rocks-src")
+    def writeFile(name: String, rows: Seq[(Long, Long, Long)]): Unit =
+      Files.write(java.nio.file.Paths.get(srcDir, name),
+        rows.map { case (k, d, ms) =>
+          s"""{"key":$k,"doc_id":$d,"ts_ms":$ms}"""
+        }.mkString("\n").getBytes)
+    def min(m: Int): Long = 3600000L + m * 60000L
+    val (ckpt, outDir) = (tmpDir("rocks-ckpt"), tmpDir("rocks-out"))
+    var sawRocksMetrics = false
+    def run(): Unit = {
+      import s2.implicits._
+      val docs = s2.readStream
+        .schema("key LONG, doc_id LONG, ts_ms LONG").json(srcDir)
+        .select(col("key"), col("doc_id"),
+          timestamp_millis(col("ts_ms")).as("ts"))
+        .as[StatefulDedup.DocIn]
+      val q = StatefulDedup
+        .attach(docs, watermarkDelay = "0 seconds", ttlMs = 60 * 60000L)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sawRocksMetrics ||= q.recentProgress.exists(
+        _.stateOperators.exists(_.customMetrics.keySet().toString
+          .contains("rocksdb")))
+    }
+    writeFile("b1.json", Seq((1L, 10L, min(0)), (1L, 11L, min(1))))
+    run()
+    writeFile("b2.json", Seq((1L, 12L, min(2)), (2L, 20L, min(3))))
+    run() // restart: SeenState must come back from RocksDB, not heap
+    assert(sawRocksMetrics,
+      "state operator must report rocksdb custom metrics — otherwise the " +
+        "test silently ran on the default heap-backed store")
+    import s2.implicits._
+    val byDoc = s2.read.parquet(outDir)
+      .select("doc_id", "is_dup", "first_doc")
+      .as[(Long, Boolean, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byDoc == Map(
+      10L -> ((false, 10L)), 11L -> ((true, 10L)),
+      12L -> ((true, 10L)), 20L -> ((false, 20L))),
+      s"identical dedup semantics on RocksDB: $byDoc")
+  }
 }
