@@ -17,16 +17,27 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val raw = if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses natively.
-      // Read nanos as long and floor-truncate to micros — the same value
-      // DuckDB produces when it reads the file (ns → us truncation), so
-      // oracle SQL can reference `ts` unmodified. Conf is set once per
-      // session (idempotent guard — no mutation race if queries ever run
-      // concurrently in one session, VERDICT r1 #7).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some driver
+      // testdata generations (which Spark 4 refuses natively) and plain
+      // TIMESTAMP(MICROS) in others — dispatch on the footer schema, not
+      // an assumption. Nanos are read as long and floor-truncated to
+      // micros — the same value DuckDB produces (ns → us truncation) —
+      // and NTZ micros are cast to the session-UTC instant type, so
+      // downstream time functions and oracle SQL see identical `ts`
+      // values either way. Conf is set once per session (idempotent
+      // guard — no mutation race if queries ever run concurrently in one
+      // session, VERDICT r1 #7).
       if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val df = spark.read.parquet(path)
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts",
+            expr("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(path)
     maybeParallelize(spark, raw, path)
   }
