@@ -503,6 +503,181 @@ object Relational extends QueryPack {
       doc = "ordered funnel (view -> click -> purchase, each stage's first " +
         "touch at/after the previous one): two stacked same-partition " +
         "windows + one aggregation = ONE shuffle on user_id, no per-stage " +
-        "self-joins; the conversion report an events warehouse serves")
+        "self-joins; the conversion report an events warehouse serves"),
+
+    // ---- SCD Type-2 dimension build from a change log ----
+    Query(
+      "q_r_scd2",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Slowly-changing-dimension (type 2) build: collapse each user's
+        // event stream to the intervals over which the tracked attribute
+        // (event_type) held, with valid_from/valid_to/version/is_current.
+        // Change detection (lag) and interval close (lead) + versioning
+        // (row_number) all ride ONE user_id partition — one shuffle, one
+        // sort, shared by both windows (the change filter preserves the
+        // sort, so no re-sort for the second window). Ties broken by
+        // event_id for a deterministic history.
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val chg = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        chg.select(
+          col("user_id"), col("event_type"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"),
+          row_number().over(w).cast("long").as("version"),
+          lead(col("ts"), 1).over(w).isNull.as("is_current"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS prev_type
+             |  FROM events),
+             |c AS (
+             |  SELECT user_id, ts, event_id, event_type FROM o
+             |  WHERE prev_type IS NULL OR prev_type <> event_type)
+             |SELECT user_id, event_type, ts AS valid_from,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |    AS is_current
+             |FROM c""".stripMargin),
+      doc = "SCD Type-2 dimension build: per-key attribute-change intervals " +
+        "(valid_from/valid_to/version/is_current) from the raw event log — " +
+        "lag change-detect, lead interval-close, row_number versioning all " +
+        "share ONE key-partitioned sort (one shuffle total); the dimension-" +
+        "history op every warehouse load needs, output O(#changes) not O(#events)"),
+
+    // ---- batch MERGE/upsert: delta batch into accumulated snapshot ----
+    Query(
+      "q_r_merge_upsert",
+      (s, dir) => {
+        // MERGE a bounded ingest batch (delta window) into the accumulated
+        // per-(user, event_type) latest-state snapshot: matched -> update
+        // (LWW), delta-only -> insert, snapshot-only -> carryover. ONE
+        // scan, ONE shuffle: both sides collapse in the same groupBy via
+        // conditional struct-max (argmax by (ts, event_id) — field order
+        // makes the max the latest row, event_id the deterministic tie-
+        // break), then a row-wise coalesce picks the winning row whole.
+        // The naive form is two self-reads + a full-outer join (three
+        // shuffles); at 100 TB the single-pass shape also never carries
+        // more than one struct per key per side through the exchange.
+        val t1 = lit("2024-01-04 00:00:00").cast("timestamp")
+        val t2 = lit("2024-01-06 00:00:00").cast("timestamp")
+        val st = struct(col("ts"), col("event_id"), col("value"))
+        val m = Tables(s, dir, "events")
+          .where(col("ts") < t2)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(
+            max(when(col("ts") < t1, st)).as("b"),
+            max(when(col("ts") >= t1, st)).as("d"))
+        m.withColumn("w", coalesce(col("d"), col("b")))
+          .select(
+            col("user_id"), col("event_type"),
+            col("w.value").as("last_value"),
+            col("w.ts").as("last_ts"),
+            when(col("d").isNull, lit("carryover"))
+              .when(col("b").isNull, lit("insert"))
+              .otherwise(lit("update")).as("change_type"))
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, event_type, ts, value,
+             |    (ts < TIMESTAMP '2024-01-04 00:00:00') AS is_base,
+             |    row_number() OVER (
+             |      PARTITION BY user_id, event_type,
+             |        (ts < TIMESTAMP '2024-01-04 00:00:00')
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-06 00:00:00'),
+             |b AS (SELECT * FROM r WHERE rn = 1 AND is_base),
+             |d AS (SELECT * FROM r WHERE rn = 1 AND NOT is_base)
+             |SELECT COALESCE(d.user_id, b.user_id) AS user_id,
+             |  COALESCE(d.event_type, b.event_type) AS event_type,
+             |  CASE WHEN d.user_id IS NOT NULL THEN d.value ELSE b.value END
+             |    AS last_value,
+             |  CASE WHEN d.user_id IS NOT NULL THEN d.ts ELSE b.ts END AS last_ts,
+             |  CASE WHEN d.user_id IS NULL THEN 'carryover'
+             |       WHEN b.user_id IS NULL THEN 'insert'
+             |       ELSE 'update' END AS change_type
+             |FROM d FULL JOIN b
+             |  ON d.user_id = b.user_id AND d.event_type = b.event_type""".stripMargin),
+      doc = "batch MERGE/upsert (LWW): one ingest-batch delta merged into the " +
+        "accumulated per-key latest-state snapshot, rows tagged insert/update/" +
+        "carryover — single scan, single shuffle via conditional struct-max " +
+        "argmax per side + row-wise coalesce, vs the naive 3-shuffle " +
+        "read-twice-full-outer-join; the incremental-table-maintenance op " +
+        "behind every warehouse MERGE INTO"),
+
+    // ---- referential-integrity audit (FK orphan scan) ----
+    Query(
+      "q_r_fk_audit",
+      (s, dir) => {
+        // Data-quality gate a pipeline runs before publishing a snapshot:
+        // per declared FK relation, orphan child rows (no parent), distinct
+        // orphan keys, null keys, and the match rate. Parent side collapses
+        // to its distinct key set BEFORE the join (partial-agg map-side),
+        // so the join carries O(#parent keys), and AQE picks broadcast vs
+        // shuffle-hash by that collapsed size — customer keys broadcast,
+        // a 100 TB orders key set shuffles. countDistinct shuffles only
+        // orphan keys (none, on healthy data).
+        def audit(child: DataFrame, ck: String, parent: DataFrame,
+            pk: String, rel: String): DataFrame =
+          child.select(col(ck).as("ckey"))
+            .join(parent.select(col(pk).as("pkey")).distinct(),
+              col("ckey") === col("pkey"), "left")
+            .agg(
+              count(lit(1)).as("child_rows"),
+              sum((col("ckey").isNotNull && col("pkey").isNull).cast("long"))
+                .as("orphan_rows"),
+              countDistinct(when(col("ckey").isNotNull && col("pkey").isNull,
+                col("ckey"))).as("orphan_keys"),
+              sum(col("ckey").isNull.cast("long")).as("null_keys"),
+              (round(sum(col("pkey").isNotNull.cast("long")) / count(lit(1)), 6)
+                + lit(0.0)).as("match_rate"))
+            .select(lit(rel).as("relation"), col("child_rows"),
+              col("orphan_rows"), col("orphan_keys"), col("null_keys"),
+              col("match_rate"))
+        audit(Tables(s, dir, "lineitem"), "l_orderkey",
+            Tables(s, dir, "orders"), "o_orderkey", "lineitem->orders")
+          .unionByName(audit(Tables(s, dir, "orders"), "o_custkey",
+            Tables(s, dir, "customer"), "c_custkey", "orders->customer"))
+          .orderBy("relation")
+      },
+      Some("""WITH lo AS (
+             |  SELECT l.l_orderkey AS ckey, o.o_orderkey AS pkey
+             |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             |    ON l.l_orderkey = o.o_orderkey),
+             |oc AS (
+             |  SELECT o.o_custkey AS ckey, c.c_custkey AS pkey
+             |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             |    ON o.o_custkey = c.c_custkey),
+             |a AS (
+             |  SELECT 'lineitem->orders' AS relation, COUNT(*) AS child_rows,
+             |    CAST(SUM(CASE WHEN ckey IS NOT NULL AND pkey IS NULL
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+             |    COUNT(DISTINCT CASE WHEN ckey IS NOT NULL AND pkey IS NULL
+             |      THEN ckey END) AS orphan_keys,
+             |    CAST(SUM(CASE WHEN ckey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS null_keys,
+             |    ROUND(SUM(CASE WHEN pkey IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             |      / COUNT(*), 6) + 0.0 AS match_rate
+             |  FROM lo
+             |  UNION ALL
+             |  SELECT 'orders->customer', COUNT(*),
+             |    CAST(SUM(CASE WHEN ckey IS NOT NULL AND pkey IS NULL
+             |      THEN 1 ELSE 0 END) AS BIGINT),
+             |    COUNT(DISTINCT CASE WHEN ckey IS NOT NULL AND pkey IS NULL
+             |      THEN ckey END),
+             |    CAST(SUM(CASE WHEN ckey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    ROUND(SUM(CASE WHEN pkey IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             |      / COUNT(*), 6) + 0.0
+             |  FROM oc)
+             |SELECT * FROM a ORDER BY relation""".stripMargin),
+      doc = "referential-integrity audit (FK orphan scan) over declared " +
+        "relations: orphan rows/keys, null keys, match rate per relation — " +
+        "parent collapses to distinct keys before the left join so AQE sizes " +
+        "broadcast vs shuffle-hash on the KEY SET, not the parent table; the " +
+        "pre-publish data-quality gate a warehouse load runs")
   )
 }
