@@ -133,7 +133,10 @@ object ScaleProbe {
       "contrastive_pairs" -> (dir => SparkEntry.queries("q_e_contrastive_pairs")(spark, dir)),
       "group_split" -> (dir => SparkEntry.queries("q_d_group_split")(spark, dir)),
       "curriculum_phases" -> (dir => SparkEntry.queries("q_s_curriculum_phases")(spark, dir)),
-      "entropy_gate" -> (dir => SparkEntry.queries("q_t_entropy_gate")(spark, dir))
+      "entropy_gate" -> (dir => SparkEntry.queries("q_t_entropy_gate")(spark, dir)),
+      "scd2" -> (dir => SparkEntry.queries("q_r_scd2")(spark, dir)),
+      "merge_upsert" -> (dir => SparkEntry.queries("q_r_merge_upsert")(spark, dir)),
+      "fk_audit" -> (dir => SparkEntry.queries("q_r_fk_audit")(spark, dir))
     )
 
     // optional arg: comma-separated op-name filter (dev iteration on a
