@@ -678,6 +678,114 @@ object Relational extends QueryPack {
         "relations: orphan rows/keys, null keys, match rate per relation — " +
         "parent collapses to distinct keys before the left join so AQE sizes " +
         "broadcast vs shuffle-hash on the KEY SET, not the parent table; the " +
-        "pre-publish data-quality gate a warehouse load runs")
+        "pre-publish data-quality gate a warehouse load runs"),
+
+    // ---- rolling active users (DAU + trailing-7-day WAU) ----
+    Query(
+      "q_a_active_users",
+      (s, dir) => {
+        // DAU and trailing-7-day WAU per day. Rolling COUNT(DISTINCT) has
+        // no mergeable partial state, so the scale shape is: collapse to
+        // distinct (day, user) FIRST (the one big shuffle, combiner-
+        // friendly), then explode each presence row into the ≤7 target
+        // days it makes active — bounded ×7 fanout on the already-
+        // collapsed frame — and count rows per target day (rows are
+        // (user, target) distinct by construction... a user present on 2
+        // source days can hit one target twice, so a second distinct on
+        // (user, target) guards it). Never a per-day self-join, never a
+        // window buffering user sets.
+        val au = Tables(s, dir, "events")
+          .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        val dau = au.groupBy("d").agg(count(lit(1)).as("dau"))
+        val maxD = au.agg(max(col("d")).as("max_d"))
+        val wau = au
+          .select(col("user_id"),
+            explode(sequence(lit(0), lit(6))).as("off"), col("d"))
+          .select(col("user_id"), date_add(col("d"), col("off")).as("day"))
+          .distinct()
+          .join(broadcast(maxD), col("day") <= col("max_d"))
+          .groupBy("day").agg(count(lit(1)).as("wau7"))
+        dau.join(wau, dau("d") === wau("day"))
+          // date32 parquet reads back as python date objects while the
+          // DuckDB side lands as datetime64 — emit TIMESTAMP on both
+          .select(col("d").cast("timestamp").as("day"), col("dau"),
+            col("wau7"))
+      },
+      Some("""WITH au AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+             |dau AS (SELECT d, COUNT(*) AS dau FROM au GROUP BY d),
+             |cov AS (
+             |  SELECT DISTINCT user_id, d + CAST(off AS INTEGER) AS day
+             |  FROM au, (SELECT unnest(range(7)) AS off) offs),
+             |wau AS (
+             |  SELECT day, COUNT(*) AS wau7 FROM cov
+             |  WHERE day <= (SELECT MAX(d) FROM au) GROUP BY day)
+             |SELECT CAST(dau.d AS TIMESTAMP) AS day, dau.dau, wau.wau7
+             |FROM dau JOIN wau ON dau.d = wau.day""".stripMargin),
+      doc = "rolling active users: DAU + trailing-7-day WAU per day — " +
+        "collapse to distinct (day, user) first, then a bounded x7 explode " +
+        "of presence rows + per-day count, instead of a rolling " +
+        "COUNT(DISTINCT) window (unmergeable state) or per-day self-joins; " +
+        "the engagement report every events warehouse serves"),
+
+    // ---- retention cohort matrix (first-seen week x week offset) ----
+    Query(
+      "q_a_retention_cohorts",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Classic retention triangle: cohort = user's first-seen ISO week;
+        // for each (cohort_week, week_offset) the distinct users still
+        // active, plus the rate vs cohort size. Collapse to distinct
+        // (user, week) first; the cohort week is a min-window over the
+        // SAME user_id partition (no second shuffle vs the join-back
+        // form); after that each (user, week) row maps to exactly one
+        // (cohort, offset) cell so count(*) IS count-distinct-users. The
+        // cohort size rides a cohort-partitioned window instead of a
+        // self-join on the offset-0 row.
+        val uw = Tables(s, dir, "events")
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("w")).distinct()
+        val cw = uw.withColumn("cohort_week",
+          min(col("w")).over(Window.partitionBy("user_id")))
+        val cells = cw
+          .select(col("cohort_week"),
+            (datediff(col("w"), col("cohort_week")) / lit(7)).cast("long")
+              .as("week_offset"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_active"))
+        cells
+          .withColumn("cohort_size",
+            max(when(col("week_offset") === 0, col("n_active")))
+              .over(Window.partitionBy("cohort_week")))
+          .select(col("cohort_week").cast("timestamp").as("cohort_week"),
+            col("week_offset"), col("n_active"), col("cohort_size"),
+            (round(col("n_active") / col("cohort_size"), 4) + lit(0.0))
+              .as("retention"))
+      },
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+             |cw AS (
+             |  SELECT user_id, w,
+             |    MIN(w) OVER (PARTITION BY user_id) AS cohort_week
+             |  FROM uw),
+             |cells AS (
+             |  SELECT cohort_week,
+             |    CAST(date_diff('day', cohort_week, w) / 7 AS BIGINT)
+             |      AS week_offset,
+             |    COUNT(*) AS n_active
+             |  FROM cw GROUP BY 1, 2)
+             |SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+             |  week_offset, n_active,
+             |  MAX(CASE WHEN week_offset = 0 THEN n_active END)
+             |    OVER (PARTITION BY cohort_week) AS cohort_size,
+             |  ROUND(n_active * 1.0 /
+             |    MAX(CASE WHEN week_offset = 0 THEN n_active END)
+             |      OVER (PARTITION BY cohort_week), 4) + 0.0 AS retention
+             |FROM cells""".stripMargin),
+      doc = "retention cohort triangle (first-seen week x week offset, " +
+        "distinct active users + rate vs cohort size): distinct (user, week) " +
+        "collapse, cohort via min-window on the SAME user partition (no " +
+        "join-back), cohort size via a cohort-partitioned window (no offset-0 " +
+        "self-join) — two shuffles total for the product-analytics staple")
   )
 }

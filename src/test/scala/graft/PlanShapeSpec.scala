@@ -182,7 +182,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_t_tfidf_top" -> "1-row doc-count aggregate",
     "q_t_unigram_logprob" -> "1-row vocab-total aggregate",
     "q_t_dsir_select" -> "B=1024 bucket importance weights",
-    "q_t_quality_filter_calibration" -> "1-row score-range aggregate")
+    "q_t_quality_filter_calibration" -> "1-row score-range aggregate",
+    "q_a_active_users" -> "1-row max-day scalar bounding the x7 explode")
 
   test("GLOBAL: no query plans a CartesianProduct, and " +
       "BroadcastNestedLoopJoin appears only at named, bounded sites") {

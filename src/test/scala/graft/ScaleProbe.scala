@@ -136,7 +136,9 @@ object ScaleProbe {
       "entropy_gate" -> (dir => SparkEntry.queries("q_t_entropy_gate")(spark, dir)),
       "scd2" -> (dir => SparkEntry.queries("q_r_scd2")(spark, dir)),
       "merge_upsert" -> (dir => SparkEntry.queries("q_r_merge_upsert")(spark, dir)),
-      "fk_audit" -> (dir => SparkEntry.queries("q_r_fk_audit")(spark, dir))
+      "fk_audit" -> (dir => SparkEntry.queries("q_r_fk_audit")(spark, dir)),
+      "active_users" -> (dir => SparkEntry.queries("q_a_active_users")(spark, dir)),
+      "retention_cohorts" -> (dir => SparkEntry.queries("q_a_retention_cohorts")(spark, dir))
     )
 
     // optional arg: comma-separated op-name filter (dev iteration on a
