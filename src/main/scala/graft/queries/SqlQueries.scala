@@ -174,6 +174,64 @@ object SqlQueries extends QueryPack {
               |        WHEN 'click' THEN 214748364 ELSE 107374182 END)""".stripMargin),
       doc = "S8 x sampling pillar: the reproducible per-stratum sample as " +
         "pure SQL text — the registered Lehmer key_hash keeps the decision " +
-        "a pure function of the key (no rand()), map-only in the scan stage")
+        "a pure function of the key (no rand()), map-only in the scan stage"),
+
+    sqlQuery("q_sql_scd2",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, ts, event_id, event_type FROM o
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS BIGINT) AS version,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    AS is_current
+        |FROM c""".stripMargin,
+      doc = "S8 x warehouse pillar: the SCD Type-2 dimension build as ONE " +
+        "shared SQL text (ANSI window syntax, verbatim in both engines) — " +
+        "lag change-detect + lead interval-close + row_number versioning on " +
+        "one key-partitioned sort; dashboards can rebuild dimension history " +
+        "without Scala"),
+
+    Query("q_sql_active_users",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        // S8 x analytics pillar: the engagement report from text SQL. Same
+        // plan shape as q_a_active_users (distinct presence collapse, then
+        // a bounded x7 explode) — only the lateral-sequence syntax differs
+        // per dialect, so the oracle carries DuckDB's unnest(range(7)).
+        s.sql(
+          """WITH au AS (
+            |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+            |dau AS (SELECT d, COUNT(*) AS dau FROM au GROUP BY d),
+            |cov AS (
+            |  SELECT DISTINCT user_id, date_add(d, off) AS day
+            |  FROM au CROSS JOIN (SELECT explode(sequence(0, 6)) AS off) offs),
+            |wau AS (
+            |  SELECT day, COUNT(*) AS wau7 FROM cov
+            |  WHERE day <= (SELECT MAX(d) FROM au) GROUP BY day)
+            |SELECT CAST(dau.d AS TIMESTAMP) AS day, dau.dau, wau.wau7
+            |FROM dau JOIN wau ON dau.d = wau.day""".stripMargin)
+      },
+      Some("""WITH au AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+             |dau AS (SELECT d, COUNT(*) AS dau FROM au GROUP BY d),
+             |cov AS (
+             |  SELECT DISTINCT user_id, d + CAST(off AS INTEGER) AS day
+             |  FROM au, (SELECT unnest(range(7)) AS off) offs),
+             |wau AS (
+             |  SELECT day, COUNT(*) AS wau7 FROM cov
+             |  WHERE day <= (SELECT MAX(d) FROM au) GROUP BY day)
+             |SELECT CAST(dau.d AS TIMESTAMP) AS day, dau.dau, wau.wau7
+             |FROM dau JOIN wau ON dau.d = wau.day""".stripMargin),
+      doc = "S8 x analytics pillar: DAU + trailing-7-day WAU from pure SQL " +
+        "text — distinct (day,user) collapse then the bounded x7 presence " +
+        "explode, never a rolling COUNT(DISTINCT) window; dialect differs " +
+        "only in the lateral sequence (explode(sequence) vs unnest(range))")
   )
 }
