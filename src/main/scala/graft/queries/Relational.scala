@@ -786,6 +786,59 @@ object Relational extends QueryPack {
         "distinct active users + rate vs cohort size): distinct (user, week) " +
         "collapse, cohort via min-window on the SAME user partition (no " +
         "join-back), cohort size via a cohort-partitioned window (no offset-0 " +
-        "self-join) — two shuffles total for the product-analytics staple")
+        "self-join) — two shuffles total for the product-analytics staple"),
+
+    // ---- last-touch revenue attribution ----
+    Query(
+      "q_a_attribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Last-touch attribution: each purchase's value is credited to
+        // the last non-purchase event type the user produced before it
+        // (the "channel"); purchases with no prior touch go to
+        // '(direct)'. ONE user_id-partitioned window (running last-
+        // ignoreNulls — O(1) state per row, no per-purchase self-join
+        // back into the history), then a ≤#channels aggregate. Revenue
+        // sums run in DECIMAL: exact and order-independent under Spark's
+        // varying partial-agg order (the VWAP discipline); the share
+        // denominator rides a whole-frame window over the tiny result.
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val rev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .withColumn("channel",
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .groupBy(coalesce(col("channel"), lit("(direct)")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("value").cast(DecimalType(28, 4))).cast("double")
+              .as("revenue"))
+        rev.withColumn("revenue_share",
+          (round(col("revenue") /
+            sum(col("revenue")).over(Window.partitionBy()), 6) + lit(0.0)))
+      },
+      Some("""WITH a AS (
+             |  SELECT user_id, ts, event_id, event_type, value,
+             |    last_value(CASE WHEN event_type <> 'purchase'
+             |        THEN event_type END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS channel
+             |  FROM events),
+             |r AS (
+             |  SELECT COALESCE(channel, '(direct)') AS channel,
+             |    COUNT(*) AS n_purchases,
+             |    CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+             |  FROM a WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT channel, n_purchases, revenue,
+             |  ROUND(revenue / SUM(revenue) OVER (), 6) + 0.0 AS revenue_share
+             |FROM r""".stripMargin),
+      doc = "last-touch revenue attribution (purchase value credited to the " +
+        "user's most recent prior non-purchase event type): one running " +
+        "last-ignoreNulls window on the user partition — O(1) state per row, " +
+        "no per-purchase history self-join — then a <=#channels DECIMAL " +
+        "aggregate (order-independent sums); the marketing-analytics staple")
   )
 }

@@ -138,7 +138,8 @@ object ScaleProbe {
       "merge_upsert" -> (dir => SparkEntry.queries("q_r_merge_upsert")(spark, dir)),
       "fk_audit" -> (dir => SparkEntry.queries("q_r_fk_audit")(spark, dir)),
       "active_users" -> (dir => SparkEntry.queries("q_a_active_users")(spark, dir)),
-      "retention_cohorts" -> (dir => SparkEntry.queries("q_a_retention_cohorts")(spark, dir))
+      "retention_cohorts" -> (dir => SparkEntry.queries("q_a_retention_cohorts")(spark, dir)),
+      "attribution" -> (dir => SparkEntry.queries("q_a_attribution")(spark, dir))
     )
 
     // optional arg: comma-separated op-name filter (dev iteration on a
