@@ -331,6 +331,66 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming DAU sketch: bit-identical to the batch fold under any " +
+      "split, and near the exact distinct count") {
+    import graft.streaming.StreamingEngagement
+    import graft.streaming.StreamingEngagement.{DayUsers, EventIn}
+    implicit val ctx = spark.sqlContext
+    // 3 days x overlapping user populations; users deliberately revisit
+    // within and across batches (idempotent max-merge must absorb both)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = (0 until 600).map { i =>
+      val day = i % 3
+      val user = (i * 37) % 180 + day * 1000L
+      EventIn(day, user,
+        new java.sql.Timestamp(base + day * 86400000L + (i % 60) * 60000L))
+    }
+    def run(splits: Seq[Seq[EventIn]]): Map[Long, (Long, Int)] = {
+      val ms = MemoryStream[EventIn]
+      val sink = s"dau_${System.nanoTime()}"
+      // the fixture interleaves 3 days inside each micro-batch, so the
+      // allowed lateness must span the interleave — a tight watermark
+      // would (correctly) drop the older days' rows as late
+      val q = StreamingEngagement.attach(ms.toDS(), "10 days",
+          ttlMs = 7L * 86400000L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", tmpDir("dau-ckpt"))
+        .start()
+      splits.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      // last emission per day = the final sketch state
+      spark.table(sink)
+        .groupBy("day")
+        .agg(max(struct(col("filled_registers"), col("users_est"))).as("s"))
+        .select(col("day"), col("s.users_est"), col("s.filled_registers"))
+        .as[(Long, Long, Int)].collect()
+        .map { case (d, e, f) => d -> ((e, f)) }.toMap
+    }
+    val a = run(Seq(events.take(7), events.slice(7, 450), events.drop(450)))
+    val b = run(Seq(events.take(333), events.drop(333)))
+    // split-invariance is EXACT: per-register max is commutative,
+    // associative, idempotent
+    assert(a == b, s"stream results differ across splits: $a vs $b")
+    // and both equal the batch fold of the same rows, register-exact
+    val batch = events.groupBy(_.day).map { case (d, rs) =>
+      val regs = StreamingEngagement.fold(Array.empty,
+        rs.iterator.map(_.user_id))
+      d -> ((StreamingEngagement.estimate(regs),
+        StreamingEngagement.filled(regs)))
+    }
+    assert(a == batch, s"stream $a vs batch fold $batch")
+    // sketch accuracy: within 5% of the exact distinct count per day
+    val exact = events.groupBy(_.day).map { case (d, rs) =>
+      d -> rs.map(_.user_id).distinct.size
+    }
+    exact.foreach { case (d, n) =>
+      val est = a(d)._1.toDouble
+      assert(math.abs(est - n) / n < 0.05,
+        s"day $d: est $est vs exact $n")
+    }
+  }
+
   test("kafka wiring is guarded: absent connector fails loud, not weird") {
     assume(!StreamIngest.kafkaConnectorAvailable,
       "connector present — the activation test below covers this env")
