@@ -839,6 +839,128 @@ object Relational extends QueryPack {
         "user's most recent prior non-purchase event type): one running " +
         "last-ignoreNulls window on the user partition — O(1) state per row, " +
         "no per-purchase history self-join — then a <=#channels DECIMAL " +
-        "aggregate (order-independent sums); the marketing-analytics staple")
+        "aggregate (order-independent sums); the marketing-analytics staple"),
+
+    // ---- ABC / Pareto revenue classification ----
+    Query(
+      "q_a_abc_pareto",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Pareto/ABC analysis: customers ranked by revenue, classified by
+        // cumulative revenue share (A ≤ 80 %, B ≤ 95 %, C rest). The
+        // global-ordered window runs over the per-customer AGGREGATE
+        // (O(#customers) rows after one partial-agg shuffle), never the
+        // fact table — that is what makes a global sort affordable at
+        // 100 TB of orders. Sums are DECIMAL (exact, order-independent);
+        // the share division happens in DOUBLE on identical exact inputs,
+        // so both engines compare identical values at the class cuts.
+        val rev = Tables(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+        val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+        val classed = rev
+          .withColumn("cum",
+            sum(col("rev")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("total",
+            sum(col("rev")).over(Window.partitionBy()))
+          .withColumn("share",
+            col("cum").cast("double") / col("total").cast("double"))
+          .withColumn("abc_class",
+            when(col("share") <= 0.80, "A")
+              .when(col("share") <= 0.95, "B").otherwise("C"))
+        classed.groupBy("abc_class")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("rev")).cast("double").as("class_revenue"),
+            (round(max(col("share")), 6) + lit(0.0)).as("cum_share_max"))
+          .orderBy("abc_class")
+      },
+      Some("""WITH rev AS (
+             |  SELECT o_custkey,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             |  FROM orders GROUP BY o_custkey),
+             |classed AS (
+             |  SELECT o_custkey, rev,
+             |    CAST(SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |      / CAST(SUM(rev) OVER () AS DOUBLE) AS share
+             |  FROM rev),
+             |tagged AS (
+             |  SELECT *, CASE WHEN share <= 0.80 THEN 'A'
+             |                 WHEN share <= 0.95 THEN 'B'
+             |                 ELSE 'C' END AS abc_class
+             |  FROM classed)
+             |SELECT abc_class, COUNT(*) AS n_customers,
+             |  CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+             |  ROUND(MAX(share), 6) + 0.0 AS cum_share_max
+             |FROM tagged GROUP BY abc_class ORDER BY abc_class""".stripMargin),
+      doc = "ABC/Pareto revenue classification (A <= 80 %, B <= 95 % " +
+        "cumulative share): the global-ordered window runs over the per-" +
+        "customer AGGREGATE (O(#customers) after one partial-agg shuffle), " +
+        "never the fact rows; DECIMAL-exact sums make the double share " +
+        "comparisons engine-identical at the class cuts"),
+
+    // ---- conversion latency (first view -> first purchase) ----
+    Query(
+      "q_a_time_to_convert",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Time-to-convert report: per user, latency from first view to
+        // first purchase AT/AFTER it (the funnel dependency), then exact
+        // latency percentiles + conversion counts. Same one-shuffle
+        // stacked-window shape as q_a_funnel_steps — the whole user
+        // history folds on one user_id partition, the percentile runs
+        // over the O(#converted-users) latency frame.
+        val w = Window.partitionBy("user_id")
+        val perUser = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .withColumn("tv",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .groupBy("user_id")
+          .agg(first("tv").as("tv"),
+            min(when(col("event_type") === "purchase"
+              && col("ts") >= col("tv"), col("ts"))).as("tp"))
+        perUser
+          .select(col("tv"), col("tp"),
+            (unix_timestamp(col("tp")) - unix_timestamp(col("tv")))
+              .as("lat_s"))
+          .agg(
+            count(lit(1)).as("n_users"),
+            sum(col("tv").isNotNull.cast("long")).as("n_viewed"),
+            sum(col("lat_s").isNotNull.cast("long")).as("n_converted"),
+            (round(expr("percentile(lat_s, 0.5)"), 4) + lit(0.0))
+              .as("p50_latency_s"),
+            (round(expr("percentile(lat_s, 0.9)"), 4) + lit(0.0))
+              .as("p90_latency_s"),
+            (round(max(col("lat_s")), 4) + lit(0.0)).as("max_latency_s"))
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, ts, event_type,
+             |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+             |      OVER (PARTITION BY user_id) AS tv
+             |  FROM events),
+             |u AS (
+             |  SELECT user_id, ANY_VALUE(tv) AS tv,
+             |    MIN(CASE WHEN event_type = 'purchase' AND ts >= tv THEN ts END)
+             |      AS tp
+             |  FROM s GROUP BY user_id),
+             |l AS (
+             |  SELECT tv, tp,
+             |    CAST(floor(epoch(tp)) AS BIGINT)
+             |      - CAST(floor(epoch(tv)) AS BIGINT) AS lat_s
+             |  FROM u)
+             |SELECT COUNT(*) AS n_users,
+             |  CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_viewed,
+             |  CAST(SUM(CASE WHEN lat_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_converted,
+             |  ROUND(quantile_cont(lat_s, 0.5), 4) + 0.0 AS p50_latency_s,
+             |  ROUND(quantile_cont(lat_s, 0.9), 4) + 0.0 AS p90_latency_s,
+             |  ROUND(MAX(lat_s), 4) + 0.0 AS max_latency_s
+             |FROM l""".stripMargin),
+      doc = "conversion-latency report (first view -> first qualifying " +
+        "purchase): stacked same-partition windows fold each user's history " +
+        "in ONE user_id shuffle (the funnel shape), exact percentiles run " +
+        "over the O(#converted) latency frame — time-to-convert is the " +
+        "metric growth teams pair with the funnel")
   )
 }

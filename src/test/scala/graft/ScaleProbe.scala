@@ -139,7 +139,9 @@ object ScaleProbe {
       "fk_audit" -> (dir => SparkEntry.queries("q_r_fk_audit")(spark, dir)),
       "active_users" -> (dir => SparkEntry.queries("q_a_active_users")(spark, dir)),
       "retention_cohorts" -> (dir => SparkEntry.queries("q_a_retention_cohorts")(spark, dir)),
-      "attribution" -> (dir => SparkEntry.queries("q_a_attribution")(spark, dir))
+      "attribution" -> (dir => SparkEntry.queries("q_a_attribution")(spark, dir)),
+      "abc_pareto" -> (dir => SparkEntry.queries("q_a_abc_pareto")(spark, dir)),
+      "time_to_convert" -> (dir => SparkEntry.queries("q_a_time_to_convert")(spark, dir))
     )
 
     // optional arg: comma-separated op-name filter (dev iteration on a
