@@ -173,6 +173,41 @@ object ApproxQueries extends QueryPack {
       doc = "curriculum phases at scale: ONE quantile sketch fits both " +
         "tercile cuts (O(1e4·log n) state, merges map-side) — the " +
         "rows-only scale twin of q_s_curriculum_phases, pinned against " +
-        "the exact phase populations in AccuracySpec")
+        "the exact phase populations in AccuracySpec"),
+
+    Query(
+      "q_a_active_users_approx",
+      (s, dir) => {
+        // The sketch twin of q_a_active_users. The exact plan must first
+        // collapse to distinct (day, user) — a shuffle carrying every
+        // presence pair. Here HLL++ partials absorb duplicates MAP-SIDE:
+        // the shuffle carries one O(kB) sketch per (partition, day), so
+        // the x7 explode runs over raw rows and still nothing user-sized
+        // crosses the wire — the shape that wins when even the presence
+        // collapse is too big. Rows-only (engines' sketches differ);
+        // AccuracySpec pins each day against the exact twin.
+        val au = ev(s, dir)
+          .select(to_date(col("ts")).as("d"), col("user_id"))
+        val dau = au.groupBy("d")
+          .agg(approx_count_distinct(col("user_id"), 0.01).as("dau_approx"))
+        val maxD = au.agg(max(col("d")).as("max_d"))
+        val wau = au
+          .select(col("user_id"),
+            explode(sequence(lit(0), lit(6))).as("off"), col("d"))
+          .select(col("user_id"), date_add(col("d"), col("off")).as("day"))
+          .join(broadcast(maxD), col("day") <= col("max_d"))
+          .groupBy("day")
+          .agg(approx_count_distinct(col("user_id"), 0.01).as("wau7_approx"))
+        dau.join(wau, dau("d") === wau("day"))
+          .select(col("d").cast("timestamp").as("day"), col("dau_approx"),
+            col("wau7_approx"))
+      },
+      None,
+      doc = "rolling active users at scale: HLL++ (rsd 1%) partials absorb " +
+        "duplicate presences map-side, so the shuffle carries O(kB) sketches " +
+        "per (partition, day) instead of every distinct (day, user) pair — " +
+        "the rows-only scale twin of q_a_active_users, per-day deltas pinned " +
+        "in AccuracySpec; pairs with streaming/StreamingEngagement for the " +
+        "continuous path")
   )
 }

@@ -92,4 +92,25 @@ class AccuracySpec extends AnyFunSuite {
         s"phase $ph: exact=${exact(ph)} approx=${approx.getOrElse(ph, 0L)}")
     }
   }
+
+  test("approx active users within HLL rsd bound of the exact DAU/WAU per day") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("q_a_active_users")(spark, dir)
+      .select("day", "dau", "wau7")
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .map { case (d, a, w) => d -> ((a, w)) }.toMap
+    val approx = SparkEntry.queries("q_a_active_users_approx")(spark, dir)
+      .select("day", "dau_approx", "wau7_approx")
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .map { case (d, a, w) => d -> ((a, w)) }.toMap
+    assert(approx.keySet == exact.keySet, "twin must cover the same days")
+    // rsd 0.01 → allow 5 sigma plus integer slack on small counts
+    exact.foreach { case (d, (dau, wau)) =>
+      val (da, wa) = approx(d)
+      assert(math.abs(da - dau) <= math.max(0.05 * dau, 3),
+        s"$d: dau exact=$dau approx=$da")
+      assert(math.abs(wa - wau) <= math.max(0.05 * wau, 3),
+        s"$d: wau exact=$wau approx=$wa")
+    }
+  }
 }
