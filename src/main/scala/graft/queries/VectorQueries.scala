@@ -46,6 +46,27 @@ object VectorQueries extends QueryPack {
        |        FROM $prev p LEFT JOIN l$i l ON l.cell = p.cid)""".stripMargin
   }
 
+  /** Per-subspace Lloyd round for the trained-PQ oracle — the
+    * [[lloydRoundSql]] shape namespaced per subspace (`s0_`/`s1_`) over
+    * the half-vector CTEs (`h` = the subspace slice, `ch` = its
+    * codebook entry). Same float32-quantized means as Spark's
+    * trainCentroids `.toFloat`.
+    */
+  private def pqLloydRoundSql(sub: Int, i: Int, half: Int): String = {
+    val prev = s"s${sub}_c${i - 1}"
+    s"""s${sub}_a$i AS (SELECT b.vec_id, b.h,
+       |         (SELECT c.cid FROM $prev c
+       |          ORDER BY list_cosine_similarity(b.h, c.ch) DESC, c.cid
+       |          LIMIT 1) AS cell
+       |       FROM s${sub}_base b),
+       |s${sub}_m$i AS (SELECT cell, j, CAST(CAST(AVG(h[j]) AS REAL) AS DOUBLE) AS m
+       |        FROM s${sub}_a$i, (SELECT unnest(range(1, ${half + 1})) AS j)
+       |        GROUP BY cell, j),
+       |s${sub}_l$i AS (SELECT cell, list(m ORDER BY j) AS ch FROM s${sub}_m$i GROUP BY cell),
+       |s${sub}_c$i AS (SELECT p.cid, COALESCE(l.ch, p.ch) AS ch
+       |        FROM $prev p LEFT JOIN s${sub}_l$i l ON l.cell = p.cid)""".stripMargin
+  }
+
   /** DuckDB replay of [[graft.functions.VectorExpressions.lshSignature]]:
     * per bit i, an explicit left fold over ascending j of
     * emb[j]·r(i,j), r from the same Knuth multiplicative hash.
@@ -290,6 +311,54 @@ object VectorQueries extends QueryPack {
         "approximate inner product, exact cosine rerank of the shortlist " +
         "only; oracle replays codebooks, assignment, ADC folds and both " +
         "top-k cuts"),
+
+    Query(
+      "q_e_pq_trained_topk",
+      (s, dir) =>
+        VectorSearch.pqTopKTrained(
+          emb(s, dir).where(col("vec_id") =!= 0), queryVec(s, dir),
+          "vec_id", "embedding", k = 10, nCodes = 16, rerank = 32,
+          iters = 2),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              |q AS (SELECT emb AS qv, emb[1:32] AS q0, emb[33:64] AS q1 FROM e WHERE vec_id = 0),
+              |s0_base AS (SELECT vec_id, emb[1:32] AS h FROM e WHERE vec_id <> 0),
+              |s1_base AS (SELECT vec_id, emb[33:64] AS h FROM e WHERE vec_id <> 0),
+              |s0_c0 AS (SELECT vec_id AS cid, h AS ch FROM s0_base WHERE vec_id < 16),
+              |s1_c0 AS (SELECT vec_id AS cid, h AS ch FROM s1_base WHERE vec_id < 16),
+              |${pqLloydRoundSql(0, 1, 32)},
+              |${pqLloydRoundSql(0, 2, 32)},
+              |${pqLloydRoundSql(1, 1, 32)},
+              |${pqLloydRoundSql(1, 2, 32)},
+              |enc AS (SELECT v.vec_id, v.emb,
+              |         (SELECT c.cid FROM s0_c2 c
+              |          ORDER BY list_cosine_similarity(v.emb[1:32], c.ch) DESC, c.cid
+              |          LIMIT 1) AS code0,
+              |         (SELECT c.cid FROM s1_c2 c
+              |          ORDER BY list_cosine_similarity(v.emb[33:64], c.ch) DESC, c.cid
+              |          LIMIT 1) AS code1
+              |       FROM e v WHERE v.vec_id <> 0),
+              |adc AS (SELECT enc.vec_id, enc.emb, enc.code0, enc.code1,
+              |         (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |            list_transform(range(1, 33), i -> q.q0[i] * c.ch[i])), (a,x) -> a + x)
+              |          FROM s0_c2 c, q WHERE c.cid = enc.code0)
+              |       + (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |            list_transform(range(1, 33), i -> q.q1[i] * c.ch[i])), (a,x) -> a + x)
+              |          FROM s1_c2 c, q WHERE c.cid = enc.code1) AS approx
+              |       FROM enc),
+              |short AS (SELECT * FROM adc ORDER BY approx DESC, vec_id LIMIT 32)
+              |SELECT s.vec_id, s.code0, s.code1,
+              |  ROUND(s.approx, 6) + 0.0 AS approx_ip,
+              |  ROUND(list_cosine_similarity(s.emb, q.qv), 6) + 0.0 AS sim
+              |FROM short s, q
+              |ORDER BY sim DESC, s.vec_id LIMIT 10""".stripMargin),
+      doc = "PQ with Lloyd-TRAINED per-subspace codebooks (2 rounds each " +
+        "half, independently — the production fit: the halves' geometry " +
+        "differs, so per-half k-means beats slicing full-vector centroids), " +
+        "then the same encode/ADC/rerank as the seeded twin; training cost " +
+        "per subspace per round = one codegen'd assignment pass + one " +
+        "(cell, dim/2) partial-agg shuffle, update collect O(nCodes*dim/2); " +
+        "oracle unrolls all four Lloyd rounds as namespaced CTEs with " +
+        "float32-quantized means"),
 
     Query(
       "q_e_index_prep",

@@ -209,14 +209,53 @@ object VectorSearch extends Serializable {
       vecCol: String, k: Int, nCodes: Int, rerank: Int): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    val qv0 = query.select(col(vecCol)).as[Seq[Float]].head()
+    val dim0 = qv0.length
+    require(dim0 % 2 == 0, s"PQ with 2 subspaces needs an even dim, got $dim0")
+    val h0 = dim0 / 2
+    val cents = seedCentroids(vecs, idCol, vecCol, nCodes)
+    pqTopKWith(vecs, query, idCol, vecCol, k, rerank,
+      cents.map(_._1), cents.map(_._2.slice(0, h0)),
+      cents.map(_._2.slice(h0, dim0)))
+  }
+
+  /** PQ fit/apply: Lloyd-train each subspace codebook independently (the
+    * production recipe — per-half k-means beats slicing full-vector
+    * centroids because the halves' geometry differs), then the standard
+    * encode/ADC/rerank. Training cost per subspace per round: one
+    * codegen'd assignment pass + one (cell, dim/2) partial-agg shuffle;
+    * the update collect is O(nCodes·dim/2) — config-sized, like IVF.
+    */
+  def pqTopKTrained(vecs: DataFrame, query: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCodes: Int, rerank: Int,
+      iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val qv = query.select(col(vecCol)).as[Seq[Float]].head()
     val dim = qv.length
     require(dim % 2 == 0, s"PQ with 2 subspaces needs an even dim, got $dim")
     val half = dim / 2
-    val cents = seedCentroids(vecs, idCol, vecCol, nCodes)
-    val ids = cents.map(_._1)
-    val cb0 = cents.map(_._2.slice(0, half))
-    val cb1 = cents.map(_._2.slice(half, dim))
+    val v0 = vecs.select(col(idCol), slice(col(vecCol), 1, half).as(vecCol))
+    val v1 = vecs.select(col(idCol),
+      slice(col(vecCol), half + 1, half).as(vecCol))
+    val t0 = trainCentroids(v0, idCol, vecCol, nCodes, iters)
+    val t1 = trainCentroids(v1, idCol, vecCol, nCodes, iters)
+    pqTopKWith(vecs, query, idCol, vecCol, k, rerank,
+      t0.map(_._1), t0.map(_._2), t1.map(_._2))
+  }
+
+  /** PQ encode/ADC/rerank against explicit per-subspace codebooks (seeded
+    * or Lloyd-trained — everything downstream is identical).
+    */
+  def pqTopKWith(vecs: DataFrame, query: DataFrame, idCol: String,
+      vecCol: String, k: Int, rerank: Int, ids: Array[Long],
+      cb0: Array[Array[Float]], cb1: Array[Array[Float]]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val qv = query.select(col(vecCol)).as[Seq[Float]].head()
+    val dim = qv.length
+    require(dim % 2 == 0, s"PQ with 2 subspaces needs an even dim, got $dim")
+    val half = dim / 2
     // ADC tables: ascending-index double fold (the cosSeq/CosineSim
     // numeric contract) so DuckDB's list_reduce replays them bit-exactly
     def dotD(a: Seq[Float], b: Array[Float]): Double = {
