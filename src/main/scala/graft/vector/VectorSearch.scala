@@ -346,4 +346,108 @@ object VectorSearch extends Serializable {
           + lit(0.0)).as("sim"))
     candCorpus.unionByName(candBatch).where(col("sim") >= threshold)
   }
+
+  // ---- IVF-PQ (coarse cells + residual product codes) --------------------
+
+  /** IVF-PQ with RESIDUAL encoding — the composition production ANN
+    * indexes actually ship (FAISS IndexIVFPQ): the coarse quantizer
+    * bounds the CANDIDATE SET (only `nProbe` cells are scanned per
+    * query), the product codes bound the MEMORY (each candidate is
+    * scored from 2 small ints via an ADC table, no per-row dot product),
+    * and encoding the residual `v − centroid(cell)` instead of `v`
+    * keeps the codebooks sharp because residuals concentrate near the
+    * origin once the coarse quantizer has soaked up the cell's mean.
+    *
+    * Determinism/replayability contract (what makes the oracle exact):
+    *  - coarse seed = [[seedCentroids]]; probe selection = the same
+    *    double-fold cosine the codegen'd expressions use;
+    *  - residuals are FLOAT subtraction (DuckDB replays as
+    *    `CAST(a − b AS REAL)` — float sub IS round(exact diff));
+    *  - residual codebooks seed from ids [nCodes, 2·nCodes): the coarse
+    *    seed rows have all-zero residuals, which would degenerate the
+    *    codebook (and zero-norm cosine is engine-defined 0.0 vs DuckDB
+    *    −1.0 — the oracle guards the candidate side explicitly);
+    *  - ADC tables are per-(probed cell, code): dot(query − centroid,
+    *    codebook entry) per half, O(nProbe·nCodes·dim) driver work
+    *    shipped as a literal map into codegen.
+    *
+    * Scale: the per-query scan is Σ probed-cell populations (the IVF
+    * contract) over 2-int codes (the PQ contract); the index build is
+    * one assignment pass + one float subtraction per vector — map-only.
+    */
+  def ivfPqTopK(vecs: DataFrame, query: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int, nProbe: Int, nCodes: Int,
+      rerank: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val qv = query.select(col(vecCol)).as[Seq[Float]].head()
+    val dim = qv.length
+    require(dim % 2 == 0, s"IVF-PQ with 2 subspaces needs an even dim, got $dim")
+    val half = dim / 2
+    val coarse = seedCentroids(vecs, idCol, vecCol, nCells)
+    val cIds = coarse.map(_._1)
+    val cVecs = coarse.map(_._2)
+    // driver-side probe pick: the same ascending double-fold cosine the
+    // codegen'd expressions use (zero-norm -> 0.0)
+    def cosFF(a: Seq[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < b.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val probes = cIds.zip(cVecs)
+      .map { case (id, c) => (id, cosFF(qv, c)) }
+      .sortBy { case (id, s) => (-s, id) }.take(nProbe).map(_._1)
+    val centMap = map(coarse.flatMap { case (id, c) =>
+      Seq(lit(id), lit(c)) }: _*)
+    val assigned = vecs
+      .withColumn("cell", graft.functions.VectorExpressions.best_cell(
+        col(vecCol), cVecs, cIds))
+      .withColumn("__res", zip_with(col(vecCol),
+        element_at(centMap, col("cell")), (a, b) => a - b))
+    // residual codebooks from ids [nCodes, 2*nCodes) — O(nCodes*dim) collect
+    val cbRows = assigned
+      .where(col(idCol) >= nCodes && col(idCol) < 2 * nCodes)
+      .select(col(idCol).cast("long"), col("__res"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    require(cbRows.nonEmpty, "no residual codebook rows")
+    val ids = cbRows.map(_._1)
+    val cb0 = cbRows.map(_._2.slice(0, half).toArray)
+    val cb1 = cbRows.map(_._2.slice(half, dim).toArray)
+    val cand = assigned.where(col("cell").isin(probes: _*))
+      .withColumn("code0", graft.functions.VectorExpressions.best_cell(
+        slice(col("__res"), 1, half), cb0, ids))
+      .withColumn("code1", graft.functions.VectorExpressions.best_cell(
+        slice(col("__res"), half + 1, half), cb1, ids))
+    def dotFD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val centById = coarse.toMap
+    def adcTable(cb: Array[Array[Float]], lo: Int, hi: Int) =
+      map(probes.flatMap { cid =>
+        val cent = centById(cid)
+        val qr = Array.tabulate(dim)(i => qv(i) - cent(i)) // FLOAT sub
+        ids.zip(cb).flatMap { case (code, cv) =>
+          Seq(lit(cid * 64 + code), lit(dotFD(qr.slice(lo, hi), cv))) }
+      }: _*)
+    val t0 = adcTable(cb0, 0, half)
+    val t1 = adcTable(cb1, half, dim)
+    val scored = cand.withColumn("__approx",
+      element_at(t0, col("cell") * 64 + col("code0")) +
+        element_at(t1, col("cell") * 64 + col("code1")))
+    val shortlist = scored.orderBy(col("__approx").desc, col(idCol))
+      .limit(rerank)
+    val qb = broadcast(query.select(col(vecCol).as("__qv")))
+    shortlist.crossJoin(qb)
+      .select(col(idCol), col("cell"), col("code0"), col("code1"),
+        (round(col("__approx"), 6) + lit(0.0)).as("approx_ip"),
+        (round(graft.functions.VectorExpressions.cosine_sim(
+          col(vecCol), col("__qv")), 6) + lit(0.0)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
 }

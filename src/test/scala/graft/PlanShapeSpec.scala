@@ -169,6 +169,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_e_ivf_topk" -> "O(nCells·dim) centroid frame",
     "q_e_ivf_trained_topk" -> "O(nCells·dim) Lloyd-trained centroids",
     "q_e_pq_topk" -> "O(M·K·dsub) codebook",
+    "q_e_pq_trained_topk" -> "same codebook posture, Lloyd-trained",
+    "q_e_ivfpq_topk" -> "1-row query rerank + O(nProbe·nCodes) ADC maps",
     "q_e_top_component" -> "1×dim power-iterate frame",
     "q_e_abtt_topk" -> "1×dim mu + top-component fit frames",
     "q_e_label_centroids" -> "O(#labels)×dim centroid frame",
