@@ -314,6 +314,82 @@ object TextQueries extends QueryPack {
         "TakeOrderedAndProject for the top slice)"),
 
     Query(
+      "q_t_zipf_audit",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Corpus-linguistics health audit per source: vocabulary size,
+        // token mass, type-token ratio, and the Zipf slope — the
+        // least-squares fit of ln(freq) ~ ln(rank) over each source's
+        // top-32 terms, computed IN-PLAN from closed-form regression
+        // sums (no ML library, no collect). Natural text sits near
+        // slope -1; templated/spammy sources drift shallow or steep —
+        // a one-row-per-source gate curation dashboards watch. Shapes:
+        // one (source, term) partial-agg shuffle absorbs the token
+        // blow-up map-side; the rk <= 32 filter is a WindowGroupLimit
+        // (per-partition top-k before the source shuffle); the fit is
+        // a 5-sum aggregate over 32 rows per source.
+        val tf = Tables(s, dir, "documents")
+          .select(col("source"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+          .where(col("term") =!= "")
+          .groupBy("source", "term").agg(count(lit(1)).as("f"))
+        val stats = tf.groupBy("source").agg(
+          count(lit(1)).as("vocab_size"),
+          sum(col("f")).as("n_tokens"))
+        val w = Window.partitionBy("source").orderBy(col("f").desc, col("term"))
+        val top = tf.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 32)
+          .select(col("source"), log(col("rk")).as("x"), log(col("f")).as("y"))
+        val fit = top.groupBy("source").agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        stats.join(fit, "source")
+          .select(col("source"), col("vocab_size"), col("n_tokens"),
+            (round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 4) + lit(0.0))
+              .as("zipf_slope"),
+            (round(col("n_tokens") / col("vocab_size"), 4) + lit(0.0))
+              .as("tokens_per_type"))
+          .orderBy("source")
+      },
+      Some("""WITH tf AS (
+             |  SELECT source, term, COUNT(*) AS f
+             |  FROM (SELECT source, unnest(list_filter(
+             |          string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS term
+             |        FROM documents)
+             |  GROUP BY source, term),
+             |stats AS (
+             |  SELECT source, COUNT(*) AS vocab_size,
+             |    CAST(SUM(f) AS BIGINT) AS n_tokens
+             |  FROM tf GROUP BY source),
+             |top AS (
+             |  SELECT source, ln(CAST(rk AS DOUBLE)) AS x,
+             |    ln(CAST(f AS DOUBLE)) AS y
+             |  FROM (SELECT source, f, term,
+             |          row_number() OVER (PARTITION BY source
+             |            ORDER BY f DESC, term) AS rk
+             |        FROM tf)
+             |  WHERE rk <= 32),
+             |fit AS (
+             |  SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             |    SUM(x*x) AS sxx, SUM(x*y) AS sxy
+             |  FROM top GROUP BY source)
+             |SELECT s.source, s.vocab_size, s.n_tokens,
+             |  ROUND((f.n*f.sxy - f.sx*f.sy) / (f.n*f.sxx - f.sx*f.sx), 4) + 0.0
+             |    AS zipf_slope,
+             |  ROUND(CAST(s.n_tokens AS DOUBLE) / s.vocab_size, 4) + 0.0
+             |    AS tokens_per_type
+             |FROM stats s JOIN fit f ON f.source = s.source
+             |ORDER BY s.source""".stripMargin),
+      doc = "Zipf/vocabulary audit per source: vocab size, token mass, " +
+        "type-token ratio, and the ln(freq)~ln(rank) least-squares slope " +
+        "over the top-32 terms computed in-plan from closed-form regression " +
+        "sums — natural text sits near -1, templated sources drift; one " +
+        "(source, term) partial-agg shuffle + a WindowGroupLimit top-k, " +
+        "the statistical gate curation dashboards watch"),
+
+    Query(
       "q_u4_data_profile",
       (s, dir) =>
         Tables(s, dir, "documents").agg(

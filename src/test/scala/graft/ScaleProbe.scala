@@ -143,7 +143,8 @@ object ScaleProbe {
       "abc_pareto" -> (dir => SparkEntry.queries("q_a_abc_pareto")(spark, dir)),
       "time_to_convert" -> (dir => SparkEntry.queries("q_a_time_to_convert")(spark, dir)),
       "pq_trained" -> (dir => SparkEntry.queries("q_e_pq_trained_topk")(spark, dir)),
-      "ivfpq" -> (dir => SparkEntry.queries("q_e_ivfpq_topk")(spark, dir))
+      "ivfpq" -> (dir => SparkEntry.queries("q_e_ivfpq_topk")(spark, dir)),
+      "zipf_audit" -> (dir => SparkEntry.queries("q_t_zipf_audit")(spark, dir))
     )
 
     // optional arg: comma-separated op-name filter (dev iteration on a
