@@ -46,6 +46,33 @@ object VectorQueries extends QueryPack {
        |        FROM $prev p LEFT JOIN l$i l ON l.cell = p.cid)""".stripMargin
   }
 
+  /** Shared seeded-PQ oracle CTE chain (codebooks → encode → ADC →
+    * shortlist) — reused verbatim by q_e_pq_topk and the recall eval so
+    * the eval replays EXACTLY the production index's plan.
+    */
+  private val pqCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT emb AS qv, emb[1:32] AS q0, emb[33:64] AS q1 FROM e WHERE vec_id = 0),
+      |cb AS (SELECT vec_id AS cid, emb[1:32] AS c0, emb[33:64] AS c1
+      |       FROM e WHERE vec_id < 16 AND vec_id <> 0),
+      |enc AS (SELECT v.vec_id, v.emb,
+      |         (SELECT c.cid FROM cb c
+      |          ORDER BY list_cosine_similarity(v.emb[1:32], c.c0) DESC, c.cid
+      |          LIMIT 1) AS code0,
+      |         (SELECT c.cid FROM cb c
+      |          ORDER BY list_cosine_similarity(v.emb[33:64], c.c1) DESC, c.cid
+      |          LIMIT 1) AS code1
+      |       FROM e v WHERE v.vec_id <> 0),
+      |adc AS (SELECT enc.vec_id, enc.emb, enc.code0, enc.code1,
+      |         (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |            list_transform(range(1, 33), i -> q.q0[i] * c.c0[i])), (a,x) -> a + x)
+      |          FROM cb c, q WHERE c.cid = enc.code0)
+      |       + (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |            list_transform(range(1, 33), i -> q.q1[i] * c.c1[i])), (a,x) -> a + x)
+      |          FROM cb c, q WHERE c.cid = enc.code1) AS approx
+      |       FROM enc),
+      |short AS (SELECT * FROM adc ORDER BY approx DESC, vec_id LIMIT 32)""".stripMargin
+
   /** Per-subspace Lloyd round for the trained-PQ oracle — the
     * [[lloydRoundSql]] shape namespaced per subspace (`s0_`/`s1_`) over
     * the half-vector CTEs (`h` = the subspace slice, `ch` = its
@@ -277,32 +304,12 @@ object VectorQueries extends QueryPack {
         VectorSearch.pqTopK(
           emb(s, dir).where(col("vec_id") =!= 0), queryVec(s, dir),
           "vec_id", "embedding", k = 10, nCodes = 16, rerank = 32),
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-             |q AS (SELECT emb AS qv, emb[1:32] AS q0, emb[33:64] AS q1 FROM e WHERE vec_id = 0),
-             |cb AS (SELECT vec_id AS cid, emb[1:32] AS c0, emb[33:64] AS c1
-             |       FROM e WHERE vec_id < 16 AND vec_id <> 0),
-             |enc AS (SELECT v.vec_id, v.emb,
-             |         (SELECT c.cid FROM cb c
-             |          ORDER BY list_cosine_similarity(v.emb[1:32], c.c0) DESC, c.cid
-             |          LIMIT 1) AS code0,
-             |         (SELECT c.cid FROM cb c
-             |          ORDER BY list_cosine_similarity(v.emb[33:64], c.c1) DESC, c.cid
-             |          LIMIT 1) AS code1
-             |       FROM e v WHERE v.vec_id <> 0),
-             |adc AS (SELECT enc.vec_id, enc.emb, enc.code0, enc.code1,
-             |         (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |            list_transform(range(1, 33), i -> q.q0[i] * c.c0[i])), (a,x) -> a + x)
-             |          FROM cb c, q WHERE c.cid = enc.code0)
-             |       + (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |            list_transform(range(1, 33), i -> q.q1[i] * c.c1[i])), (a,x) -> a + x)
-             |          FROM cb c, q WHERE c.cid = enc.code1) AS approx
-             |       FROM enc),
-             |short AS (SELECT * FROM adc ORDER BY approx DESC, vec_id LIMIT 32)
-             |SELECT s.vec_id, s.code0, s.code1,
-             |  ROUND(s.approx, 6) + 0.0 AS approx_ip,
-             |  ROUND(list_cosine_similarity(s.emb, q.qv), 6) + 0.0 AS sim
-             |FROM short s, q
-             |ORDER BY sim DESC, s.vec_id LIMIT 10""".stripMargin),
+      Some(s"""WITH $pqCtes
+              |SELECT s.vec_id, s.code0, s.code1,
+              |  ROUND(s.approx, 6) + 0.0 AS approx_ip,
+              |  ROUND(list_cosine_similarity(s.emb, q.qv), 6) + 0.0 AS sim
+              |FROM short s, q
+              |ORDER BY sim DESC, s.vec_id LIMIT 10""".stripMargin),
       doc = "product-quantization ANN (2 subspaces x 16 codes): per-half " +
         "codebook assignment via the codegen'd best_cell pass, queries " +
         "answered from the CODES through an ADC lookup table (two map " +
@@ -782,6 +789,44 @@ object VectorQueries extends QueryPack {
         "index's top-10, semi-join overlap count — the parameter-tuning " +
         "metric (bands × bits vs recall) an index build reports before " +
         "shipping; both inputs are the exact production plans"),
+
+    Query(
+      "q_e_pq_recall",
+      (s, dir) => {
+        // The recall eval for the quantized tier: exact top-10 vs the PQ
+        // index's top-10 — the codebook-size/rerank-depth tuner. Same
+        // semi-join-overlap shape as q_e_ann_recall; the oracle reuses
+        // the production PQ CTE chain verbatim, so the eval certifies
+        // exactly the plan the index serves.
+        val exact = VectorSearch.cosineTopK(
+            emb(s, dir).where(col("vec_id") =!= 0), queryVec(s, dir),
+            "vec_id", "embedding", 10)
+          .select(col("vec_id"))
+        val pq = VectorSearch.pqTopK(
+            emb(s, dir).where(col("vec_id") =!= 0), queryVec(s, dir),
+            "vec_id", "embedding", k = 10, nCodes = 16, rerank = 32)
+          .select(col("vec_id"))
+        exact.join(pq, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(10).as("k"), col("n_hits"),
+            (round(col("n_hits") / 10.0, 4) + lit(0.0)).as("recall"))
+      },
+      Some(s"""WITH $pqCtes,
+              |pq AS (SELECT s.vec_id,
+              |         ROUND(list_cosine_similarity(s.emb, q.qv), 6) + 0.0 AS sim
+              |       FROM short s, q ORDER BY sim DESC, s.vec_id LIMIT 10),
+              |exact AS (SELECT e.vec_id,
+              |            ROUND(list_cosine_similarity(e.emb, q.qv), 6) + 0.0 AS sim
+              |          FROM e, q WHERE e.vec_id <> 0
+              |          ORDER BY sim DESC, e.vec_id LIMIT 10)
+              |SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_hits,
+              |  ROUND(COUNT(*) / 10.0, 4) + 0.0 AS recall
+              |FROM exact WHERE vec_id IN (SELECT vec_id FROM pq)""".stripMargin),
+      doc = "PQ recall@10 eval: exact top-10 vs the product-quantized " +
+        "index's top-10, semi-join overlap — the codebook-size/rerank-depth " +
+        "tuning metric for the quantized tier; the oracle reuses the " +
+        "production PQ CTE chain verbatim, so the eval certifies exactly " +
+        "the plan the index serves"),
 
     Query(
       "q_e_centroid_drift",
