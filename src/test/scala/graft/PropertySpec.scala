@@ -212,4 +212,67 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("merge upsert equals a driver-side LWW reimplementation") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_r_merge_upsert")(spark, dir)
+      .select("user_id", "event_type", "last_value", "last_ts", "change_type")
+      .as[(Long, String, Double, java.sql.Timestamp, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val t1 = java.sql.Timestamp.valueOf("2024-01-04 00:00:00").getTime
+    val t2 = java.sql.Timestamp.valueOf("2024-01-06 00:00:00").getTime
+    val raw = Tables(spark, dir, "events")
+      .select("user_id", "event_type", "ts", "event_id", "value")
+      .as[(Long, String, java.sql.Timestamp, Long, Double)].collect()
+    val expect = raw.filter(_._3.getTime < t2)
+      .groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+        val base = rs.filter(_._3.getTime < t1)
+          .sortBy(r => (r._3.getTime, r._4)).lastOption
+        val delta = rs.filter(_._3.getTime >= t1)
+          .sortBy(r => (r._3.getTime, r._4)).lastOption
+        val win = delta.orElse(base).get
+        val tag =
+          if (delta.isEmpty) "carryover"
+          else if (base.isEmpty) "insert" else "update"
+        k -> ((win._5, win._3, tag))
+      }
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, v) => assert(v == expect(k), s"key $k") }
+    // all three MERGE branches must actually be exercised by the fixture
+    assert(got.values.map(_._3).toSet ==
+      Set("insert", "update", "carryover"))
+  }
+
+  test("scd2 intervals tile each user's history and match the change count") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_r_scd2")(spark, dir)
+      .select("user_id", "event_type", "valid_from", "valid_to", "version",
+        "is_current")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp],
+        Long, Boolean)].collect()
+    rows.groupBy(_._1).foreach { case (u, h0) =>
+      val h = h0.sortBy(_._5).toList
+      assert(h.map(_._5) == (1L to h.length).toList,
+        s"user $u: versions not contiguous")
+      h.sliding(2).foreach {
+        case List(a, b) =>
+          assert(a._4.contains(b._3),
+            s"user $u: interval v${a._5} does not close at v${b._5}'s start")
+          assert(a._2 != b._2,
+            s"user $u: consecutive intervals share event_type — not a change")
+        case _ => ()
+      }
+      assert(h.init.forall(!_._6) && h.last._6 && h.last._4.isEmpty,
+        s"user $u: exactly the last interval must be current and open")
+    }
+    // row count per user = driver-side change count over the raw log
+    val raw = Tables(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    val expectCounts = raw.groupBy(_._1).map { case (u, rs) =>
+      val types = rs.sortBy(r => (r._2.getTime, r._3)).map(_._4).toList
+      u -> (1 + types.zip(types.tail).count { case (a, b) => a != b })
+    }
+    assert(rows.groupBy(_._1).view.mapValues(_.length).toMap == expectCounts)
+  }
 }
