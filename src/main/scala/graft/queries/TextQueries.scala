@@ -390,6 +390,43 @@ object TextQueries extends QueryPack {
         "the statistical gate curation dashboards watch"),
 
     Query(
+      "q_t_cms_heavy_hitters",
+      (s, dir) => {
+        // Count-Min heavy hitters — the 4th mergeable summary next to
+        // HLL (distinct), GK (quantiles), and Bloom (membership). The
+        // sketch aggregate is the at-scale path for term frequencies
+        // when the (term, count) table itself is too hot to shuffle:
+        // state is a FIXED eps x confidence counter grid (~O(1/eps)
+        // ints) that merges by addition — commutative, deterministic
+        // with a fixed seed, one partial-agg pass. The exact counts
+        // ride the same scan for the error-bound report: CMS
+        // guarantees cms_n >= exact_n and overshoot <= eps * total
+        // with prob >= confidence (pinned in AccuracySpec).
+        val terms = Tables(s, dir, "documents")
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+          .where(col("term") =!= "")
+        val sketchBytes = terms
+          .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)"))
+          .head().getAs[Array[Byte]](0) // O(1/eps * ln(1/(1-conf))) bytes
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(sketchBytes))
+        val est = udf((t: String) => cms.estimateCount(t))
+        terms.groupBy("term").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("term")).limit(20)
+          .select(col("term"), col("exact_n"), est(col("term")).as("cms_n"),
+            (est(col("term")) - col("exact_n")).as("overshoot"))
+      },
+      None,
+      doc = "Count-Min heavy hitters: term frequencies from a fixed-size " +
+        "mergeable counter grid (eps 0.001, conf 0.99, seeded) — the " +
+        "at-scale path when the (term, count) table is itself too hot to " +
+        "shuffle; exact counts ride the same scan to report the per-term " +
+        "overshoot, and AccuracySpec pins the CMS bound (never " +
+        "undercounts, overshoot <= eps x total); rows-only (the sketch " +
+        "is engine-specific), completing the mergeable-summary suite " +
+        "next to HLL / GK-quantiles / Bloom"),
+
+    Query(
       "q_u4_data_profile",
       (s, dir) =>
         Tables(s, dir, "documents").agg(

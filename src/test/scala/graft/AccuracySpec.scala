@@ -93,6 +93,23 @@ class AccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("count-min heavy hitters: never undercounts, overshoot within eps * total") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_t_cms_heavy_hitters")(spark, dir)
+      .select("term", "exact_n", "cms_n", "overshoot")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length == 20)
+    val total = Tables(spark, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .where(col("t") =!= "").count()
+    rows.foreach { case (term, exact, cms, over) =>
+      assert(cms >= exact, s"'$term': CMS undercounted ($cms < $exact)")
+      assert(over == cms - exact)
+      assert(over <= math.ceil(0.001 * total).toLong + 1,
+        s"'$term': overshoot $over exceeds eps*total bound")
+    }
+  }
+
   test("approx active users within HLL rsd bound of the exact DAU/WAU per day") {
     val dir = "/root/testdata/sf0.001"
     val exact = SparkEntry.queries("q_a_active_users")(spark, dir)
