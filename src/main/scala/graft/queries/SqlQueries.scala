@@ -232,6 +232,62 @@ object SqlQueries extends QueryPack {
       doc = "S8 x analytics pillar: DAU + trailing-7-day WAU from pure SQL " +
         "text — distinct (day,user) collapse then the bounded x7 presence " +
         "explode, never a rolling COUNT(DISTINCT) window; dialect differs " +
-        "only in the lateral sequence (explode(sequence) vs unnest(range))")
+        "only in the lateral sequence (explode(sequence) vs unnest(range))"),
+
+    sqlQuery("q_sql_merge_upsert",
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    (ts < TIMESTAMP '2024-01-04 00:00:00') AS is_base,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, event_type,
+        |        (ts < TIMESTAMP '2024-01-04 00:00:00')
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-06 00:00:00'),
+        |b AS (SELECT * FROM r WHERE rn = 1 AND is_base),
+        |d AS (SELECT * FROM r WHERE rn = 1 AND NOT is_base)
+        |SELECT COALESCE(d.user_id, b.user_id) AS user_id,
+        |  COALESCE(d.event_type, b.event_type) AS event_type,
+        |  CASE WHEN d.user_id IS NOT NULL THEN d.value ELSE b.value END
+        |    AS last_value,
+        |  CASE WHEN d.user_id IS NOT NULL THEN d.ts ELSE b.ts END AS last_ts,
+        |  CASE WHEN d.user_id IS NULL THEN 'carryover'
+        |       WHEN b.user_id IS NULL THEN 'insert'
+        |       ELSE 'update' END AS change_type
+        |FROM d FULL JOIN b
+        |  ON d.user_id = b.user_id AND d.event_type = b.event_type""".stripMargin,
+      doc = "S8 x warehouse pillar: the batch MERGE/upsert as ONE shared " +
+        "ANSI text (window argmax per side + full join), verbatim in both " +
+        "engines — the DataFrame twin q_r_merge_upsert fuses the two sides " +
+        "into one conditional struct-max scan; this is the same result from " +
+        "a dashboard's SQL console"),
+
+    sqlQuery("q_sql_fk_audit",
+      """WITH lo AS (
+        |  SELECT l.l_orderkey AS ckey, o.o_orderkey AS pkey
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey),
+        |oc AS (
+        |  SELECT o.o_custkey AS ckey, c.c_custkey AS pkey
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey),
+        |a AS (
+        |  SELECT 'lineitem->orders' AS relation, COUNT(*) AS child_rows,
+        |    CAST(SUM(CASE WHEN ckey IS NOT NULL AND pkey IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+        |    COUNT(DISTINCT CASE WHEN ckey IS NOT NULL AND pkey IS NULL
+        |      THEN ckey END) AS orphan_keys
+        |  FROM lo
+        |  UNION ALL
+        |  SELECT 'orders->customer', COUNT(*),
+        |    CAST(SUM(CASE WHEN ckey IS NOT NULL AND pkey IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT CASE WHEN ckey IS NOT NULL AND pkey IS NULL
+        |      THEN ckey END)
+        |  FROM oc)
+        |SELECT * FROM a ORDER BY relation""".stripMargin,
+      doc = "S8 x data-quality pillar: the FK orphan audit as ONE shared " +
+        "ANSI text — parent sides collapse to DISTINCT key sets inside the " +
+        "text, so Catalyst still sizes broadcast vs shuffle-hash on the key " +
+        "set; the pre-publish integrity gate runnable from any SQL console")
   )
 }
