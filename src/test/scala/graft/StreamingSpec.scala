@@ -391,6 +391,58 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming Misra-Gries heavy hitters: bounded state, no overcount, " +
+      "undercount within n/(k+1), all true heavy hitters surface") {
+    import graft.streaming.StreamingHeavyHitters
+    import graft.streaming.StreamingHeavyHitters.{ShardSummary, TermIn}
+    implicit val ctx = spark.sqlContext
+    val K = 8
+    val NSHARDS = 4
+    // Zipf-ish stream: term_j appears ~600/j times — a few heavy terms,
+    // a long tail that forces constant MG evictions
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val stream = (1 to 40).flatMap { j =>
+      (0 until 600 / j).map(r => s"term$j")
+    }.zipWithIndex.map { case (t, i) =>
+      TermIn(StreamingHeavyHitters.shardOf(t, NSHARDS), t,
+        new java.sql.Timestamp(base + i * 1000L), i.toLong)
+    }
+    val ms = MemoryStream[TermIn]
+    val sink = s"mg_${System.nanoTime()}"
+    val q = StreamingHeavyHitters.attach(ms.toDS(), K)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("mg-ckpt"))
+      .start()
+    Seq(stream.take(100), stream.slice(100, 1700), stream.drop(1700))
+      .foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // final summary per shard = the one with the largest n_items
+    val finalRows = spark.table(sink)
+      .as[ShardSummary].collect()
+      .groupBy(_.shard).map { case (s, rows) => s -> rows.maxBy(_.n_items) }
+    val trueCounts = stream.groupBy(_.term)
+      .map { case (t, rs) => t -> rs.size.toLong }
+    val shardN = stream.groupBy(_.shard)
+      .map { case (s, rs) => s -> rs.size.toLong }
+    finalRows.foreach { case (s, sum) =>
+      assert(sum.entries.size <= K, s"shard $s: state exceeded k")
+      assert(sum.n_items == shardN(s))
+      val bound = shardN(s) / (K + 1)
+      sum.entries.foreach { case (t, c) =>
+        assert(c <= trueCounts(t), s"$t: MG overcounted")
+        assert(trueCounts(t) - c <= bound,
+          s"$t: undercount ${trueCounts(t) - c} exceeds n/(k+1)=$bound")
+      }
+      // coverage: every term whose true count clears the bound is present
+      trueCounts.foreach { case (t, n) =>
+        if (StreamingHeavyHitters.shardOf(t, NSHARDS) == s && n > bound)
+          assert(sum.entries.contains(t),
+            s"true heavy hitter $t (n=$n > $bound) missing from shard $s")
+      }
+    }
+  }
+
   test("kafka wiring is guarded: absent connector fails loud, not weird") {
     assume(!StreamIngest.kafkaConnectorAvailable,
       "connector present — the activation test below covers this env")
