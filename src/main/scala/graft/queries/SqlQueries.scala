@@ -288,6 +288,31 @@ object SqlQueries extends QueryPack {
       doc = "S8 x data-quality pillar: the FK orphan audit as ONE shared " +
         "ANSI text — parent sides collapse to DISTINCT key sets inside the " +
         "text, so Catalyst still sizes broadcast vs shuffle-hash on the key " +
-        "set; the pre-publish integrity gate runnable from any SQL console")
+        "set; the pre-publish integrity gate runnable from any SQL console"),
+
+    sqlQuery("q_sql_abc_pareto",
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |classed AS (
+        |  SELECT o_custkey, rev,
+        |    CAST(SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / CAST(SUM(rev) OVER () AS DOUBLE) AS share
+        |  FROM rev),
+        |tagged AS (
+        |  SELECT *, CASE WHEN share <= 0.80 THEN 'A'
+        |                 WHEN share <= 0.95 THEN 'B'
+        |                 ELSE 'C' END AS abc_class
+        |  FROM classed)
+        |SELECT abc_class, COUNT(*) AS n_customers,
+        |  CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+        |  ROUND(MAX(share), 6) + 0.0 AS cum_share_max
+        |FROM tagged GROUP BY abc_class ORDER BY abc_class""".stripMargin,
+      doc = "S8 x analytics pillar: ABC/Pareto classification as ONE shared " +
+        "ANSI text — the global-ordered window runs over the per-customer " +
+        "aggregate inside the text (O(#customers), never the fact rows), " +
+        "DECIMAL-exact sums keep the class cuts engine-identical")
   )
 }
