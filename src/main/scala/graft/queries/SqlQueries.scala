@@ -313,6 +313,61 @@ object SqlQueries extends QueryPack {
       doc = "S8 x analytics pillar: ABC/Pareto classification as ONE shared " +
         "ANSI text — the global-ordered window runs over the per-customer " +
         "aggregate inside the text (O(#customers), never the fact rows), " +
-        "DECIMAL-exact sums keep the class cuts engine-identical")
+        "DECIMAL-exact sums keep the class cuts engine-identical"),
+
+    Query("q_sql_retention_cohorts",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        // S8 x analytics pillar: the retention triangle from text SQL —
+        // same two-shuffle plan as the DataFrame twin; only the
+        // week-difference function differs per dialect (datediff vs
+        // date_diff('day', ...)).
+        s.sql(
+          """WITH uw AS (
+            |  SELECT DISTINCT user_id,
+            |    CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+            |cw AS (
+            |  SELECT user_id, w,
+            |    MIN(w) OVER (PARTITION BY user_id) AS cohort_week
+            |  FROM uw),
+            |cells AS (
+            |  SELECT cohort_week,
+            |    CAST(datediff(w, cohort_week) / 7 AS BIGINT) AS week_offset,
+            |    COUNT(*) AS n_active
+            |  FROM cw GROUP BY 1, 2)
+            |SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+            |  week_offset, n_active,
+            |  MAX(CASE WHEN week_offset = 0 THEN n_active END)
+            |    OVER (PARTITION BY cohort_week) AS cohort_size,
+            |  ROUND(n_active * 1.0 /
+            |    MAX(CASE WHEN week_offset = 0 THEN n_active END)
+            |      OVER (PARTITION BY cohort_week), 4) + 0.0 AS retention
+            |FROM cells""".stripMargin)
+      },
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+             |cw AS (
+             |  SELECT user_id, w,
+             |    MIN(w) OVER (PARTITION BY user_id) AS cohort_week
+             |  FROM uw),
+             |cells AS (
+             |  SELECT cohort_week,
+             |    CAST(date_diff('day', cohort_week, w) / 7 AS BIGINT)
+             |      AS week_offset,
+             |    COUNT(*) AS n_active
+             |  FROM cw GROUP BY 1, 2)
+             |SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+             |  week_offset, n_active,
+             |  MAX(CASE WHEN week_offset = 0 THEN n_active END)
+             |    OVER (PARTITION BY cohort_week) AS cohort_size,
+             |  ROUND(n_active * 1.0 /
+             |    MAX(CASE WHEN week_offset = 0 THEN n_active END)
+             |      OVER (PARTITION BY cohort_week), 4) + 0.0 AS retention
+             |FROM cells""".stripMargin),
+      doc = "S8 x analytics pillar: the retention cohort triangle from pure " +
+        "SQL text — distinct (user, week) collapse, cohort via min-window " +
+        "on the user partition, size via a cohort-partitioned window (two " +
+        "shuffles, no self-joins); dialect differs only in the day-diff " +
+        "function")
   )
 }
