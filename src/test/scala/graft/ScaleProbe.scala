@@ -144,7 +144,8 @@ object ScaleProbe {
       "time_to_convert" -> (dir => SparkEntry.queries("q_a_time_to_convert")(spark, dir)),
       "pq_trained" -> (dir => SparkEntry.queries("q_e_pq_trained_topk")(spark, dir)),
       "ivfpq" -> (dir => SparkEntry.queries("q_e_ivfpq_topk")(spark, dir)),
-      "zipf_audit" -> (dir => SparkEntry.queries("q_t_zipf_audit")(spark, dir))
+      "zipf_audit" -> (dir => SparkEntry.queries("q_t_zipf_audit")(spark, dir)),
+      "cms_heavy_hitters" -> (dir => SparkEntry.queries("q_t_cms_heavy_hitters")(spark, dir))
     )
 
     // optional arg: comma-separated op-name filter (dev iteration on a
