@@ -391,6 +391,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming DAU sketch survives kill-and-restart: registers restored " +
+      "from the state store, post-restart estimate covers pre-crash users") {
+    import graft.streaming.StreamingEngagement
+    import graft.streaming.StreamingEngagement.EventIn
+    val srcDir = tmpDir("dau-restart-src")
+    def writeFile(name: String, users: Range): Unit =
+      Files.write(java.nio.file.Paths.get(srcDir, name),
+        users.map { u =>
+          s"""{"day":0,"user_id":$u,"ts_ms":${3600000L + u * 1000L}}"""
+        }.mkString("\n").getBytes)
+    def run(ckpt: String, outDir: String): Unit = {
+      val events = spark.readStream
+        .schema("day LONG, user_id LONG, ts_ms LONG").json(srcDir)
+        .select(col("day"), col("user_id"),
+          timestamp_millis(col("ts_ms")).as("ts"))
+        .as[EventIn]
+      val q = StreamingEngagement
+        .attach(events, "10 days", ttlMs = 30L * 86400000L)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        // memory sinks can't recover from a checkpoint; foreachBatch can
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[StreamingEngagement.DayUsers],
+            _: Long) => df.write.mode("append").parquet(outDir); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val ckpt = tmpDir("dau-restart-ckpt")
+    writeFile("b1.json", 0 until 100)
+    run(ckpt, tmpDir("dau-restart-out1"))
+    // arrives while down: 50 users never seen before the crash
+    writeFile("b2.json", 100 until 150)
+    val out2 = tmpDir("dau-restart-out2")
+    run(ckpt, out2) // restart from the same checkpoint
+    val after = spark.read.parquet(out2)
+      .where(col("day") === 0)
+      .orderBy(col("filled_registers").desc)
+      .select("users_est", "filled_registers")
+      .as[(Long, Int)].collect().head
+    val allRegs = StreamingEngagement.fold(Array.empty,
+      (0 until 150).iterator.map(_.toLong))
+    assert(after == ((StreamingEngagement.estimate(allRegs),
+        StreamingEngagement.filled(allRegs))),
+      "post-restart emission must equal the fold over ALL 150 users — " +
+        "only possible if the registers came back from the state store")
+    val b2Only = StreamingEngagement.fold(Array.empty,
+      (100 until 150).iterator.map(_.toLong))
+    assert(StreamingEngagement.filled(b2Only) !=
+      StreamingEngagement.filled(allRegs),
+      "sanity: a state-losing run would be distinguishable")
+  }
+
   test("streaming Misra-Gries heavy hitters: bounded state, no overcount, " +
       "undercount within n/(k+1), all true heavy hitters surface") {
     import graft.streaming.StreamingHeavyHitters
