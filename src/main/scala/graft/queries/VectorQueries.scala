@@ -73,6 +73,58 @@ object VectorQueries extends QueryPack {
       |       FROM enc),
       |short AS (SELECT * FROM adc ORDER BY approx DESC, vec_id LIMIT 32)""".stripMargin
 
+  /** Shared IVF-PQ oracle CTE chain (coarse cells → probes → residuals →
+    * residual codebooks → encode → per-cell ADC → shortlist) — reused
+    * verbatim by q_e_ivfpq_topk and its recall eval.
+    */
+  private val ivfPqCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+      |base AS (SELECT vec_id, emb FROM e WHERE vec_id <> 0),
+      |c0 AS (SELECT vec_id AS cid, emb AS cemb FROM base WHERE vec_id < 16),
+      |probes AS (SELECT c.cid FROM c0 c, q
+      |           ORDER BY list_cosine_similarity(q.qv, c.cemb) DESC, c.cid
+      |           LIMIT 4),
+      |af AS (SELECT b.vec_id, b.emb,
+      |         (SELECT c.cid FROM c0 c
+      |          ORDER BY list_cosine_similarity(b.emb, c.cemb) DESC, c.cid
+      |          LIMIT 1) AS cell
+      |       FROM base b),
+      |r AS (SELECT a.vec_id, a.emb, a.cell,
+      |        list_transform(range(1, 65),
+      |          i -> CAST(CAST(a.emb[i] - c.cemb[i] AS REAL) AS DOUBLE)) AS res
+      |      FROM af a JOIN c0 c ON c.cid = a.cell),
+      |cb AS (SELECT vec_id AS code, res[1:32] AS r0, res[33:64] AS r1
+      |       FROM r WHERE vec_id >= 16 AND vec_id < 32),
+      |cand AS (SELECT * FROM r WHERE cell IN (SELECT cid FROM probes)),
+      |enc AS (SELECT v.vec_id, v.emb, v.cell, v.res,
+      |         (SELECT c.code FROM cb c
+      |          ORDER BY (CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |              list_transform(v.res[1:32], x -> x*x)), (a,b) -> a+b) = 0
+      |            THEN 0.0 ELSE list_cosine_similarity(v.res[1:32], c.r0) END) DESC,
+      |            c.code
+      |          LIMIT 1) AS code0,
+      |         (SELECT c.code FROM cb c
+      |          ORDER BY (CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |              list_transform(v.res[33:64], x -> x*x)), (a,b) -> a+b) = 0
+      |            THEN 0.0 ELSE list_cosine_similarity(v.res[33:64], c.r1) END) DESC,
+      |            c.code
+      |          LIMIT 1) AS code1
+      |       FROM cand v),
+      |qr AS (SELECT p.cid,
+      |         list_transform(range(1, 65),
+      |           i -> CAST(CAST(q.qv[i] - c.cemb[i] AS REAL) AS DOUBLE)) AS qres
+      |       FROM probes p JOIN c0 c ON c.cid = p.cid, q),
+      |adc AS (SELECT enc.vec_id, enc.emb, enc.cell, enc.code0, enc.code1,
+      |         (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |            list_transform(range(1, 33), i -> t.qres[i] * c.r0[i])), (a,x) -> a + x)
+      |          FROM qr t, cb c WHERE t.cid = enc.cell AND c.code = enc.code0)
+      |       + (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |            list_transform(range(1, 33), i -> t.qres[i + 32] * c.r1[i])), (a,x) -> a + x)
+      |          FROM qr t, cb c WHERE t.cid = enc.cell AND c.code = enc.code1) AS approx
+      |       FROM enc),
+      |short AS (SELECT * FROM adc ORDER BY approx DESC, vec_id LIMIT 32)""".stripMargin
+
   /** Per-subspace Lloyd round for the trained-PQ oracle — the
     * [[lloydRoundSql]] shape namespaced per subspace (`s0_`/`s1_`) over
     * the half-vector CTEs (`h` = the subspace slice, `ch` = its
@@ -374,57 +426,12 @@ object VectorQueries extends QueryPack {
           emb(s, dir).where(col("vec_id") =!= 0), queryVec(s, dir),
           "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4,
           nCodes = 16, rerank = 32),
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-             |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
-             |base AS (SELECT vec_id, emb FROM e WHERE vec_id <> 0),
-             |c0 AS (SELECT vec_id AS cid, emb AS cemb FROM base WHERE vec_id < 16),
-             |probes AS (SELECT c.cid FROM c0 c, q
-             |           ORDER BY list_cosine_similarity(q.qv, c.cemb) DESC, c.cid
-             |           LIMIT 4),
-             |af AS (SELECT b.vec_id, b.emb,
-             |         (SELECT c.cid FROM c0 c
-             |          ORDER BY list_cosine_similarity(b.emb, c.cemb) DESC, c.cid
-             |          LIMIT 1) AS cell
-             |       FROM base b),
-             |r AS (SELECT a.vec_id, a.emb, a.cell,
-             |        list_transform(range(1, 65),
-             |          i -> CAST(CAST(a.emb[i] - c.cemb[i] AS REAL) AS DOUBLE)) AS res
-             |      FROM af a JOIN c0 c ON c.cid = a.cell),
-             |cb AS (SELECT vec_id AS code, res[1:32] AS r0, res[33:64] AS r1
-             |       FROM r WHERE vec_id >= 16 AND vec_id < 32),
-             |cand AS (SELECT * FROM r WHERE cell IN (SELECT cid FROM probes)),
-             |enc AS (SELECT v.vec_id, v.emb, v.cell, v.res,
-             |         (SELECT c.code FROM cb c
-             |          ORDER BY (CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |              list_transform(v.res[1:32], x -> x*x)), (a,b) -> a+b) = 0
-             |            THEN 0.0 ELSE list_cosine_similarity(v.res[1:32], c.r0) END) DESC,
-             |            c.code
-             |          LIMIT 1) AS code0,
-             |         (SELECT c.code FROM cb c
-             |          ORDER BY (CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |              list_transform(v.res[33:64], x -> x*x)), (a,b) -> a+b) = 0
-             |            THEN 0.0 ELSE list_cosine_similarity(v.res[33:64], c.r1) END) DESC,
-             |            c.code
-             |          LIMIT 1) AS code1
-             |       FROM cand v),
-             |qr AS (SELECT p.cid,
-             |         list_transform(range(1, 65),
-             |           i -> CAST(CAST(q.qv[i] - c.cemb[i] AS REAL) AS DOUBLE)) AS qres
-             |       FROM probes p JOIN c0 c ON c.cid = p.cid, q),
-             |adc AS (SELECT enc.vec_id, enc.emb, enc.cell, enc.code0, enc.code1,
-             |         (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |            list_transform(range(1, 33), i -> t.qres[i] * c.r0[i])), (a,x) -> a + x)
-             |          FROM qr t, cb c WHERE t.cid = enc.cell AND c.code = enc.code0)
-             |       + (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |            list_transform(range(1, 33), i -> t.qres[i + 32] * c.r1[i])), (a,x) -> a + x)
-             |          FROM qr t, cb c WHERE t.cid = enc.cell AND c.code = enc.code1) AS approx
-             |       FROM enc),
-             |short AS (SELECT * FROM adc ORDER BY approx DESC, vec_id LIMIT 32)
-             |SELECT s.vec_id, s.cell, s.code0, s.code1,
-             |  ROUND(s.approx, 6) + 0.0 AS approx_ip,
-             |  ROUND(list_cosine_similarity(s.emb, q.qv), 6) + 0.0 AS sim
-             |FROM short s, q
-             |ORDER BY sim DESC, s.vec_id LIMIT 10""".stripMargin),
+      Some(s"""WITH $ivfPqCtes
+              |SELECT s.vec_id, s.cell, s.code0, s.code1,
+              |  ROUND(s.approx, 6) + 0.0 AS approx_ip,
+              |  ROUND(list_cosine_similarity(s.emb, q.qv), 6) + 0.0 AS sim
+              |FROM short s, q
+              |ORDER BY sim DESC, s.vec_id LIMIT 10""".stripMargin),
       doc = "IVF-PQ with RESIDUAL encoding (FAISS IndexIVFPQ shape): coarse " +
         "cells bound the CANDIDATE SET (4 of 16 probed), product codes over " +
         "v - centroid bound the MEMORY (2 small ints + per-cell ADC lookups " +
@@ -433,6 +440,44 @@ object VectorQueries extends QueryPack {
         "codebooks seed from ids [16,32) because the coarse-seed rows' own " +
         "residuals are zero, and the oracle guards the zero-residual cosine " +
         "(engine 0.0 vs DuckDB -1.0) explicitly"),
+
+    Query(
+      "q_e_ivfpq_recall",
+      (s, dir) => {
+        // Recall@10 for the COMPOSED tier — the number that tells you
+        // what the cell pruning AND the residual quantization together
+        // cost in quality, next to q_e_pq_recall (codes only) and
+        // q_e_ann_recall (LSH). Same semi-join-overlap shape; the
+        // oracle reuses the production IVF-PQ CTE chain verbatim.
+        val exact = VectorSearch.cosineTopK(
+            emb(s, dir).where(col("vec_id") =!= 0), queryVec(s, dir),
+            "vec_id", "embedding", 10)
+          .select(col("vec_id"))
+        val ivfpq = VectorSearch.ivfPqTopK(
+            emb(s, dir).where(col("vec_id") =!= 0), queryVec(s, dir),
+            "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4,
+            nCodes = 16, rerank = 32)
+          .select(col("vec_id"))
+        exact.join(ivfpq, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(10).as("k"), col("n_hits"),
+            (round(col("n_hits") / 10.0, 4) + lit(0.0)).as("recall"))
+      },
+      Some(s"""WITH $ivfPqCtes,
+              |ivfpq AS (SELECT s.vec_id,
+              |            ROUND(list_cosine_similarity(s.emb, q.qv), 6) + 0.0 AS sim
+              |          FROM short s, q ORDER BY sim DESC, s.vec_id LIMIT 10),
+              |exact AS (SELECT e.vec_id,
+              |            ROUND(list_cosine_similarity(e.emb, q.qv), 6) + 0.0 AS sim
+              |          FROM e, q WHERE e.vec_id <> 0
+              |          ORDER BY sim DESC, e.vec_id LIMIT 10)
+              |SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_hits,
+              |  ROUND(COUNT(*) / 10.0, 4) + 0.0 AS recall
+              |FROM exact WHERE vec_id IN (SELECT vec_id FROM ivfpq)""".stripMargin),
+      doc = "IVF-PQ recall@10 eval: exact top-10 vs the composed tier's " +
+        "top-10 — measures what cell pruning AND residual quantization " +
+        "together cost in quality (the nProbe/nCodes/rerank tuner); the " +
+        "oracle reuses the production IVF-PQ CTE chain verbatim"),
 
     Query(
       "q_e_index_prep",

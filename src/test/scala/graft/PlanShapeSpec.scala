@@ -166,6 +166,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_e_ann_lsh_topk" -> "1-row query vector (band-bucketed corpus side)",
     "q_e_ann_recall" -> "1-row query + 1-row truth aggregate",
     "q_e_pq_recall" -> "1-row query, both sides 10-row top-k frames",
+    "q_e_ivfpq_recall" -> "1-row query, both sides 10-row top-k frames",
     "q_e_int8_topk" -> "1-row query + 1-row absmax params",
     "q_e_ivf_topk" -> "O(nCells·dim) centroid frame",
     "q_e_ivf_trained_topk" -> "O(nCells·dim) Lloyd-trained centroids",
