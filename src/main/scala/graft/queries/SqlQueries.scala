@@ -368,6 +368,68 @@ object SqlQueries extends QueryPack {
         "SQL text — distinct (user, week) collapse, cohort via min-window " +
         "on the user partition, size via a cohort-partitioned window (two " +
         "shuffles, no self-joins); dialect differs only in the day-diff " +
-        "function")
+        "function"),
+
+    Query("q_sql_time_to_convert",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        // S8 x analytics pillar: the conversion-latency report from text
+        // SQL — same one-shuffle stacked-window fold as the DataFrame
+        // twin; dialect differs in the exact-percentile function
+        // (percentile vs quantile_cont) and epoch extraction.
+        s.sql(
+          """WITH s AS (
+            |  SELECT user_id, ts, event_type,
+            |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+            |      OVER (PARTITION BY user_id) AS tv
+            |  FROM events),
+            |u AS (
+            |  SELECT user_id, ANY_VALUE(tv) AS tv,
+            |    MIN(CASE WHEN event_type = 'purchase' AND ts >= tv THEN ts END)
+            |      AS tp
+            |  FROM s GROUP BY user_id),
+            |l AS (
+            |  SELECT tv, tp,
+            |    unix_timestamp(tp) - unix_timestamp(tv) AS lat_s
+            |  FROM u)
+            |SELECT COUNT(*) AS n_users,
+            |  CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_viewed,
+            |  CAST(SUM(CASE WHEN lat_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_converted,
+            |  ROUND(percentile(lat_s, 0.5), 4) + 0.0 AS p50_latency_s,
+            |  ROUND(percentile(lat_s, 0.9), 4) + 0.0 AS p90_latency_s,
+            |  ROUND(MAX(lat_s), 4) + 0.0 AS max_latency_s
+            |FROM l""".stripMargin)
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, ts, event_type,
+             |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+             |      OVER (PARTITION BY user_id) AS tv
+             |  FROM events),
+             |u AS (
+             |  SELECT user_id, ANY_VALUE(tv) AS tv,
+             |    MIN(CASE WHEN event_type = 'purchase' AND ts >= tv THEN ts END)
+             |      AS tp
+             |  FROM s GROUP BY user_id),
+             |l AS (
+             |  SELECT tv, tp,
+             |    CAST(floor(epoch(tp)) AS BIGINT)
+             |      - CAST(floor(epoch(tv)) AS BIGINT) AS lat_s
+             |  FROM u)
+             |SELECT COUNT(*) AS n_users,
+             |  CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_viewed,
+             |  CAST(SUM(CASE WHEN lat_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_converted,
+             |  ROUND(quantile_cont(lat_s, 0.5), 4) + 0.0 AS p50_latency_s,
+             |  ROUND(quantile_cont(lat_s, 0.9), 4) + 0.0 AS p90_latency_s,
+             |  ROUND(MAX(lat_s), 4) + 0.0 AS max_latency_s
+             |FROM l""".stripMargin),
+      doc = "S8 x analytics pillar: conversion latency (first view -> first " +
+        "qualifying purchase) from pure SQL text — one user_id shuffle via " +
+        "stacked same-partition windows, exact percentiles over the " +
+        "O(#converted) frame; dialect differs only in the percentile and " +
+        "epoch functions")
   )
 }
