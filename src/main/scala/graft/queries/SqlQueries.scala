@@ -430,6 +430,53 @@ object SqlQueries extends QueryPack {
         "qualifying purchase) from pure SQL text — one user_id shuffle via " +
         "stacked same-partition windows, exact percentiles over the " +
         "O(#converted) frame; dialect differs only in the percentile and " +
-        "epoch functions")
+        "epoch functions"),
+
+    Query("q_sql_attribution",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        // S8 x analytics pillar: last-touch attribution from text SQL —
+        // same single running-window plan as the DataFrame twin; the
+        // engines place IGNORE NULLS differently (after the call in
+        // Spark, inside the argument list in DuckDB).
+        s.sql(
+          """WITH a AS (
+            |  SELECT user_id, ts, event_id, event_type, value,
+            |    last_value(CASE WHEN event_type <> 'purchase'
+            |        THEN event_type END) IGNORE NULLS
+            |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            |      AS channel
+            |  FROM events),
+            |r AS (
+            |  SELECT COALESCE(channel, '(direct)') AS channel,
+            |    COUNT(*) AS n_purchases,
+            |    CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+            |  FROM a WHERE event_type = 'purchase' GROUP BY 1)
+            |SELECT channel, n_purchases, revenue,
+            |  ROUND(revenue / SUM(revenue) OVER (), 6) + 0.0 AS revenue_share
+            |FROM r""".stripMargin)
+      },
+      Some("""WITH a AS (
+             |  SELECT user_id, ts, event_id, event_type, value,
+             |    last_value(CASE WHEN event_type <> 'purchase'
+             |        THEN event_type END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS channel
+             |  FROM events),
+             |r AS (
+             |  SELECT COALESCE(channel, '(direct)') AS channel,
+             |    COUNT(*) AS n_purchases,
+             |    CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+             |  FROM a WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT channel, n_purchases, revenue,
+             |  ROUND(revenue / SUM(revenue) OVER (), 6) + 0.0 AS revenue_share
+             |FROM r""".stripMargin),
+      doc = "S8 x analytics pillar: last-touch attribution from pure SQL " +
+        "text — one running last-ignoreNulls window on the user partition " +
+        "+ a <=#channels DECIMAL aggregate, same plan as the DataFrame " +
+        "twin; the texts differ only in where the engines accept IGNORE " +
+        "NULLS")
   )
 }
