@@ -15,8 +15,19 @@ import duckdb
 import pandas as pd
 import numpy as np
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame):
+    """Returns (canonical_df, decimal_cols).
+
+    Decimal columns (Spark DECIMAL lands as object-dtype decimal.Decimal in
+    pandas) are converted to float so the value comparison still runs, and
+    reported separately: the DRIVER's compare is exact, so a Decimal-vs-float
+    drift hash-fails there even when every value matches. Surfacing it here
+    as DTYPE (not a string-inequality VALUE mismatch) makes the verdict
+    actionable pre-commit (VERDICT r7 #2a).
+    """
+    import decimal
     df = df.reindex(sorted(df.columns), axis=1)
+    decimal_cols = set()
     # normalize timestamps to us precision (spark writes us, duckdb may differ)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
@@ -27,8 +38,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 pass
         d = df[c].dtype
         if d == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+            if df[c].map(lambda v: isinstance(v, decimal.Decimal)).any():
+                decimal_cols.add(c)
+                df[c] = df[c].astype(float)
+            else:
+                df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    return (df.sort_values(by=list(df.columns), kind="mergesort")
+              .reset_index(drop=True), decimal_cols)
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
@@ -50,7 +66,7 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE-SQL-ERROR: {e}"
             continue
-        a, b = canon(spark_df), canon(oracle_df)
+        (a, a_dec), (b, b_dec) = canon(spark_df), canon(oracle_df)
         if list(a.columns) != list(b.columns):
             results[name] = f"SCHEMA-MISMATCH spark={list(a.columns)} oracle={list(b.columns)}"
             continue
@@ -75,7 +91,15 @@ def main():
                 if not eq.all():
                     i = int(np.argmin(eq))
                     diffs.append(f"{c}: {(~eq).sum()} cells differ, first at row {i}: {av.iloc[i]!r} vs {bv.iloc[i]!r}")
-        results[name] = "OK rows=%d" % len(a) if not diffs else "VALUE-MISMATCH " + "; ".join(diffs)
+        if diffs:
+            results[name] = "VALUE-MISMATCH " + "; ".join(diffs)
+        elif a_dec != b_dec:
+            # values equal but physical types drift — the driver's exact
+            # compare WILL hash-fail this; flag loudly as dtype, not value
+            results[name] = ("DTYPE-MISMATCH (values equal) "
+                             f"spark_decimal={sorted(a_dec)} oracle_decimal={sorted(b_dec)}")
+        else:
+            results[name] = "OK rows=%d" % len(a)
     width = max(len(n) for n in results) if results else 10
     n_ok = sum(1 for v in results.values() if v.startswith(("OK", "NO-ORACLE")))
     for name, verdict in sorted(results.items()):

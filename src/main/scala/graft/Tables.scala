@@ -16,6 +16,13 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
+    // The NTZ→TimestampType cast below interprets wall-clock micros in the
+    // session timezone; oracle equivalence (DuckDB reads NTZ as naive UTC)
+    // requires UTC. Every shipped entry point already sets it — pin it here
+    // too (idempotent, like the nanosAsLong guard) so a non-UTC caller
+    // cannot silently shift `ts` values (ADVICE r7).
+    if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = if (name == "events") {
       // events.ts has shipped as parquet TIMESTAMP(NANOS) in some driver
       // testdata generations (which Spark 4 refuses natively) and plain

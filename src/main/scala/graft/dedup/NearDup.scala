@@ -341,12 +341,16 @@ object NearDup {
         .distinct())
     // Each round references `labels` twice (join side + carry-through), so
     // the logical plan would DOUBLE per round without lineage truncation —
-    // localCheckpoint materializes the round and restarts the plan from a
-    // leaf (on a cluster with failure-tolerance needs, swap for reliable
-    // checkpoint(); same contract).
+    // localCheckpoint restarts the plan from a LogicalRDD leaf (on a
+    // cluster with failure-tolerance needs, swap for reliable
+    // checkpoint(); same contract). LAZY (eager=false): the convergence
+    // isEmpty below is already a per-round action, so it both computes
+    // and persists the round in ONE job instead of eager's
+    // checkpoint-wall + re-scan pair (VERDICT r7 #3 — under a contended
+    // host each extra serial wall pays the contention tax).
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("group_id", col("node"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -370,7 +374,7 @@ object NearDup {
             least(coalesce(col("nbr_min"), col("group_id")),
               coalesce(col("jump_min"), col("group_id"))))
             .as("group_id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val t1 = System.nanoTime()
       converged = next.where(col("group_id") =!= col("old_id")).isEmpty
       labels = next.select("node", "group_id")

@@ -38,16 +38,22 @@ object PageRank {
     val nTot = deg.agg(count(lit(1)).as("n"))
     // the iterate CARRIES (node, deg, n): each round is then exactly one
     // |E|-row join + one node-keyed agg + one tiny self-join — no
-    // per-round broadcast or degree re-aggregation. localCheckpoint per
-    // iterate (the CC-loop discipline) truncates lineage: the frame is
-    // O(nodes) small, but the un-truncated round chain re-plans
-    // adaptively under a long-lived JVM's accumulated state — measured
-    // 28 s in the bench harness vs 7 s fresh before; checkpointed
-    // iterates make the cost the data's, not the planner's
+    // per-round broadcast or degree re-aggregation. LAZY localCheckpoint
+    // per iterate (the CC-loop discipline) truncates lineage: each round's
+    // plan is compiled here against the previous round's LogicalRDD leaf,
+    // so the un-truncated round chain can never re-plan adaptively under a
+    // long-lived JVM's accumulated state (measured 28 s in the bench
+    // harness vs 7 s fresh before checkpointing landed, SCALE.md). Lazy
+    // (eager=false) keeps that planning win but drops the per-round
+    // driver-side materialization WALL eager had: under a contended host
+    // every eager wall paid the contention tax serially (driver r7 bench:
+    // 45 s vs 3 s idle — worst amplification on the surface); now the
+    // whole cascade materializes inside the consumer's one action, each
+    // round persisting as it is first computed (VERDICT r7 #3).
     var pr = deg.crossJoin(broadcast(nTot))
       .select(col("src").as("node"), col("deg"), col("n"),
         expr(s"$U div n").as("pr"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val agg = edges.join(pr, edges("src") === pr("node"))
         .select(edges("dst"), expr("pr div deg").as("c"))
@@ -57,7 +63,7 @@ object PageRank {
           (expr(s"(15 * $U) div (100 * n)")
             + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
             .as("pr"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     pr.select(col("node"), col("pr"))
   }

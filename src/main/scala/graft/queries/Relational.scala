@@ -961,6 +961,46 @@ object Relational extends QueryPack {
         "purchase): stacked same-partition windows fold each user's history " +
         "in ONE user_id shuffle (the funnel shape), exact percentiles run " +
         "over the O(#converted) latency frame — time-to-convert is the " +
-        "metric growth teams pair with the funnel")
+        "metric growth teams pair with the funnel"),
+
+    // ---- bucketed layout: the SURVEY §4 sort-elimination row, done ----
+    Query(
+      "q_r_bucketed_latest_n",
+      (s, dir) => graft.sources.BucketedLayout.latestN(s, dir, 11L, 40),
+      Some("""SELECT event_id, ts, event_type, value FROM events
+             |WHERE user_id = 11
+             |ORDER BY ts DESC, event_id DESC LIMIT 40""".stripMargin),
+      doc = "S5 on the persisted bucketed+sorted events layout (reference " +
+        "Cassandra clustering, Basic_tables.sh:16,32): the user_id " +
+        "predicate prunes the scan to ONE bucket file " +
+        "(SelectedBucketsCount 1/8, BucketedLayoutSpec asserts it) — " +
+        "7/8ths of the table never opened, the partition-key read path " +
+        "re-expressed as bucket pruning; oracle is the plain-parquet " +
+        "twin, proving the layout changes cost, not answers"),
+
+    Query(
+      "q_r_bucketed_user_activity",
+      (s, dir) => graft.sources.BucketedLayout.userActivity(s, dir)
+        .orderBy("user_id"),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |    CAST(floor(epoch(ts)) AS BIGINT)
+             |      - CAST(floor(epoch(lag(ts) OVER (
+             |          PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+             |      AS gap_s
+             |  FROM events)
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+             |  CAST(SUM(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_session_breaks,
+             |  ROUND(AVG(gap_s), 2) + 0.0 AS avg_gap_s
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
+      doc = "per-user gap/activity profile on the bucketed+sorted layout: " +
+        "the (user_id)-partitioned (ts, event_id)-ordered window AND the " +
+        "per-user aggregate both reuse the on-disk bucket hash + sort " +
+        "order — ZERO Exchange, ZERO Sort below the presentation orderBy " +
+        "(BucketedLayoutSpec asserts the plan); the layout shuffle is " +
+        "paid once at write, every per-key op after rides it — the " +
+        "Cassandra clustering contract, Spark-native")
   )
 }

@@ -47,7 +47,7 @@ object SqlQueries extends QueryPack {
     // byte fold — one query, two engines, three function surfaces
     Query("q_sql_native_fingerprint",
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        Tables.ensureRegistered(s, dir)
         s.sql("SELECT doc_id, rolling_hash(text) AS fp FROM documents")
       },
       Some("""SELECT doc_id,
@@ -60,7 +60,7 @@ object SqlQueries extends QueryPack {
 
     Query("q_sql_vector_search",
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        Tables.ensureRegistered(s, dir)
         // S8 × vector pillar: similarity search reachable from pure SQL
         // text — the codegen'd cosine_sim from the session registry over
         // the registered embeddings view; Catalyst plans the same
@@ -132,7 +132,7 @@ object SqlQueries extends QueryPack {
     // score arithmetic term for term
     Query("q_sql_quality_filter",
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        Tables.ensureRegistered(s, dir)
         s.sql(
           """SELECT doc_id, token_count(text) AS n_tokens,
             |  ROUND(quality_score(text), 4) + 0.0 AS quality
@@ -159,7 +159,7 @@ object SqlQueries extends QueryPack {
     // SQL text — key_hash from the registry, integer thresholds inline
     Query("q_sql_stratified_sample",
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        Tables.ensureRegistered(s, dir)
         s.sql(
           """SELECT event_id, event_type, value FROM events
             |WHERE key_hash(event_id) <
@@ -200,7 +200,7 @@ object SqlQueries extends QueryPack {
 
     Query("q_sql_active_users",
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        Tables.ensureRegistered(s, dir)
         // S8 x analytics pillar: the engagement report from text SQL. Same
         // plan shape as q_a_active_users (distinct presence collapse, then
         // a bounded x7 explode) — only the lateral-sequence syntax differs
@@ -317,7 +317,7 @@ object SqlQueries extends QueryPack {
 
     Query("q_sql_retention_cohorts",
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        Tables.ensureRegistered(s, dir)
         // S8 x analytics pillar: the retention triangle from text SQL —
         // same two-shuffle plan as the DataFrame twin; only the
         // week-difference function differs per dialect (datediff vs
@@ -339,9 +339,9 @@ object SqlQueries extends QueryPack {
             |  week_offset, n_active,
             |  MAX(CASE WHEN week_offset = 0 THEN n_active END)
             |    OVER (PARTITION BY cohort_week) AS cohort_size,
-            |  ROUND(n_active * 1.0 /
+            |  CAST(ROUND(n_active * 1.0 /
             |    MAX(CASE WHEN week_offset = 0 THEN n_active END)
-            |      OVER (PARTITION BY cohort_week), 4) + 0.0 AS retention
+            |      OVER (PARTITION BY cohort_week), 4) AS DOUBLE) AS retention
             |FROM cells""".stripMargin)
       },
       Some("""WITH uw AS (
@@ -372,7 +372,7 @@ object SqlQueries extends QueryPack {
 
     Query("q_sql_time_to_convert",
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        Tables.ensureRegistered(s, dir)
         // S8 x analytics pillar: the conversion-latency report from text
         // SQL — same one-shuffle stacked-window fold as the DataFrame
         // twin; dialect differs in the exact-percentile function
@@ -399,7 +399,7 @@ object SqlQueries extends QueryPack {
             |    AS n_converted,
             |  ROUND(percentile(lat_s, 0.5), 4) + 0.0 AS p50_latency_s,
             |  ROUND(percentile(lat_s, 0.9), 4) + 0.0 AS p90_latency_s,
-            |  ROUND(MAX(lat_s), 4) + 0.0 AS max_latency_s
+            |  CAST(ROUND(MAX(lat_s), 4) AS DOUBLE) AS max_latency_s
             |FROM l""".stripMargin)
       },
       Some("""WITH s AS (
@@ -424,7 +424,7 @@ object SqlQueries extends QueryPack {
              |    AS n_converted,
              |  ROUND(quantile_cont(lat_s, 0.5), 4) + 0.0 AS p50_latency_s,
              |  ROUND(quantile_cont(lat_s, 0.9), 4) + 0.0 AS p90_latency_s,
-             |  ROUND(MAX(lat_s), 4) + 0.0 AS max_latency_s
+             |  CAST(ROUND(MAX(lat_s), 4) AS DOUBLE) AS max_latency_s
              |FROM l""".stripMargin),
       doc = "S8 x analytics pillar: conversion latency (first view -> first " +
         "qualifying purchase) from pure SQL text — one user_id shuffle via " +
@@ -434,7 +434,7 @@ object SqlQueries extends QueryPack {
 
     Query("q_sql_attribution",
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        Tables.ensureRegistered(s, dir)
         // S8 x analytics pillar: last-touch attribution from text SQL —
         // same single running-window plan as the DataFrame twin; the
         // engines place IGNORE NULLS differently (after the call in

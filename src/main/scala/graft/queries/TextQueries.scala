@@ -44,6 +44,84 @@ object TextQueries extends QueryPack {
       |      WHEN s_zh >= s_en AND s_zh >= s_es AND s_zh >= s_de AND s_zh >= s_fr AND s_zh > 0 THEN 'zh'
       |      ELSE 'und' END""".stripMargin
 
+  // ---- Murmur3_x86_32 replay for the Count-Min oracle ----------------
+  // Spark's CountMinSketch hashes a string's UTF-8 bytes with its own
+  // Murmur3_x86_32 variant: 4-byte little-endian blocks, then each TAIL
+  // byte mixed individually as a sign-extended int (NOT the reference
+  // murmur3 tail), finalized with fmix(h, len); bucket_i =
+  // |int32(hash1 + i*hash2) % width| with hash2 seeded by hash1
+  // (spark-sketch CountMinSketchImpl.getHashBuckets — the seed argument
+  // only feeds the LONG path, strings ignore it). Replayed below in
+  // unsigned-32 arithmetic: BIGINT carries, HUGEINT for the 32x32
+  // multiplies, `xor`/`//`/`%` for the bit ops. DedupSpec-style
+  // validation: bit-identical to Spark's sketch on the sf0.01 corpus.
+  /** One block/tail mix step `(a, x) -> mixH1(a, mixK1(x))`, everything
+    * mod 2^32; `a` is the running h1, `x` an unsigned-32 block value.
+    */
+  private val cmsMul1 = "((CAST(x AS HUGEINT) * 3432918353) % 4294967296)"
+  private val cmsK1 =
+    s"((($cmsMul1 * 32768) % 4294967296 + $cmsMul1 // 131072) * 454882906) % 4294967296"
+  private val cmsStep =
+    s"CAST((CAST(((xor(CAST(a AS BIGINT), CAST(($cmsK1) AS BIGINT)) * 8192) % 4294967296" +
+    s" + xor(CAST(a AS BIGINT), CAST(($cmsK1) AS BIGINT)) // 524288) AS HUGEINT)" +
+    s" * 5 + 3864292196) % 4294967296 AS BIGINT)"
+  /** murmur finalizer fmix(h, len) over expression texts. */
+  private def cmsFmix(h: String, len: String): String = {
+    val f1 = s"xor($h, $len)"
+    val f2 = s"(CAST(xor($f1, ($f1) // 65536) AS HUGEINT) * 2246822507) % 4294967296"
+    val f3 = s"(CAST(xor(CAST(($f2) AS BIGINT), CAST(($f2) // 8192 AS BIGINT)) AS HUGEINT) * 3266489909) % 4294967296"
+    s"xor(CAST(($f3) AS BIGINT), CAST(($f3) // 65536 AS BIGINT))"
+  }
+  private val cmsH1 = cmsFmix(
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), ks), (a, x) -> $cmsStep)", "len")
+  private val cmsH2 = cmsFmix(
+    s"list_reduce(list_prepend(h1, ks), (a, x) -> $cmsStep)", "len")
+
+  /** The full CMS heavy-hitter oracle: replay the sketch grid (depth 7,
+    * width 2000 — Spark's eps 0.001/conf 0.99 sizing) over every distinct
+    * term, then min the 7 probed cells per top-20 term.
+    */
+  private[queries] val cmsOracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS term
+       |  FROM documents),
+       |tf AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+       |hx AS (
+       |  SELECT term, n, hex(encode(term)) AS hs, octet_length(encode(term)) AS len
+       |  FROM tf),
+       |by AS (
+       |  SELECT term, n, len, len - len % 4 AS la,
+       |    list_transform(generate_series(1, len),
+       |      i -> CAST(16*(strpos('0123456789ABCDEF', substr(hs, 2*i-1, 1))-1)
+       |         + (strpos('0123456789ABCDEF', substr(hs, 2*i, 1))-1) AS BIGINT)) AS bs
+       |  FROM hx),
+       |bk AS (
+       |  SELECT term, n, len,
+       |    list_concat(
+       |      list_transform(generate_series(1, la//4),
+       |        j -> bs[4*j-3] + 256*bs[4*j-2] + 65536*bs[4*j-1] + 16777216*bs[4*j]),
+       |      list_transform(generate_series(la+1, len),
+       |        i -> CASE WHEN bs[i] >= 128 THEN bs[i] + 4294967040 ELSE bs[i] END)) AS ks
+       |  FROM by),
+       |m1 AS (SELECT term, n, len, ks, $cmsH1 AS h1 FROM bk),
+       |m2 AS (SELECT term, n, h1, $cmsH2 AS h2 FROM m1),
+       |bu AS (
+       |  SELECT term, n,
+       |    list_transform(generate_series(0, 6),
+       |      i -> abs((CASE WHEN (h1 + i*h2) % 4294967296 >= 2147483648
+       |                THEN (h1 + i*h2) % 4294967296 - 4294967296
+       |                ELSE (h1 + i*h2) % 4294967296 END) % 2000)) AS bks
+       |  FROM m2),
+       |ex AS (SELECT term, n, unnest(generate_series(0, 6)) AS i, unnest(bks) AS b FROM bu),
+       |cells AS (SELECT i, b, CAST(SUM(n) AS BIGINT) AS cnt FROM ex GROUP BY i, b),
+       |top20 AS (SELECT term, n FROM tf ORDER BY n DESC, term LIMIT 20)
+       |SELECT e.term, CAST(e.n AS BIGINT) AS exact_n,
+       |  MIN(c.cnt) AS cms_n, MIN(c.cnt) - CAST(e.n AS BIGINT) AS overshoot
+       |FROM ex e JOIN cells c ON c.i = e.i AND c.b = e.b
+       |WHERE e.term IN (SELECT term FROM top20)
+       |GROUP BY e.term, e.n
+       |ORDER BY exact_n DESC, e.term""".stripMargin
+
   /** Token-window chunker (64-token chunks, stride 48, last chunk reaching
     * the doc end): one shared definition feeding q_t_chunk_overlap and the
     * chunk-level dedup. Map-only — explode fan-out ∝ output, no shuffle;
@@ -346,8 +424,12 @@ object TextQueries extends QueryPack {
           sum(col("x") * col("y")).as("sxy"))
         stats.join(fit, "source")
           .select(col("source"), col("vocab_size"), col("n_tokens"),
+            // nullif guard: a single-distinct-term source gives n=1, x=0
+            // → denominator 0; 0/0 is NaN in Spark but engine-defined in
+            // DuckDB, so both sides emit NULL instead (ADVICE r7)
             (round((col("n") * col("sxy") - col("sx") * col("sy")) /
-              (col("n") * col("sxx") - col("sx") * col("sx")), 4) + lit(0.0))
+              nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0)),
+              4) + lit(0.0))
               .as("zipf_slope"),
             (round(col("n_tokens") / col("vocab_size"), 4) + lit(0.0))
               .as("tokens_per_type"))
@@ -376,8 +458,8 @@ object TextQueries extends QueryPack {
              |    SUM(x*x) AS sxx, SUM(x*y) AS sxy
              |  FROM top GROUP BY source)
              |SELECT s.source, s.vocab_size, s.n_tokens,
-             |  ROUND((f.n*f.sxy - f.sx*f.sy) / (f.n*f.sxx - f.sx*f.sx), 4) + 0.0
-             |    AS zipf_slope,
+             |  ROUND((f.n*f.sxy - f.sx*f.sy)
+             |    / NULLIF(f.n*f.sxx - f.sx*f.sx, 0), 4) + 0.0 AS zipf_slope,
              |  ROUND(CAST(s.n_tokens AS DOUBLE) / s.vocab_size, 4) + 0.0
              |    AS tokens_per_type
              |FROM stats s JOIN fit f ON f.source = s.source
@@ -416,15 +498,18 @@ object TextQueries extends QueryPack {
           .select(col("term"), col("exact_n"), est(col("term")).as("cms_n"),
             (est(col("term")) - col("exact_n")).as("overshoot"))
       },
-      None,
+      Some(cmsOracleSql),
       doc = "Count-Min heavy hitters: term frequencies from a fixed-size " +
-        "mergeable counter grid (eps 0.001, conf 0.99, seeded) — the " +
+        "mergeable counter grid (eps 0.001, conf 0.99) — the " +
         "at-scale path when the (term, count) table is itself too hot to " +
         "shuffle; exact counts ride the same scan to report the per-term " +
         "overshoot, and AccuracySpec pins the CMS bound (never " +
-        "undercounts, overshoot <= eps x total); rows-only (the sketch " +
-        "is engine-specific), completing the mergeable-summary suite " +
-        "next to HLL / GK-quantiles / Bloom"),
+        "undercounts, overshoot <= eps x total). EXACT oracle: the " +
+        "sketch is deterministic (string hashing ignores the seed), so " +
+        "the DuckDB side replays Spark's Murmur3_x86_32 double-hash and " +
+        "the full depth-7 x width-2000 grid in unsigned-32 SQL " +
+        "arithmetic — hash-green, completing the mergeable-summary " +
+        "suite next to HLL / GK-quantiles / Bloom"),
 
     Query(
       "q_u4_data_profile",

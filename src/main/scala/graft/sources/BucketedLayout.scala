@@ -1,0 +1,143 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted bucketed+sorted layout for the hot time-series table — the
+  * SURVEY §4 "sort elimination" row upgraded from accepted-cost to done.
+  *
+  * The reference leans on Cassandra clustering (`Basic_tables.sh:16,32` —
+  * `CLUSTERING ORDER BY (time DESC)`): rows arrive pre-partitioned by key
+  * and pre-sorted by time, so per-key scans and latest-N reads never
+  * sort. The Spark-native equivalent is a bucketed table: pay ONE
+  * layout shuffle at write time, then
+  *
+  *  - key-equality filters prune to a single bucket's files
+  *    (`SelectedBucketsCount: 1 out of N` in the scan),
+  *  - per-key aggregations reuse the bucket hash-partitioning — no
+  *    Exchange before the agg,
+  *  - windows ordered `(key, ts, ...)` reuse the on-disk sort order —
+  *    no Exchange AND no Sort (the scan's outputOrdering satisfies the
+  *    window's requirement when each bucket is one sorted file),
+  *  - two tables bucketed on the same key sort-merge-join with neither
+  *    shuffle nor sort (BucketingSpec proves that shape).
+  *
+  * At 100 TB this is the difference between every per-user query paying
+  * the events-table shuffle and paying it once at ingest: the layout
+  * write IS the shuffle, amortized over every query that follows.
+  */
+object BucketedLayout {
+
+  val NBuckets = 8
+
+  /** Weak-keyed session memo (the `Tables.ensureRegistered` discipline):
+    * the layout is written once per (session, sfDir) and reused by every
+    * query in the run; a new JVM rebuilds it (in-memory catalog does not
+    * persist table metadata across sessions — on a real deployment this
+    * is a real metastore table written by the ingest job, not per-run).
+    */
+  private val built = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[String, String]]()
+
+  /** Idempotently persist `events` bucketed by `user_id` into [[NBuckets]]
+    * buckets, each bucket ONE file sorted by `(user_id, ts, event_id)`,
+    * and return the catalog table name. One file per bucket matters: the
+    * scan only reports its outputOrdering (enabling sort elimination)
+    * when no per-bucket merge is needed, so the writer repartitions on
+    * the bucket expression first — the repartition hash and the bucket
+    * hash are both Murmur3 on `user_id`, so every task holds exactly one
+    * bucket's rows.
+    */
+  def ensureEventsByUser(spark: SparkSession, sfDir: String): String = {
+    val memo = built.synchronized {
+      var m = built.get(spark)
+      if (m == null) { m = scala.collection.mutable.Map.empty; built.put(spark, m) }
+      m
+    }
+    // autoBucketedScan only credits exchange-elimination: a pruning-only
+    // query (filter on the bucket key, no join/agg) gets its bucketed
+    // read DISABLED by the planner ("Bucketed: false"), which also drops
+    // bucket pruning — the exact benefit S5-style point reads need. Pin
+    // it off for sessions using this layout (idempotent; only affects
+    // bucketed-table scans, and every bucketed read here wants its
+    // bucketing honored).
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    if (spark.conf.get(k, "true") != "false") spark.conf.set(k, "false")
+    // Since 3.0 the scan does not CLAIM its on-disk sort order unless this
+    // flag is on (multiple files per bucket would need a merge the scan
+    // doesn't do). The claim is only made when each bucket is at most one
+    // file — exactly what the writer below guarantees — so enabling it is
+    // sound here and is what turns the window's Sort into a no-op.
+    val k2 = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    if (spark.conf.get(k2, "false") != "true") spark.conf.set(k2, "true")
+    memo.synchronized {
+      memo.get(sfDir) match {
+        case Some(t) if spark.catalog.tableExists(t) => t
+        case _ =>
+          val name = "events_by_user_" +
+            sfDir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+          // A fresh JVM's in-memory catalog forgets the table while the
+          // warehouse directory persists on disk — saveAsTable then fails
+          // LOCATION_ALREADY_EXISTS. Drop any catalog entry AND the stale
+          // location before rebuilding (a real metastore deployment keeps
+          // the metadata and never enters this branch).
+          spark.sql(s"DROP TABLE IF EXISTS $name")
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), name)
+          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+          graft.Tables(spark, sfDir, "events")
+            .repartition(NBuckets, col("user_id"))
+            .write
+            .bucketBy(NBuckets, "user_id")
+            .sortBy("user_id", "ts", "event_id")
+            .mode(SaveMode.Overwrite)
+            .saveAsTable(name)
+          memo.put(sfDir, name)
+          name
+      }
+    }
+  }
+
+  /** S5 on the clustered layout: latest-N events for one user. The
+    * `user_id = ?` predicate prunes the scan to ONE bucket's file
+    * (`SelectedBucketsCount: 1 out of 8`) — the other 7/8ths of the
+    * table are never opened, the Cassandra partition-key read path
+    * re-expressed as bucket pruning. Unordered; callers order for
+    * display.
+    */
+  def latestN(spark: SparkSession, sfDir: String, userId: Long,
+      n: Int): DataFrame = {
+    val t = ensureEventsByUser(spark, sfDir)
+    spark.table(t)
+      .where(col("user_id") === userId)
+      .select("event_id", "ts", "event_type", "value")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(n)
+  }
+
+  /** Per-user activity profile fused with inter-event gap analysis in ONE
+    * exchange-free, sort-free plan: the window (`user_id` partition,
+    * `(ts, event_id)` order) is satisfied by the scan's bucket
+    * partitioning + on-disk sort order, and the per-user aggregate reuses
+    * the same partitioning — zero Exchange, zero Sort anywhere below the
+    * caller's final presentation orderBy. The plan a 100 TB per-key
+    * pipeline must produce: layout pays the shuffle once, every
+    * downstream per-key op rides it.
+    */
+  def userActivity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = ensureEventsByUser(spark, sfDir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spark.table(t)
+      .withColumn("gap_s",
+        col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        sum((col("gap_s") > 3600).cast("long")).as("n_session_breaks"),
+        (round(avg(col("gap_s")), 2) + lit(0.0)).as("avg_gap_s"))
+  }
+}

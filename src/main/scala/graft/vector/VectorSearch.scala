@@ -427,18 +427,23 @@ object VectorSearch extends Serializable {
       s
     }
     val centById = coarse.toMap
+    // ADC map keys pack (cell, code) as cell*stride + code. Codes are vec
+    // ids in [nCodes, 2*nCodes), so the stride is derived from that range
+    // (2*nCodes) rather than a fixed 64 — a caller passing nCodes > 32
+    // would otherwise silently collide keys across cells (ADVICE r7).
+    val stride = 2L * nCodes
     def adcTable(cb: Array[Array[Float]], lo: Int, hi: Int) =
       map(probes.flatMap { cid =>
         val cent = centById(cid)
         val qr = Array.tabulate(dim)(i => qv(i) - cent(i)) // FLOAT sub
         ids.zip(cb).flatMap { case (code, cv) =>
-          Seq(lit(cid * 64 + code), lit(dotFD(qr.slice(lo, hi), cv))) }
+          Seq(lit(cid * stride + code), lit(dotFD(qr.slice(lo, hi), cv))) }
       }: _*)
     val t0 = adcTable(cb0, 0, half)
     val t1 = adcTable(cb1, half, dim)
     val scored = cand.withColumn("__approx",
-      element_at(t0, col("cell") * 64 + col("code0")) +
-        element_at(t1, col("cell") * 64 + col("code1")))
+      element_at(t0, col("cell") * stride + col("code0")) +
+        element_at(t1, col("cell") * stride + col("code1")))
     val shortlist = scored.orderBy(col("__approx").desc, col(idCol))
       .limit(rerank)
     val qb = broadcast(query.select(col(vecCol).as("__qv")))

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape + parity proof for the persisted bucketed+sorted events
+  * layout (SURVEY §4 "sort elimination" row): the layout must change the
+  * COST (bucket pruning, no Exchange, no Sort) and not the ANSWERS
+  * (row-identical to the plain-parquet path).
+  */
+class BucketedLayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // AQE finalizes the plan only on execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("user_id filter prunes the scan to one bucket") {
+    val t = sources.BucketedLayout.ensureEventsByUser(spark, dir)
+    val plan = executedPlan(
+      spark.table(t).where(col("user_id") === 11L)
+        .select("event_id", "ts", "event_type", "value"))
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"expected single-bucket pruning:\n$plan")
+  }
+
+  test("per-user window + aggregate plan has no Exchange and no Sort") {
+    val plan = executedPlan(sources.BucketedLayout.userActivity(spark, dir))
+    assert(!plan.contains("Exchange"),
+      s"bucketed layout should satisfy the user_id partitioning:\n$plan")
+    assert(!plan.contains("Sort "),
+      s"one sorted file per bucket should satisfy the window order:\n$plan")
+  }
+
+  test("latest-N on the layout matches the plain-parquet path row-for-row") {
+    val bucketed = sources.BucketedLayout.latestN(spark, dir, 11L, 40).collect()
+    val plain = Tables(spark, dir, "events")
+      .where(col("user_id") === 11L)
+      .select("event_id", "ts", "event_type", "value")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(40).collect()
+    assert(bucketed.nonEmpty, "fixture user 11 should have events")
+    assert(bucketed.toSeq == plain.toSeq)
+  }
+
+  test("user activity on the layout matches a plain-parquet recompute") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val plain = Tables(spark, dir, "events")
+      .withColumn("gap_s",
+        col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+        sum((col("gap_s") > 3600).cast("long")).as("n_session_breaks"),
+        (round(avg(col("gap_s")), 2) + lit(0.0)).as("avg_gap_s"))
+      .orderBy("user_id").collect()
+    val bucketed = sources.BucketedLayout.userActivity(spark, dir)
+      .orderBy("user_id").collect()
+    assert(bucketed.toSeq == plain.toSeq)
+  }
+}
