@@ -1001,6 +1001,37 @@ object Relational extends QueryPack {
         "order — ZERO Exchange, ZERO Sort below the presentation orderBy " +
         "(BucketedLayoutSpec asserts the plan); the layout shuffle is " +
         "paid once at write, every per-key op after rides it — the " +
-        "Cassandra clustering contract, Spark-native")
+        "Cassandra clustering contract, Spark-native"),
+
+    Query(
+      "q_r_bucketed_join",
+      (s, dir) => graft.sources.BucketedLayout.tierSpend(s, dir)
+        .orderBy("tier"),
+      Some("""WITH tiers AS (
+             |  SELECT user_id,
+             |    SUM(CASE WHEN event_type = 'purchase'
+             |        THEN CAST(value AS DECIMAL(28,4))
+             |        ELSE CAST(0 AS DECIMAL(28,4)) END) AS spend
+             |  FROM events GROUP BY user_id),
+             |tagged AS (
+             |  SELECT user_id,
+             |    CASE WHEN spend >= 1000 THEN 'gold'
+             |         WHEN spend >= 100 THEN 'silver'
+             |         ELSE 'bronze' END AS tier
+             |  FROM tiers)
+             |SELECT t.tier, COUNT(*) AS n_purchases,
+             |  COUNT(DISTINCT e.user_id) AS n_users,
+             |  ROUND(CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE), 2)
+             |    + 0.0 AS revenue
+             |FROM events e JOIN tagged t ON t.user_id = e.user_id
+             |WHERE e.event_type = 'purchase'
+             |GROUP BY t.tier ORDER BY t.tier""".stripMargin),
+      doc = "co-located fact x dim join on the bucketed layout: events and " +
+        "the derived user-tier table are bucketed on the SAME (user_id, 8) " +
+        "so the sort-merge join runs bucket-to-bucket with NO Exchange and " +
+        "NO Sort on either side (BucketedLayoutSpec asserts the plan) — " +
+        "the standing per-run enrichment shuffle paid once at layout-write " +
+        "time; tier cuts and revenue use DECIMAL-exact sums (the VWAP " +
+        "discipline) so boundary users can't flip between engines")
   )
 }

@@ -116,6 +116,80 @@ object BucketedLayout {
       .limit(n)
   }
 
+  /** Companion dimension table for the co-located join: per-user value
+    * tiers derived from orders-style spend, bucketed on the SAME key with
+    * the SAME bucket count as the events layout. Co-bucketing is the
+    * whole point — equal (nBuckets, key) lets the join run bucket-to-
+    * bucket with no shuffle on either side, and one sorted file per
+    * bucket removes the SMJ's sorts too.
+    */
+  def ensureUserTiers(spark: SparkSession, sfDir: String): String = {
+    val memo = built.synchronized {
+      var m = built.get(spark)
+      if (m == null) { m = scala.collection.mutable.Map.empty; built.put(spark, m) }
+      m
+    }
+    val key = sfDir + "#tiers"
+    memo.synchronized {
+      memo.get(key) match {
+        case Some(t) if spark.catalog.tableExists(t) => t
+        case _ =>
+          val name = "user_tiers_" +
+            sfDir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+          spark.sql(s"DROP TABLE IF EXISTS $name")
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), name)
+          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+          // DECIMAL-exact spend (the VWAP discipline): the tier cuts are
+          // threshold compares, and a float sum's order-dependent last
+          // bits could flip a user sitting exactly on a boundary between
+          // engines / partitionings. Decimal sums are order-free exact.
+          graft.Tables(spark, sfDir, "events")
+            .groupBy("user_id")
+            .agg(sum(when(col("event_type") === "purchase",
+              col("value").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+              .otherwise(lit(0).cast(
+                org.apache.spark.sql.types.DecimalType(28, 4)))).as("spend"))
+            .withColumn("tier",
+              when(col("spend") >= 1000, lit("gold"))
+                .when(col("spend") >= 100, lit("silver"))
+                .otherwise(lit("bronze")))
+            .select(col("user_id"), col("spend").cast("double").as("spend"),
+              col("tier"))
+            .repartition(NBuckets, col("user_id"))
+            .write
+            .bucketBy(NBuckets, "user_id")
+            .sortBy("user_id")
+            .mode(SaveMode.Overwrite)
+            .saveAsTable(name)
+          memo.put(key, name)
+          name
+      }
+    }
+  }
+
+  /** The co-located fact⋈dim join: events and user tiers are bucketed on
+    * the same (key, nBuckets), so the sort-merge join runs bucket-to-
+    * bucket with NO Exchange on either side and NO Sort (both scans
+    * report their on-disk order) — the standing shuffle a 100 TB
+    * per-user enrichment would otherwise pay on every run, paid once at
+    * layout-write time instead. Returns per-tier purchase rollups.
+    */
+  def tierSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.table(ensureEventsByUser(spark, sfDir))
+    val tiers = spark.table(ensureUserTiers(spark, sfDir))
+    ev.where(col("event_type") === "purchase")
+      .join(tiers, "user_id")
+      .groupBy("tier")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"),
+        (round(sum(col("value").cast(
+          org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 2)
+          + lit(0.0)).as("revenue"))
+  }
+
   /** Per-user activity profile fused with inter-event gap analysis in ONE
     * exchange-free, sort-free plan: the window (`user_id` partition,
     * `(ts, event_id)` order) is satisfied by the scan's bucket

@@ -35,6 +35,26 @@ class BucketedLayoutSpec extends AnyFunSuite {
       s"one sorted file per bucket should satisfy the window order:\n$plan")
   }
 
+  test("co-bucketed fact-dim join plans no Exchange and no Sort below the agg") {
+    // The grouped rollup adds its own tier-keyed exchange; the join itself
+    // must be shuffle- and sort-free, so assert on the pre-agg join frame.
+    val ev = spark.table(sources.BucketedLayout.ensureEventsByUser(spark, dir))
+    val tiers = spark.table(sources.BucketedLayout.ensureUserTiers(spark, dir))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ev.where(col("event_type") === "purchase")
+        .join(tiers, "user_id")
+      val plan = executedPlan(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$plan")
+      assert(!plan.contains("Sort "),
+        s"one sorted file per bucket should feed the SMJ directly:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("latest-N on the layout matches the plain-parquet path row-for-row") {
     val bucketed = sources.BucketedLayout.latestN(spark, dir, 11L, 40).collect()
     val plain = Tables(spark, dir, "events")
