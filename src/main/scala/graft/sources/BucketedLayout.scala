@@ -61,15 +61,13 @@ object BucketedLayout {
     // it off for sessions using this layout (idempotent; only affects
     // bucketed-table scans, and every bucketed read here wants its
     // bucketing honored).
-    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    if (spark.conf.get(k, "true") != "false") spark.conf.set(k, "false")
-    // Since 3.0 the scan does not CLAIM its on-disk sort order unless this
-    // flag is on (multiple files per bucket would need a merge the scan
-    // doesn't do). The claim is only made when each bucket is at most one
-    // file — exactly what the writer below guarantees — so enabling it is
-    // sound here and is what turns the window's Sort into a no-op.
-    val k2 = "spark.sql.legacy.bucketedTableScan.outputOrdering"
-    if (spark.conf.get(k2, "false") != "true") spark.conf.set(k2, "true")
+    // Second flag: since 3.0 the scan does not CLAIM its on-disk sort
+    // order unless it is on (multiple files per bucket would need a merge
+    // the scan doesn't do). The claim is only made when each bucket is at
+    // most one file — exactly what the writer below guarantees — so
+    // enabling it is sound here and is what turns the window's Sort into
+    // a no-op.
+    configureBucketedScans(spark)
     memo.synchronized {
       memo.get(sfDir) match {
         case Some(t) if spark.catalog.tableExists(t) => t
@@ -97,6 +95,130 @@ object BucketedLayout {
           name
       }
     }
+  }
+
+  /** The two scan flags the layout's plan-shape claims depend on (see
+    * [[ensureEventsByUser]] for why each is sound here). Idempotent;
+    * callers building their own co-bucketed tables use this too.
+    */
+  def configureBucketedScans(spark: SparkSession): Unit = {
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    if (spark.conf.get(k, "true") != "false") spark.conf.set(k, "false")
+    val k2 = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    if (spark.conf.get(k2, "false") != "true") spark.conf.set(k2, "true")
+  }
+
+  /** Bucket id encoded in a bucketed data file's name (the writer's
+    * `part-00000-<uuid>_00003.c000.snappy.parquet` convention — the scan
+    * parses the same suffix to route files to bucket partitions).
+    */
+  private val BucketedName = """.*_(\d+)(?:\..*)?$""".r
+
+  private def bucketIdOf(name: String): Int = name match {
+    case BucketedName(id) => id.toInt
+    case _ => sys.error(s"not a bucketed data file name: $name")
+  }
+
+  /** One bucket's file health inside a bucketed table's directory. */
+  final case class BucketState(bucket: Int, nFiles: Int, bytes: Long)
+
+  private def tableMeta(spark: SparkSession, table: String) =
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+
+  private def dataFiles(spark: SparkSession, table: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path,
+         Array[org.apache.hadoop.fs.FileStatus]) = {
+    val loc = new org.apache.hadoop.fs.Path(tableMeta(spark, table).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(loc).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    (fs, loc, files)
+  }
+
+  /** Per-bucket file count and bytes — the input to a compaction-cadence
+    * decision. Driver cost is one directory listing, O(#files).
+    */
+  def bucketState(spark: SparkSession, table: String): Seq[BucketState] = {
+    val (_, _, files) = dataFiles(spark, table)
+    files.groupBy(f => bucketIdOf(f.getPath.getName)).toSeq
+      .map { case (b, fs) => BucketState(b, fs.length, fs.map(_.getLen).sum) }
+      .sortBy(_.bucket)
+  }
+
+  /** Append a delta into an existing bucketed+sorted table (the ingest
+    * half of the layout lifecycle). The write honors the table's bucket
+    * spec — every appended file carries its bucket id, so BUCKET PRUNING
+    * and the join/agg partitioning claims survive the append untouched.
+    * What degrades, by design, is the SORT claim: a bucket now holds >1
+    * file, the scan stops reporting its on-disk order (it would need a
+    * merge), and per-key window plans regain a Sort until
+    * [[compactBuckets]] restores the one-file invariant. Results stay
+    * correct throughout — the layout trades plan COST, never answers.
+    *
+    * The delta is clustered on the bucket expression first so each task
+    * holds exactly one bucket's rows: one appended file per touched
+    * bucket per batch, not one per (task × bucket).
+    */
+  def appendDelta(spark: SparkSession, table: String,
+      delta: DataFrame): Unit = {
+    val spec = tableMeta(spark, table).bucketSpec.getOrElse(
+      sys.error(s"$table is not bucketed"))
+    val cols = spark.table(table).columns
+    delta.select(cols.map(col): _*)
+      .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
+      .write.mode(SaveMode.Append).insertInto(table)
+  }
+
+  /** Restore the one-sorted-file-per-bucket contract after appends: for
+    * each bucket holding >1 file, read JUST that bucket's files, re-sort
+    * on the table's sort columns, and swap in a single correctly-named
+    * bucketed file. O(unhealthy buckets) rewrites touching only those
+    * buckets' bytes; healthy buckets are never read or written. The
+    * per-bucket rewrites run serially here (bounded by the bucket count,
+    * a config constant — 8); a production maintenance job runs them
+    * concurrently, and on a transactional format this whole method is
+    * OPTIMIZE. Swap order is add-then-delete: a concurrent reader may
+    * briefly see duplicates — same single-maintenance-writer contract as
+    * every plain-parquet rewrite in this repo (SCALE.md).
+    */
+  def compactBuckets(spark: SparkSession, table: String): Compaction.Report = {
+    val spec = tableMeta(spark, table).bucketSpec.getOrElse(
+      sys.error(s"$table is not bucketed"))
+    val (fs, loc, files) = dataFiles(spark, table)
+    val byBucket = files.groupBy(f => bucketIdOf(f.getPath.getName))
+    val unhealthy = byBucket.filter(_._2.length > 1).toSeq.sortBy(_._1)
+    if (unhealthy.isEmpty)
+      return Compaction.Report(byBucket.size, 0, 0, 0, 0L)
+    val sortCols = (spec.bucketColumnNames ++ spec.sortColumnNames)
+      .distinct.map(col)
+    unhealthy.foreach { case (b, old) =>
+      val tmp = new org.apache.hadoop.fs.Path(loc, f".compact_tmp_$b%05d")
+      spark.read.parquet(old.map(_.getPath.toString): _*)
+        .repartition(1)
+        .sortWithinPartitions(sortCols: _*)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val written = fs.listStatus(tmp).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      require(written.length == 1, s"expected one compacted file for bucket $b")
+      val name = f"part-00000-${java.util.UUID.randomUUID()}_$b%05d" +
+        ".c000.snappy.parquet"
+      fs.rename(written.head.getPath,
+        new org.apache.hadoop.fs.Path(loc, name))
+      old.foreach(f => fs.delete(f.getPath, false))
+      fs.delete(tmp, true)
+    }
+    spark.catalog.refreshTable(table)
+    Compaction.Report(
+      partitionsScanned = byBucket.size,
+      partitionsCompacted = unhealthy.size,
+      filesBefore = unhealthy.map(_._2.length).sum,
+      filesAfter = unhealthy.size,
+      bytesRewritten = unhealthy.map(_._2.map(_.getLen).sum).sum)
   }
 
   /** S5 on the clustered layout: latest-N events for one user. The
