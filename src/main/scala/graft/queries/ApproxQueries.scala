@@ -178,36 +178,46 @@ object ApproxQueries extends QueryPack {
     Query(
       "q_a_active_users_approx",
       (s, dir) => {
-        // The sketch twin of q_a_active_users. The exact plan must first
-        // collapse to distinct (day, user) — a shuffle carrying every
-        // presence pair. Here HLL++ partials absorb duplicates MAP-SIDE:
-        // the shuffle carries one O(kB) sketch per (partition, day), so
-        // the x7 explode runs over raw rows and still nothing user-sized
-        // crosses the wire — the shape that wins when even the presence
-        // collapse is too big. Rows-only (engines' sketches differ);
-        // AccuracySpec pins each day against the exact twin.
+        // The sketch twin of q_a_active_users, in the persisted-sketch-
+        // table shape: ONE raw pass folds each day's users into a ~4 KiB
+        // Datasketches HLL (partials absorb duplicates map-side, the
+        // shuffle carries one sketch per (partition, day)); DAU reads the
+        // estimate straight off the day sketch, and the trailing-7-day
+        // union explodes the O(#days) SKETCH rows — never raw rows — and
+        // hll_union_agg merges ≤7 registers per target day. This is the
+        // level-1 frame a warehouse persists: any window (WAU/MAU) is an
+        // O(window) register merge over it, history never re-scans — the
+        // batch face of streaming/StreamingEngagement's register state.
+        // Rows-only (engines' sketches differ); AccuracySpec pins each
+        // day against the exact twin.
         val au = ev(s, dir)
           .select(to_date(col("ts")).as("d"), col("user_id"))
-        val dau = au.groupBy("d")
-          .agg(approx_count_distinct(col("user_id"), 0.01).as("dau_approx"))
-        val maxD = au.agg(max(col("d")).as("max_d"))
-        val wau = au
-          .select(col("user_id"),
+        val sk = au.groupBy("d")
+          .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+        graft.CacheScope.retain(sk) // O(#days) x 4 KiB — the persisted frame
+        val maxD = sk.agg(max(col("d")).as("max_d"))
+        val dau = sk.select(col("d"),
+          hll_sketch_estimate(col("sk")).as("dau_approx"))
+        val wau = sk
+          .select(col("sk"),
             explode(sequence(lit(0), lit(6))).as("off"), col("d"))
-          .select(col("user_id"), date_add(col("d"), col("off")).as("day"))
+          .select(col("sk"), date_add(col("d"), col("off")).as("day"))
           .join(broadcast(maxD), col("day") <= col("max_d"))
           .groupBy("day")
-          .agg(approx_count_distinct(col("user_id"), 0.01).as("wau7_approx"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau7_approx"))
         dau.join(wau, dau("d") === wau("day"))
           .select(col("d").cast("timestamp").as("day"), col("dau_approx"),
             col("wau7_approx"))
       },
       None,
-      doc = "rolling active users at scale: HLL++ (rsd 1%) partials absorb " +
-        "duplicate presences map-side, so the shuffle carries O(kB) sketches " +
-        "per (partition, day) instead of every distinct (day, user) pair — " +
-        "the rows-only scale twin of q_a_active_users, per-day deltas pinned " +
-        "in AccuracySpec; pairs with streaming/StreamingEngagement for the " +
+      doc = "rolling active users at scale, persisted-sketch-table shape: " +
+        "one raw pass folds each day into a ~4 KiB Datasketches HLL " +
+        "(duplicates absorbed map-side), DAU = the day sketch's estimate, " +
+        "WAU = hll_union_agg over the ≤7 exploded SKETCH rows — the x7 " +
+        "fanout moved from raw rows to O(#days) sketches, and any window " +
+        "re-answers from the retained frame without re-scanning history; " +
+        "rows-only scale twin of q_a_active_users, per-day deltas pinned " +
+        "in AccuracySpec, register state matches StreamingEngagement's " +
         "continuous path")
   )
 }

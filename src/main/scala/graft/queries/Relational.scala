@@ -963,6 +963,62 @@ object Relational extends QueryPack {
         "over the O(#converted) latency frame — time-to-convert is the " +
         "metric growth teams pair with the funnel"),
 
+    // ---- incremental materialized-rollup maintenance ----
+    Query(
+      "q_r_incremental_rollup",
+      (s, dir) => {
+        // Materialized-view maintenance with decomposable aggregates: a
+        // standing per-(event_type, hour-of-day) rollup (count / exact
+        // DECIMAL sum / min / max over everything before the cutoff) is
+        // REFRESHED by merging the delta batch's partial aggregates —
+        // counts and sums add, mins min, maxes max — instead of
+        // re-scanning history. The plan stages the two partial frames
+        // explicitly (groupBy side+key, then merge by key), which is
+        // exactly what a nightly refresh persists: level-1 rows ARE the
+        // standing table; refresh cost is O(delta scan) + O(#keys) merge
+        // at any history size. The oracle recomputes from the FULL table
+        // in one pass, so the driver's hash equality is the maintenance
+        // contract itself: merge(standing, delta) == recompute(all).
+        // COUNT(DISTINCT ...) is deliberately absent — it has no exact
+        // mergeable partial state; the sketch family (HLL: q_a2 twin,
+        // streaming DAU) is the incremental answer for distincts.
+        val cutoff = lit("2024-01-04 00:00:00").cast("timestamp")
+        val partials = Tables(s, dir, "events")
+          .groupBy((col("ts") < cutoff).as("is_base"), col("event_type"),
+            hour(col("ts")).as("hod"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("sv"),
+            min(col("value")).as("mn"),
+            max(col("value")).as("mx"))
+        partials
+          .groupBy("event_type", "hod")
+          .agg(
+            count(lit(1)).as("n_partials"),
+            sum(col("n")).as("n_events"),
+            round(sum(col("sv")).cast("double"), 2).as("sum_value"),
+            min(col("mn")).as("min_value"),
+            max(col("mx")).as("max_value"))
+          .orderBy("event_type", "hod")
+      },
+      Some("""SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+             |  COUNT(DISTINCT (ts < TIMESTAMP '2024-01-04 00:00:00'))
+             |    AS n_partials,
+             |  COUNT(*) AS n_events,
+             |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             |    + 0.0 AS sum_value,
+             |  MIN(value) AS min_value, MAX(value) AS max_value
+             |FROM events GROUP BY 1, 2 ORDER BY event_type, hod""".stripMargin),
+      doc = "incremental materialized-rollup maintenance: the standing " +
+        "per-(event_type, hour) rollup refreshed by MERGING the delta's " +
+        "partial aggregates (counts/sums add, mins min, maxes max — " +
+        "DECIMAL-exact so merge order can't drift the sum) while the " +
+        "oracle recomputes from the full table — hash equality IS the " +
+        "merge==recompute contract; refresh cost O(delta)+O(#keys), " +
+        "never O(history); distincts are excluded by design (no exact " +
+        "mergeable partial) — the HLL sketch family is their incremental " +
+        "path"),
+
     // ---- bucketed layout: the SURVEY §4 sort-elimination row, done ----
     Query(
       "q_r_bucketed_latest_n",

@@ -477,6 +477,27 @@ object SqlQueries extends QueryPack {
         "text — one running last-ignoreNulls window on the user partition " +
         "+ a <=#channels DECIMAL aggregate, same plan as the DataFrame " +
         "twin; the texts differ only in where the engines accept IGNORE " +
-        "NULLS")
+        "NULLS"),
+
+    sqlQuery("q_sql_incremental_rollup",
+      """WITH p AS (
+        |  SELECT (ts < TIMESTAMP '2024-01-04 00:00:00') AS is_base,
+        |    event_type, CAST(hour(ts) AS INT) AS hod,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+        |    MIN(value) AS mn, MAX(value) AS mx
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, hod,
+        |  COUNT(*) AS n_partials,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  ROUND(CAST(SUM(sv) AS DOUBLE), 2) + 0.0 AS sum_value,
+        |  MIN(mn) AS min_value, MAX(mx) AS max_value
+        |FROM p GROUP BY 1, 2 ORDER BY event_type, hod""".stripMargin,
+      doc = "S8 x analytics pillar: incremental rollup maintenance as ONE " +
+        "shared ANSI text — the partial CTE is the persisted standing " +
+        "table, the outer merge adds counts and DECIMAL-exact sums and " +
+        "folds mins/maxes; both engines run the same two-level plan, and " +
+        "the DataFrame twin's oracle separately proves merge == " +
+        "full-recompute")
   )
 }

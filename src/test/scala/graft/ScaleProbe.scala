@@ -147,7 +147,8 @@ object ScaleProbe {
       "zipf_audit" -> (dir => SparkEntry.queries("q_t_zipf_audit")(spark, dir)),
       "cms_heavy_hitters" -> (dir => SparkEntry.queries("q_t_cms_heavy_hitters")(spark, dir)),
       "bucketed_user_activity" -> (dir => SparkEntry.queries("q_r_bucketed_user_activity")(spark, dir)),
-      "bucketed_join" -> (dir => SparkEntry.queries("q_r_bucketed_join")(spark, dir))
+      "bucketed_join" -> (dir => SparkEntry.queries("q_r_bucketed_join")(spark, dir)),
+      "incremental_rollup" -> (dir => SparkEntry.queries("q_r_incremental_rollup")(spark, dir))
     )
 
     // optional arg: comma-separated op-name filter (dev iteration on a
