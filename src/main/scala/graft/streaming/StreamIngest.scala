@@ -209,6 +209,98 @@ object StreamIngest {
       statePath: String): DataFrame =
     spark.read.parquet(statePath).drop("__bucket")
 
+  /** Streaming incremental aggregate maintenance for `foreachBatch`: the
+    * continuous face of `q_r_incremental_rollup`. State is one row per
+    * key — count, exact integer-cent sum, min, max of `valueCol` over
+    * every row ever ingested — and each micro-batch merges its own
+    * partial aggregates into it: counts and cent-sums ADD, mins/maxes
+    * FOLD. Only decomposable aggregates, by design: COUNT(DISTINCT) has
+    * no exact mergeable partial (the HLL register state in
+    * [[StreamingEngagement]] is its incremental answer).
+    *
+    * Scale shape, same as [[lwwUpsertPartitioned]]: state hash-partitions
+    * on the key into `nBuckets` directories and a batch rewrites ONLY the
+    * buckets its keys touch — per-batch I/O is O(batch + touched buckets'
+    * key rows), never O(state), and the batch's raw rows collapse to
+    * per-key partials BEFORE anything is read or shuffled.
+    *
+    * Replay fencing: additive merges are NOT naturally idempotent (LWW
+    * is; re-adding a replayed batch would double-count), so every state
+    * row carries `__applied_batch` — the last batchId merged into its
+    * bucket — and a bucket whose rows already record `>= batchId` is
+    * skipped whole. foreachBatch replays re-run the LAST batch with the
+    * SAME batchId, so the fence makes replay a no-op; the fence travels
+    * inside the same dynamic partition overwrite as the data, so it
+    * cannot disagree with what was actually committed (per-bucket
+    * atomicity = the FileSystem rename contract, as for LWW).
+    */
+  def rollupUpsertPartitioned(statePath: String, keyCols: Seq[String],
+      valueCol: String, nBuckets: Int)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketOf = pmod(hash(keyCols.map(col): _*), lit(nBuckets))
+    // integer cents: exact, order-free, schema-stable across merges
+    // (DECIMAL sums widen per merge level; LongType does not)
+    val partial = batch
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col(valueCol) * 100).cast("long")).as("sum_cents"),
+        min(col(valueCol)).as("mn"),
+        max(col(valueCol)).as("mx"))
+      .withColumn("__bucket", bucketOf)
+      .withColumn("__applied_batch", lit(batchId))
+    // O(nBuckets) driver list — bounded by config, not by data
+    val touched = partial.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val existing =
+      if (fs.exists(new Path(statePath)))
+        Some(spark.read.parquet(statePath)
+          .where(col("__bucket").isin(touched.map(Integer.valueOf): _*)))
+      else None
+    // replay fence: buckets that already merged this batchId are done
+    val fencedBuckets: Set[Int] = existing match {
+      case None => Set.empty
+      case Some(e) => e.groupBy("__bucket")
+        .agg(max(col("__applied_batch")).as("b"))
+        .collect().filter(_.getLong(1) >= batchId).map(_.getInt(0)).toSet
+    }
+    val live = touched.filterNot(fencedBuckets)
+    if (live.isEmpty) return
+    val liveCol = (c: Column) => c.isin(live.map(Integer.valueOf): _*)
+    val incoming = partial.where(liveCol(col("__bucket")))
+    val merged = existing.map(e =>
+        incoming.unionByName(e.where(liveCol(col("__bucket")))
+          .select(incoming.columns.map(col): _*)))
+      .getOrElse(incoming)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_cents")).as("sum_cents"),
+        min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"),
+        max(col("__applied_batch")).as("__applied_batch"))
+      .withColumn("__bucket", bucketOf)
+    val prev = spark.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("__bucket")
+      .parquet(statePath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Read the logical rollup state written by [[rollupUpsertPartitioned]]
+    * (drops the bucket and fence columns).
+    */
+  def readRollupState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    spark.read.parquet(statePath).drop("__bucket", "__applied_batch")
+
   /** True iff the spark-sql-kafka connector is on the classpath. */
   def kafkaConnectorAvailable: Boolean =
     scala.util.Try(Class.forName(

@@ -51,6 +51,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rollup must not re-scan per level:\n$p")
   }
 
+  test("incremental rollup: one scan, both agg levels partial+merge, " +
+      "exchanges only on the declared key sets") {
+    val p = plan("q_r_incremental_rollup")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"standing and delta partials must come from ONE scan pass:\n$p")
+    // two-level decomposable aggregation: (side, key) partials then the
+    // key merge — at most 2 key-bounded hash exchanges, map-side partial
+    // aggregation ahead of each
+    val exCount = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exCount <= 2,
+      s"merge==recompute shape needs at most 2 hash exchanges (O(#keys) " +
+        s"each), got $exCount:\n$p")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("set ops: INTERSECT/EXCEPT plan as semi/anti joins, deduped sides") {
     val p = plan("q_r_set_ops")
     assert(p.contains("LeftSemi"), s"INTERSECT should be a semi join:\n$p")

@@ -127,6 +127,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(dirs.nonEmpty && dirs.length <= 8)
   }
 
+  test("partitioned rollup upsert: stream-maintained aggregates equal the " +
+      "batch fold, replayed batches are fenced, touched buckets only") {
+    val state = tmpDir("rollup-part") + "/t"
+    val up = StreamIngest.rollupUpsertPartitioned(state,
+      Seq("k"), "v", nBuckets = 8) _
+    val b0 = Seq(("a", 1.00), ("a", 2.50), ("b", 10.00))
+    val b1 = Seq(("a", 0.25), ("c", 7.75), ("c", -1.00))
+    val b2 = Seq(("b", 0.10))
+    up(b0.toDF("k", "v"), 0L)
+    up(b1.toDF("k", "v"), 1L)
+    up(b2.toDF("k", "v"), 2L)
+    def snap() = StreamIngest.readRollupState(spark, state)
+      .select("k", "n", "sum_cents", "mn", "mx")
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    val got = snap()
+    // oracle: the same decomposable aggregates folded over ALL rows at once
+    val expect = (b0 ++ b1 ++ b2).toDF("k", "v")
+      .groupBy("k").agg(
+        count(lit(1)).as("n"),
+        sum(round(col("v") * 100).cast("long")).as("sum_cents"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(got == expect, s"stream-merged state != batch fold: $got")
+    // replay fence: re-delivering the LAST batch (same batchId — the
+    // foreachBatch recovery contract) must NOT double-count
+    up(b2.toDF("k", "v"), 2L)
+    assert(snap() == got, "replayed batch was merged twice")
+    // state is bucket-partitioned on disk (the partition-overwrite layout)
+    val dirs = new java.io.File(state).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("__bucket="))
+    assert(dirs.nonEmpty && dirs.length <= 8)
+  }
+
   test("curation quality gate runs identically in streaming (map-only ops)") {
     // The corpus-filter signals (token count, quality, language-ID, PII
     // scrub) are pure column expressions, so the SAME code gates a
