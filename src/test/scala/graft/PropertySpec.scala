@@ -243,6 +243,45 @@ class PropertySpec extends AnyFunSuite {
       Set("insert", "update", "carryover"))
   }
 
+  test("streaming rollup upsert equals a driver-side fold for ANY batch " +
+      "split, and replaying the last batch is a no-op") {
+    import graft.streaming.StreamIngest
+    // rows are exact cents so Spark's HALF_UP round and math.round agree
+    val rowGen = for {
+      k <- Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+      cents <- Gen.chooseNum(-500000L, 5000000L)
+    } yield (k, cents / 100.0)
+    val caseGen = for {
+      n <- Gen.chooseNum(3, 40)
+      rows <- Gen.listOfN(n, rowGen)
+      nb <- Gen.chooseNum(1, 5)
+      cuts <- Gen.listOfN(n, Gen.chooseNum(0, nb - 1))
+    } yield (rows, cuts)
+    samples(caseGen, 5).zipWithIndex.foreach { case ((rows, cuts), i) =>
+      val state = java.nio.file.Files
+        .createTempDirectory(s"rollup-prop$i").toString + "/t"
+      val batches = rows.zip(cuts).groupBy(_._2).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1))
+      val up = StreamIngest.rollupUpsertPartitioned(state,
+        Seq("k"), "v", nBuckets = 4) _
+      batches.zipWithIndex.foreach { case (b, bid) =>
+        up(b.toDF("k", "v"), bid.toLong)
+      }
+      // the foreachBatch recovery contract: only the LAST batch replays
+      up(batches.last.toDF("k", "v"), (batches.size - 1).toLong)
+      val got = StreamIngest.readRollupState(spark, state)
+        .select("k", "n", "sum_cents", "mn", "mx")
+        .as[(String, Long, Long, Double, Double)].collect().toSet
+      val expect = rows.groupBy(_._1).map { case (k, rs) =>
+        val vs = rs.map(_._2)
+        (k, vs.size.toLong, vs.map(v => math.round(v * 100)).sum,
+          vs.min, vs.max)
+      }.toSet
+      assert(got == expect,
+        s"case $i (${batches.size} batches): merged state != fold")
+    }
+  }
+
   test("scd2 intervals tile each user's history and match the change count") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q_r_scd2")(spark, dir)
