@@ -185,6 +185,46 @@ object ScaleProbe {
     opsRun.foreach { case (n, _) =>
       println(f"$n%-34s ${t10(n) / t1(n)}%5.1f x")
     }
+
+    // Opt-in (args contain "rollup_upsert_probe"): per-batch cost of the
+    // streaming rollup maintainer vs STANDING STATE SIZE. The claim under
+    // test is O(batch + touched buckets' key rows) per batch, never
+    // O(state): the same 8-key batch is merged into a 20k-key and a
+    // 200k-key state (256 buckets — ≤8 touched, so the state-dependent
+    // term is ≤8/256 of the key rows). A full-state-rescan implementation
+    // would show ~10×; the bucketed merge should stay well under.
+    if (args.nonEmpty && args(0).split(",").contains("rollup_upsert_probe")) {
+      import graft.streaming.StreamIngest
+      def freshState(nKeys: Int, tag: String): String = {
+        val p = s"/tmp/graft_rollup_probe_$tag"
+        org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(p), true)
+        val seed = spark.range(nKeys)
+          .selectExpr("concat('key', id) AS k",
+            "CAST(id % 997 AS DOUBLE) / 100 AS v")
+        StreamIngest.rollupUpsertPartitioned(p, Seq("k"), "v",
+          nBuckets = 256)(seed, 0L)
+        p
+      }
+      val batch = spark.range(8)
+        .selectExpr("concat('key', id * 7) AS k", "CAST(id AS DOUBLE) AS v")
+        .cache()
+      batch.count()
+      println("== rollup upsert: batch cost vs standing-state size ==")
+      val small = freshState(20000, "1x")
+      val bigSt = freshState(200000, "10x")
+      // warm both paths once (fresh parquet footers), then measure
+      StreamIngest.rollupUpsertPartitioned(small, Seq("k"), "v", 256)(batch, 1L)
+      StreamIngest.rollupUpsertPartitioned(bigSt, Seq("k"), "v", 256)(batch, 1L)
+      val s1 = time("batch into 20k-key state") {
+        StreamIngest.rollupUpsertPartitioned(small, Seq("k"), "v", 256)(batch, 2L); 8L
+      }
+      val s10 = time("batch into 200k-key state") {
+        StreamIngest.rollupUpsertPartitioned(bigSt, Seq("k"), "v", 256)(batch, 2L); 8L
+      }
+      println(f"rollup_upsert_batch state-ratio ${s10 / s1}%5.1f x (10.0 = O(state) rescan)")
+    }
     spark.stop()
   }
 }
