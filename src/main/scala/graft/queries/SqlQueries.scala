@@ -498,6 +498,49 @@ object SqlQueries extends QueryPack {
         "table, the outer merge adds counts and DECIMAL-exact sums and " +
         "folds mins/maxes; both engines run the same two-level plan, and " +
         "the DataFrame twin's oracle separately proves merge == " +
-        "full-recompute")
+        "full-recompute"),
+
+    Query("q_sql_bucketed_activity",
+      (s, dir) => {
+        // S8 x layout pillar: the bucketed+sorted table is reachable from
+        // pure SQL text — Catalyst satisfies the window's partitioning AND
+        // ordering from the scan's bucket hash + on-disk sort exactly as
+        // it does for the DataFrame twin (no API lock-in: the layout
+        // optimizes the dashboard path too). Oracle runs the plain-parquet
+        // twin text, proving the layout changes cost, not answers.
+        val t = graft.sources.BucketedLayout.ensureEventsByUser(s, dir)
+        s.sql(
+          s"""WITH g AS (
+             |  SELECT user_id, ts,
+             |    CAST(ts AS BIGINT) - CAST(lag(ts) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             |      AS gap_s
+             |  FROM $t)
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+             |  CAST(SUM(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_session_breaks,
+             |  ROUND(AVG(gap_s), 2) + 0.0 AS avg_gap_s
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |    CAST(floor(epoch(ts)) AS BIGINT)
+             |      - CAST(floor(epoch(lag(ts) OVER (
+             |          PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+             |      AS gap_s
+             |  FROM events)
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+             |  CAST(SUM(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_session_breaks,
+             |  ROUND(AVG(gap_s), 2) + 0.0 AS avg_gap_s
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
+      doc = "S8 x layout pillar: per-user activity profile from pure SQL " +
+        "text over the bucketed+sorted table — the window and aggregate " +
+        "ride the scan's bucket hash + on-disk order with zero Exchange/" +
+        "Sort exactly as the DataFrame twin does (BucketedLayoutSpec " +
+        "asserts the text plan too); oracle is the plain-parquet twin " +
+        "text — the layout changes cost, never answers")
   )
 }

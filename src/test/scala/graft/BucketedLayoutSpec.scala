@@ -35,6 +35,25 @@ class BucketedLayoutSpec extends AnyFunSuite {
       s"one sorted file per bucket should satisfy the window order:\n$plan")
   }
 
+  test("SQL-text window+agg over the layout is also Exchange- and Sort-free " +
+      "below the presentation orderBy") {
+    // The S8 claim: the layout optimizes the TEXT path identically — no
+    // DataFrame-API lock-in. The final ORDER BY user_id adds its own
+    // range exchange+sort (presentation, same as the twin's orderBy), so
+    // assert nothing BELOW the window/aggregate shuffles or sorts by
+    // counting: exactly 1 Exchange (range) and 1 Sort (its global sort).
+    val full = executedPlan(
+      SparkEntry.queries("q_sql_bucketed_activity")(spark, dir))
+    // the AQE dump repeats the plan under "== Initial Plan ==" — assert
+    // on the final section only
+    val plan = full.split("== Initial Plan ==").head
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1 &&
+      plan.contains("rangepartitioning"),
+      s"only the presentation range exchange is allowed:\n$full")
+    assert(plan.linesIterator.count(_.contains("Sort ")) == 1,
+      s"only the presentation sort is allowed:\n$full")
+  }
+
   test("co-bucketed fact-dim join plans no Exchange and no Sort below the agg") {
     // The grouped rollup adds its own tier-keyed exchange; the join itself
     // must be shuffle- and sort-free, so assert on the pre-agg join frame.

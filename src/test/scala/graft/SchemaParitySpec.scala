@@ -40,7 +40,8 @@ class SchemaParitySpec extends AnyFunSuite {
     "q_sql_retention_cohorts" -> "q_a_retention_cohorts",
     "q_sql_time_to_convert" -> "q_a_time_to_convert",
     "q_sql_attribution" -> "q_a_attribution",
-    "q_sql_incremental_rollup" -> "q_r_incremental_rollup")
+    "q_sql_incremental_rollup" -> "q_r_incremental_rollup",
+    "q_sql_bucketed_activity" -> "q_r_bucketed_user_activity")
 
   private def fields(name: String): Set[(String, DataType)] =
     SparkEntry.queries(name)(spark, dir)
