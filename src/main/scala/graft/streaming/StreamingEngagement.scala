@@ -54,16 +54,19 @@ object StreamingEngagement {
     */
   def fold(regs: Array[Byte], users: Iterator[Long]): Array[Byte] = {
     val out = if (regs.isEmpty) new Array[Byte](M) else regs.clone()
-    users.foreach { u =>
-      val h = hash64(u)
-      val idx = (h >>> (64 - P)).toInt
-      val rest = h << P
-      val rank =
-        (if (rest == 0L) (64 - P) + 1
-         else java.lang.Long.numberOfLeadingZeros(rest) + 1).toByte
-      if (rank > out(idx)) out(idx) = rank
-    }
+    users.foreach(foldOne(out, _))
     out
+  }
+
+  /** One user id into the registers in place — the streaming hot path. */
+  private def foldOne(out: Array[Byte], u: Long): Unit = {
+    val h = hash64(u)
+    val idx = (h >>> (64 - P)).toInt
+    val rest = h << P
+    val rank =
+      (if (rest == 0L) (64 - P) + 1
+       else java.lang.Long.numberOfLeadingZeros(rest) + 1).toByte
+    if (rank > out(idx)) out(idx) = rank
   }
 
   /** Standard dense-HLL estimate with the linear-counting small-range
@@ -107,15 +110,29 @@ object StreamingEngagement {
             state.remove()
             Iterator.empty
           } else {
-            val rs = rows.toSeq
             val st0 = state.getOption.getOrElse(DayState(Array.empty))
-            val regs = fold(st0.regs, rs.iterator.map(_.user_id))
+            // ONE streaming pass over the group iterator: the fold is a
+            // per-register max (order-independent), so nothing requires
+            // materializing the (day x micro-batch) rows — a firehose
+            // day's batch slice streams through in O(1) heap where a
+            // toSeq would hold it whole (the order-DEPENDENT siblings —
+            // StatefulDedup, StatefulIndicators, heavy hitters — must
+            // sort and so must buffer; this op need not).
+            val regs =
+              if (st0.regs.isEmpty) new Array[Byte](M) else st0.regs.clone()
+            var maxTs = Long.MinValue
+            var any = false
+            rows.foreach { r =>
+              any = true
+              if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
+              foldOne(regs, r.user_id)
+            }
             // Timeout clamp: past the watermark, never backward — the
             // StatefulDedup monotonicity contract (ADVICE r6).
-            val maxTs = rs.iterator.map(_.ts.getTime).max
             val wm = state.getCurrentWatermarkMs()
+            val dataTimeout = if (any) maxTs + ttlMs else Long.MinValue
             val timeout =
-              math.max(math.max(maxTs + ttlMs, wm + 1), st0.timeoutMs)
+              math.max(math.max(dataTimeout, wm + 1), st0.timeoutMs)
             state.update(DayState(regs, timeout))
             state.setTimeoutTimestamp(timeout)
             Iterator(DayUsers(day, estimate(regs), filled(regs)))
