@@ -62,7 +62,12 @@ object Compaction {
       filesAfter: Int,
       bytesRewritten: Long)
 
-  private def isDataFile(s: FileStatus): Boolean = {
+  /** The committer-debris convention, defined once for the sources layer:
+    * a data file is a plain file whose name is not a hidden/underscore
+    * marker (temp dirs, _SUCCESS, checksums) — Spark's own
+    * InMemoryFileIndex filter. [[BucketedLayout]] shares this definition.
+    */
+  private[sources] def isDataFile(s: FileStatus): Boolean = {
     val n = s.getPath.getName
     s.isFile && !n.startsWith("_") && !n.startsWith(".")
   }
@@ -143,13 +148,28 @@ object Compaction {
     // Read ONLY the unhealthy leaves (path-list pruning; basePath keeps the
     // partition columns in the schema), cluster each leaf's rows into one
     // task, and let dynamic overwrite swap exactly those leaf dirs.
-    val df = spark.read
-      .option("basePath", root)
-      .format(format)
-      .load(unhealthy.map(_._1.toString): _*)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    // Partition-column TYPE INFERENCE must be off for this read: the
+    // rewrite's correctness depends on directory names round-tripping
+    // byte-identically. With inference on (the default), a numeric-looking
+    // value like `hour=01` reads back as Int 1 and rewrites to `hour=1/` —
+    // dynamic overwrite only swaps partitions PRESENT in the written data,
+    // so the original `hour=01/` (and all its files) would survive next to
+    // the new directory and every subsequent scan would see the rows
+    // twice. Reading the values as plain strings keeps the rewrite a pure
+    // file-layout change. Inference happens when load() resolves the
+    // relation, so the flag is restored with the overwrite mode after the
+    // job.
+    val prevOverwrite =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    val inferK = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.getOption(inferK)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set(inferK, "false")
     try {
+      val df = spark.read
+        .option("basePath", root)
+        .format(format)
+        .load(unhealthy.map(_._1.toString): _*)
       val writer = df
         .repartition(partCols.map(col): _*)
         .write
@@ -159,11 +179,17 @@ object Compaction {
       (if (maxRecordsPerFile > 0L)
         writer.option("maxRecordsPerFile", maxRecordsPerFile)
       else writer).save(root)
-    } finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    } finally {
+      prevOverwrite match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      prevInfer match {
+        case Some(v) => spark.conf.set(inferK, v)
+        case None => spark.conf.unset(inferK)
+      }
     }
 
     val after = leaves(fs, rootPath).toMap

@@ -121,6 +121,42 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.read.parquet(root).count() == rows)
   }
 
+  test("numeric-looking partition values round-trip byte-identically (no dup)") {
+    // The canonical streaming layout partitions by zero-padded hour. With
+    // partition-type inference left on, the rewrite read turns '01' into
+    // Int 1 and dynamic overwrite writes hh=1/ NEXT TO hh=01/ — the old
+    // directory survives and every row in it doubles. The compactor must
+    // read partition values as strings so directory names round-trip.
+    val root = Files.createTempDirectory("compact-spec-pad").toString
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        format_string("%02d", hour(col("ts"))).as("hh"))
+    (0 until 3).foreach { i =>
+      ev.where(pmod(col("event_id"), lit(3)) === i)
+        .repartition(2)
+        .write.mode(SaveMode.Append).partitionBy("hh").parquet(root)
+    }
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafDirs(): Seq[String] = fs.listStatus(new Path(root))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.startsWith("_")).sorted.toSeq
+    val dirsBefore = leafDirs()
+    assert(dirsBefore.exists(d => d.matches("hh=0\\d")),
+      s"fixture needs zero-padded partition values: $dirsBefore")
+    val rowsBefore = spark.read.parquet(root).count()
+
+    val report = sources.Compaction.compactPartitionedLayout(spark, root)
+    assert(report.partitionsCompacted == dirsBefore.size)
+    assert(leafDirs() == dirsBefore,
+      "partition directory names must round-trip byte-identically — a " +
+        s"renamed directory means the old one survived with its rows: " +
+        s"${leafDirs()}")
+    assert(spark.read.parquet(root).count() == rowsBefore,
+      "row count must not change (duplication = the old dirs survived)")
+    assert(sources.Compaction.layoutState(spark, root).forall(_.nFiles == 1))
+  }
+
   test("refuses a directory carrying a streaming-sink transaction log") {
     val root = Files.createTempDirectory("compact-spec-log").toString
     buildDrifted(root, appends = 2, filesPerAppend = 2)
