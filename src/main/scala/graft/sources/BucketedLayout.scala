@@ -48,7 +48,24 @@ object BucketedLayout {
     * hash are both Murmur3 on `user_id`, so every task holds exactly one
     * bucket's rows.
     */
-  def ensureEventsByUser(spark: SparkSession, sfDir: String): String = {
+  def ensureEventsByUser(spark: SparkSession, sfDir: String): String =
+    ensureBucketedTable(spark, memoKey = sfDir,
+      namePrefix = "events_by_user_", sfDir = sfDir,
+      sortCols = Seq("user_id", "ts", "event_id")) {
+      graft.Tables(spark, sfDir, "events")
+    }
+
+  /** Shared scaffold for the layout's bucketed tables: session-memoized,
+    * stale-location-safe, one sorted file per bucket on `user_id` into
+    * [[NBuckets]] buckets. One file per bucket matters: the scan only
+    * reports its outputOrdering (enabling sort elimination) when no
+    * per-bucket merge is needed, so the writer repartitions on the bucket
+    * expression first — the repartition hash and the bucket hash are both
+    * Murmur3 on `user_id`, so every task holds exactly one bucket's rows.
+    */
+  private def ensureBucketedTable(spark: SparkSession, memoKey: String,
+      namePrefix: String, sfDir: String, sortCols: Seq[String])(
+      build: => DataFrame): String = {
     val memo = built.synchronized {
       var m = built.get(spark)
       if (m == null) { m = scala.collection.mutable.Map.empty; built.put(spark, m) }
@@ -69,10 +86,10 @@ object BucketedLayout {
     // a no-op.
     configureBucketedScans(spark)
     memo.synchronized {
-      memo.get(sfDir) match {
+      memo.get(memoKey) match {
         case Some(t) if spark.catalog.tableExists(t) => t
         case _ =>
-          val name = "events_by_user_" +
+          val name = namePrefix +
             sfDir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
           // A fresh JVM's in-memory catalog forgets the table while the
           // warehouse directory persists on disk — saveAsTable then fails
@@ -84,14 +101,14 @@ object BucketedLayout {
             spark.conf.get("spark.sql.warehouse.dir"), name)
           val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(loc)) fs.delete(loc, true)
-          graft.Tables(spark, sfDir, "events")
+          build
             .repartition(NBuckets, col("user_id"))
             .write
             .bucketBy(NBuckets, "user_id")
-            .sortBy("user_id", "ts", "event_id")
+            .sortBy(sortCols.head, sortCols.tail: _*)
             .mode(SaveMode.Overwrite)
             .saveAsTable(name)
-          memo.put(sfDir, name)
+          memo.put(memoKey, name)
           name
       }
     }
@@ -131,10 +148,7 @@ object BucketedLayout {
          Array[org.apache.hadoop.fs.FileStatus]) = {
     val loc = new org.apache.hadoop.fs.Path(tableMeta(spark, table).location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(loc).filter { s =>
-      val n = s.getPath.getName
-      s.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
+    val files = fs.listStatus(loc).filter(Compaction.isDataFile)
     (fs, loc, files)
   }
 
@@ -200,10 +214,7 @@ object BucketedLayout {
         .repartition(1)
         .sortWithinPartitions(sortCols: _*)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val written = fs.listStatus(tmp).filter { s =>
-        val n = s.getPath.getName
-        s.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
+      val written = fs.listStatus(tmp).filter(Compaction.isDataFile)
       require(written.length == 1, s"expected one compacted file for bucket $b")
       val name = f"part-00000-${java.util.UUID.randomUUID()}_$b%05d" +
         ".c000.snappy.parquet"
@@ -225,8 +236,9 @@ object BucketedLayout {
     * `user_id = ?` predicate prunes the scan to ONE bucket's file
     * (`SelectedBucketsCount: 1 out of 8`) — the other 7/8ths of the
     * table are never opened, the Cassandra partition-key read path
-    * re-expressed as bucket pruning. Unordered; callers order for
-    * display.
+    * re-expressed as bucket pruning. Returns the `(ts, event_id)`-desc
+    * ordered, limited frame — the ordering is load-bearing (LIMIT without
+    * a total order would be nondeterministic and break the hash oracle).
     */
   def latestN(spark: SparkSession, sfDir: String, userId: Long,
       n: Int): DataFrame = {
@@ -245,51 +257,27 @@ object BucketedLayout {
     * bucket with no shuffle on either side, and one sorted file per
     * bucket removes the SMJ's sorts too.
     */
-  def ensureUserTiers(spark: SparkSession, sfDir: String): String = {
-    val memo = built.synchronized {
-      var m = built.get(spark)
-      if (m == null) { m = scala.collection.mutable.Map.empty; built.put(spark, m) }
-      m
+  def ensureUserTiers(spark: SparkSession, sfDir: String): String =
+    ensureBucketedTable(spark, memoKey = sfDir + "#tiers",
+      namePrefix = "user_tiers_", sfDir = sfDir,
+      sortCols = Seq("user_id")) {
+      // DECIMAL-exact spend (the VWAP discipline): the tier cuts are
+      // threshold compares, and a float sum's order-dependent last
+      // bits could flip a user sitting exactly on a boundary between
+      // engines / partitionings. Decimal sums are order-free exact.
+      graft.Tables(spark, sfDir, "events")
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase",
+          col("value").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+          .otherwise(lit(0).cast(
+            org.apache.spark.sql.types.DecimalType(28, 4)))).as("spend"))
+        .withColumn("tier",
+          when(col("spend") >= 1000, lit("gold"))
+            .when(col("spend") >= 100, lit("silver"))
+            .otherwise(lit("bronze")))
+        .select(col("user_id"), col("spend").cast("double").as("spend"),
+          col("tier"))
     }
-    val key = sfDir + "#tiers"
-    memo.synchronized {
-      memo.get(key) match {
-        case Some(t) if spark.catalog.tableExists(t) => t
-        case _ =>
-          val name = "user_tiers_" +
-            sfDir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
-          spark.sql(s"DROP TABLE IF EXISTS $name")
-          val loc = new org.apache.hadoop.fs.Path(
-            spark.conf.get("spark.sql.warehouse.dir"), name)
-          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(loc)) fs.delete(loc, true)
-          // DECIMAL-exact spend (the VWAP discipline): the tier cuts are
-          // threshold compares, and a float sum's order-dependent last
-          // bits could flip a user sitting exactly on a boundary between
-          // engines / partitionings. Decimal sums are order-free exact.
-          graft.Tables(spark, sfDir, "events")
-            .groupBy("user_id")
-            .agg(sum(when(col("event_type") === "purchase",
-              col("value").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
-              .otherwise(lit(0).cast(
-                org.apache.spark.sql.types.DecimalType(28, 4)))).as("spend"))
-            .withColumn("tier",
-              when(col("spend") >= 1000, lit("gold"))
-                .when(col("spend") >= 100, lit("silver"))
-                .otherwise(lit("bronze")))
-            .select(col("user_id"), col("spend").cast("double").as("spend"),
-              col("tier"))
-            .repartition(NBuckets, col("user_id"))
-            .write
-            .bucketBy(NBuckets, "user_id")
-            .sortBy("user_id")
-            .mode(SaveMode.Overwrite)
-            .saveAsTable(name)
-          memo.put(key, name)
-          name
-      }
-    }
-  }
 
   /** The co-located fact⋈dim join: events and user tiers are bucketed on
     * the same (key, nBuckets), so the sort-merge join runs bucket-to-

@@ -242,6 +242,10 @@ object StreamIngest {
     val bucketOf = pmod(hash(keyCols.map(col): _*), lit(nBuckets))
     // integer cents: exact, order-free, schema-stable across merges
     // (DECIMAL sums widen per merge level; LongType does not)
+    // Persisted: the partial frame is consumed twice (touched-bucket
+    // collect, then the merge write) and it is tiny — O(batch keys) rows
+    // of fixed-width aggregates — so caching it halves the per-trigger
+    // batch work instead of re-running the groupBy shuffle per consumer.
     val partial = batch
       .groupBy(keyCols.map(col): _*)
       .agg(
@@ -251,47 +255,59 @@ object StreamIngest {
         max(col(valueCol)).as("mx"))
       .withColumn("__bucket", bucketOf)
       .withColumn("__applied_batch", lit(batchId))
-    // O(nBuckets) driver list — bounded by config, not by data
-    val touched = partial.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) return
-    val existing =
-      if (fs.exists(new Path(statePath)))
-        Some(spark.read.parquet(statePath)
-          .where(col("__bucket").isin(touched.map(Integer.valueOf): _*)))
-      else None
-    // replay fence: buckets that already merged this batchId are done
-    val fencedBuckets: Set[Int] = existing match {
-      case None => Set.empty
-      case Some(e) => e.groupBy("__bucket")
-        .agg(max(col("__applied_batch")).as("b"))
-        .collect().filter(_.getLong(1) >= batchId).map(_.getInt(0)).toSet
-    }
-    val live = touched.filterNot(fencedBuckets)
-    if (live.isEmpty) return
-    val liveCol = (c: Column) => c.isin(live.map(Integer.valueOf): _*)
-    val incoming = partial.where(liveCol(col("__bucket")))
-    val merged = existing.map(e =>
-        incoming.unionByName(e.where(liveCol(col("__bucket")))
-          .select(incoming.columns.map(col): _*)))
-      .getOrElse(incoming)
-      .groupBy(keyCols.map(col): _*)
-      .agg(
-        sum(col("n")).as("n"),
-        sum(col("sum_cents")).as("sum_cents"),
-        min(col("mn")).as("mn"),
-        max(col("mx")).as("mx"),
-        max(col("__applied_batch")).as("__applied_batch"))
-      .withColumn("__bucket", bucketOf)
-    val prev = spark.conf
-      .getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy("__bucket")
-      .parquet(statePath)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+      .persist()
+    try {
+      // O(nBuckets) driver list — bounded by config, not by data
+      val touched = partial.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return
+      // Also persisted: the touched buckets' state feeds the fence
+      // collect AND the merge — one parquet scan, not two; and caching it
+      // before the overwrite means the rewrite never re-reads the very
+      // files it is replacing.
+      val existing =
+        if (fs.exists(new Path(statePath)))
+          Some(spark.read.parquet(statePath)
+            .where(col("__bucket").isin(touched.map(Integer.valueOf): _*))
+            .persist())
+        else None
+      try {
+        // replay fence: buckets that already merged this batchId are done
+        val fencedBuckets: Set[Int] = existing match {
+          case None => Set.empty
+          case Some(e) => e.groupBy("__bucket")
+            .agg(max(col("__applied_batch")).as("b"))
+            .collect().filter(_.getLong(1) >= batchId).map(_.getInt(0)).toSet
+        }
+        val live = touched.filterNot(fencedBuckets)
+        if (live.isEmpty) return
+        val liveCol = (c: Column) => c.isin(live.map(Integer.valueOf): _*)
+        val incoming = partial.where(liveCol(col("__bucket")))
+        val merged = existing.map(e =>
+            incoming.unionByName(e.where(liveCol(col("__bucket")))
+              .select(incoming.columns.map(col): _*)))
+          .getOrElse(incoming)
+          .groupBy(keyCols.map(col): _*)
+          .agg(
+            sum(col("n")).as("n"),
+            sum(col("sum_cents")).as("sum_cents"),
+            min(col("mn")).as("mn"),
+            max(col("mx")).as("mx"),
+            max(col("__applied_batch")).as("__applied_batch"))
+          .withColumn("__bucket", bucketOf)
+        val prev = spark.conf
+          .getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try merged.write.mode("overwrite").partitionBy("__bucket")
+          .parquet(statePath)
+        finally prev match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      } finally existing.foreach(_.unpersist())
+    } finally partial.unpersist()
   }
 
   /** Read the logical rollup state written by [[rollupUpsertPartitioned]]

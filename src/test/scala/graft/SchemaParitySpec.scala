@@ -20,8 +20,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *     DECIMAL belongs INSIDE exact-sum arithmetic, always CAST back to
   *     DOUBLE at the output boundary (`q_sql_abc_pareto` idiom).
   *
-  * Schema-only: the plans are analyzed, never executed, so the whole
-  * sweep costs milliseconds against the sf0.001 fixtures.
+  * Mostly schema-only: the plans are analyzed, not executed, so the
+  * sweep is cheap against the sf0.001 fixtures — with one exception:
+  * building `q_sql_bucketed_activity`'s frame runs
+  * `BucketedLayout.ensureEventsByUser`, which on a fresh session WRITES
+  * the bucketed table (real Spark jobs) before the `s.sql` text can
+  * resolve — a few seconds once per JVM, memoized for every later query
+  * against the same layout.
   */
 class SchemaParitySpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.session
