@@ -108,6 +108,38 @@ class VectorSpec extends AnyFunSuite {
     assert(plan.contains("best_cell"), s"best_cell missing from plan:\n$plan")
   }
 
+  test("ivfPqTopK at nCodes > 64: ADC keys stay collision-free (stride fix)") {
+    // Regression for the r7 ADVICE stride bug: ADC map keys packed
+    // (cell, code) as cell*64 + code with a HARD-CODED 64. Codes are vec
+    // ids in [nCodes, 2*nCodes), so once nCodes > 64 a high code spills
+    // into the next cell's key block and lands on a valid (cell+1, code')
+    // pair — duplicate map keys (a runtime error under Spark's default
+    // dedup policy, silently wrong scores otherwise). The stride is now
+    // 2*nCodes; at nCodes = 80 the old packing had 16 colliding pairs per
+    // adjacent probed cell pair, so this test fails loudly against it.
+    val dim = 64
+    val base = Array.tabulate(dim)(i => math.sin(i * 1.7).toFloat)
+    val near = base.map(x => x + 0.005f)
+    val rows = Seq((165L, base), (166L, near)) ++
+      (0L to 164L).map(k => (k, Array.tabulate(dim)(i =>
+        math.cos(i * 0.31 * (k + 2)).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" === 165)
+    val got = VectorSearch.ivfPqTopK(df.where($"vec_id" =!= 165), q,
+      "vec_id", "embedding", k = 3, nCells = 4, nProbe = 4,
+      nCodes = 80, rerank = 32)
+      .select("vec_id", "approx_ip", "sim")
+      .as[(Long, Double, Double)].collect()
+    assert(got.length == 3)
+    assert(got.head._1 == 166L,
+      s"planted near-dup should survive ADC shortlisting at nCodes=80: " +
+        s"${got.toSeq}")
+    got.foreach { case (_, ip, sim) =>
+      assert(!ip.isNaN && !ip.isInfinite)
+      assert(sim <= 1.0 && sim >= -1.0)
+    }
+  }
+
   test("trainCentroids: Lloyd refinement separates planted clusters") {
     // 3 tight clusters around near-orthogonal directions, ids interleaved
     // so the seed (lowest 3 ids) starts with one member of each cluster
