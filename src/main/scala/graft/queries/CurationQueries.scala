@@ -627,13 +627,24 @@ object CurationQueries extends QueryPack {
                 .cast("double") /
               ((col("c_r") + 1L) * (col("n_t") + B)).cast("double"))
               * 1e6 + 0.5).cast("long").as("lr6"))
+        // The round-to-4 happens in INTEGER micro-units too (half away
+        // from zero, positive-operand div only): a Σ landing exactly on a
+        // .00005 boundary is a tie Spark (HALF_UP over the shortest
+        // decimal repr) and DuckDB (binary-value rounding) break
+        // differently — one cell did at sf0.1. Integer-rounding first and
+        // dividing the resulting 4-decimal integer by 10000.0 gives both
+        // engines the same correctly-rounded double, boundary or not.
         h.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
           .join(broadcast(lr), "bucket")
           .groupBy("doc_id")
           .agg(sum("c").as("n_feat"),
             sum(col("c") * col("lr6")).as("__s6"))
+          .withColumn("__r4", expr(
+            "CASE WHEN __s6 >= 0 THEN (__s6 + 50) div 100 " +
+              "ELSE -((-__s6 + 50) div 100) END"))
           .select(col("doc_id"), col("n_feat"),
-            (round(col("__s6") / 1e6, 4) + lit(0.0)).as("dsir_score"),
+            (col("__r4").cast("double") / lit(10000.0) + lit(0.0))
+              .as("dsir_score"),
             (col("__s6") > 0L).as("selected"))
         // no ORDER BY — corpus-sized output, driver sorts before hashing
       },
@@ -654,12 +665,16 @@ object CurationQueries extends QueryPack {
               |               / CAST((cr.c_r + 1) * (n_t + 1024) AS DOUBLE)) * 1000000 + 0.5)
               |          AS BIGINT) AS lr6
               |      FROM cr LEFT JOIN ct USING (bucket), nt, nr),
-              |dbc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM h GROUP BY 1, 2)
-              |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feat,
-              |  ROUND(CAST(SUM(c * lr6) AS BIGINT) / 1000000.0, 4) + 0.0 AS dsir_score,
-              |  CAST(SUM(c * lr6) AS BIGINT) > 0 AS selected
-              |FROM dbc JOIN lr USING (bucket)
-              |GROUP BY doc_id""".stripMargin),
+              |dbc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM h GROUP BY 1, 2),
+              |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feat,
+              |         CAST(SUM(c * lr6) AS BIGINT) AS s6
+              |       FROM dbc JOIN lr USING (bucket) GROUP BY doc_id)
+              |SELECT doc_id, n_feat,
+              |  (CASE WHEN s6 >= 0 THEN (s6 + 50) // 100
+              |        ELSE -((-s6 + 50) // 100) END) / 10000.0 + 0.0
+              |    AS dsir_score,
+              |  s6 > 0 AS selected
+              |FROM sc""".stripMargin),
       doc = "DSIR-style importance selection: log-likelihood ratio between " +
         "a target-domain model and the raw-corpus model over hashed word " +
         "2-gram features (add-one smoothing, B = 1024 buckets) — feature " +
