@@ -642,20 +642,31 @@ object TextQueries extends QueryPack {
         // Scale shape: query terms are a literal IN filter pushed into
         // the token explode (the corpus-sized tf shuffle only carries
         // matching tokens); df/idf are O(|query|) rows broadcast; doc
-        // lengths + corpus stats come from ONE retained token pass; final
+        // lengths + corpus stats are map-only size() arithmetic; final
         // top-k is TakeOrderedAndProject. IDF and the final score are
         // rounded before ranking (engine-stable order, ties by doc_id).
         val qterms = Seq("join", "vector", "stream")
-        val toks = graft.CacheScope.retain(
-          Tables(s, dir, "documents")
-            .select(col("doc_id"),
-              explode(expr(
-                "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
-                .as("tok")))
-        val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        // Doc lengths are a MAP-ONLY size() over the token array — no
+        // token explode, no corpus-sized shuffle, no cache. `len > 0`
+        // keeps parity with the explode+groupBy shape the oracle replays
+        // (it never emits a zero-token doc). Only tf needs the explode,
+        // its IN filter runs map-side so the shuffle carries matching
+        // tokens only, and with one consumer nothing is retained.
+        val docs0 = Tables(s, dir, "documents")
+        val lens = docs0
+          .select(col("doc_id"),
+            size(expr(
+              "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
+              .cast("long").as("len"))
+          .where(col("len") > 0)
         val st = lens.agg(count(lit(1)).as("n_docs"),
           sum("len").as("tot_len"))
-        val tf = toks.where(col("tok").isin(qterms: _*))
+        val tf = docs0
+          .select(col("doc_id"),
+            explode(expr(
+              "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
+              .as("tok"))
+          .where(col("tok").isin(qterms: _*))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(st))
@@ -695,8 +706,9 @@ object TextQueries extends QueryPack {
       doc = "BM25 keyword retrieval (k1=1.2, b=0.75, Lucene IDF): top-20 " +
         "docs for a fixed query term set — the query-term IN filter rides " +
         "the token explode so the tf shuffle only carries matches, idf/" +
-        "stats broadcast, one retained token pass feeds lengths and tf, " +
-        "top-k via per-partition heaps; the targeted-corpus-selection op"),
+        "stats broadcast, doc lengths via map-only size() (no corpus-" +
+        "sized token shuffle), top-k via per-partition heaps; the " +
+        "targeted-corpus-selection op"),
 
     Query(
       "q_t_oov_rate",

@@ -1177,16 +1177,29 @@ object VectorQueries extends QueryPack {
           .select(col("vec_id").as("doc_id"),
             row_number().over(Window.orderBy(col("sim").desc, col("vec_id")))
               .cast("long").as("r_dense"))
-        val toks = graft.CacheScope.retain(
-          Tables(s, dir, "documents").where(col("doc_id") =!= 0)
-            .select(col("doc_id"),
-              explode(expr(
-                "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
-                .as("tok")))
-        val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        // Doc lengths are a MAP-ONLY size() over the token array — no
+        // reason to explode the whole corpus's tokens into a shuffle (and
+        // cache the exploded frame) just to count per doc. `len > 0`
+        // keeps parity with the explode+groupBy shape the oracle replays,
+        // which never emits a row for a zero-token doc. Only the tf leg
+        // needs the explode, and its 3-term filter runs map-side, so that
+        // shuffle carries matching tokens only — the exploded frame has
+        // exactly one consumer and is NOT retained.
+        val docs0 = Tables(s, dir, "documents").where(col("doc_id") =!= 0)
+        val lens = docs0
+          .select(col("doc_id"),
+            size(expr(
+              "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
+              .cast("long").as("len"))
+          .where(col("len") > 0)
         val st = lens.agg(count(lit(1)).as("n_docs"),
           sum("len").as("tot_len"))
-        val tf = toks.where(col("tok").isin("join", "vector", "stream"))
+        val tf = docs0
+          .select(col("doc_id"),
+            explode(expr(
+              "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
+              .as("tok"))
+          .where(col("tok").isin("join", "vector", "stream"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(st))
