@@ -46,12 +46,16 @@ def canon(df: pd.DataFrame):
     return (df.sort_values(by=list(df.columns), kind="mergesort")
               .reset_index(drop=True), decimal_cols)
 
-def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+def connect(sf_dir):
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = connect(sf_dir)
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
     names = sorted(d for d in os.listdir(out_dir)
@@ -64,8 +68,22 @@ def main():
         try:
             oracle_df = con.execute(oracles[name]).df()
         except Exception as e:
-            results[name] = f"ORACLE-SQL-ERROR: {e}"
-            continue
+            # A long sweep occasionally hits a transient DuckDB
+            # "Out of Memory" on one heavy oracle (allocator fragmentation
+            # across ~200 queries on one connection, not real exhaustion —
+            # the same SQL passes in isolation). Retry ONCE on a fresh
+            # connection before reporting; real SQL errors still surface.
+            if "Out of Memory" in str(e) or "bad allocation" in str(e):
+                try:
+                    con.close()
+                    con = connect(sf_dir)
+                    oracle_df = con.execute(oracles[name]).df()
+                except Exception as e2:
+                    results[name] = f"ORACLE-SQL-ERROR: {e2}"
+                    continue
+            else:
+                results[name] = f"ORACLE-SQL-ERROR: {e}"
+                continue
         (a, a_dec), (b, b_dec) = canon(spark_df), canon(oracle_df)
         if list(a.columns) != list(b.columns):
             results[name] = f"SCHEMA-MISMATCH spark={list(a.columns)} oracle={list(b.columns)}"
