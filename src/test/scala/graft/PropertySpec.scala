@@ -282,6 +282,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rollup replay after a PARTIALLY-applied batch heals to the clean state") {
+    import graft.streaming.StreamIngest
+    // The crash window the per-bucket fence exists for: a batch's dynamic
+    // overwrite dies after committing SOME buckets (their rows carry
+    // __applied_batch = batchId) while others still hold the prior state.
+    // foreachBatch restarts re-run the SAME batchId; committed buckets
+    // must skip (or their additive merges double-count) and uncommitted
+    // ones must merge. Simulated exactly: apply only the slice of the
+    // batch whose keys hash to one bucket, then replay the full batch.
+    val nb = 4
+    val batch0 = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0), ("d", 4.0),
+      ("e", 5.0), ("f", 6.0))
+    val batch1 = Seq(("a", 10.0), ("b", -2.5), ("c", 7.25), ("g", 1.75))
+    val bucketOf = batch1.map(_._1).distinct.toDF("k")
+      .select(col("k"), pmod(hash(col("k")), lit(nb)).as("b"))
+      .as[(String, Int)].collect().toMap
+    val someBucket = bucketOf(batch1.head._1)
+    val slice = batch1.filter(kv => bucketOf(kv._1) == someBucket)
+    assert(slice.nonEmpty && slice.size < batch1.size,
+      s"fixture must split across buckets: $bucketOf")
+    def freshState(tag: String): String = java.nio.file.Files
+      .createTempDirectory(s"rollup-partial-$tag").toString + "/t"
+    def up(state: String) =
+      StreamIngest.rollupUpsertPartitioned(state, Seq("k"), "v", nb) _
+    val clean = freshState("clean")
+    up(clean)(batch0.toDF("k", "v"), 0L)
+    up(clean)(batch1.toDF("k", "v"), 1L)
+    val crashed = freshState("crashed")
+    up(crashed)(batch0.toDF("k", "v"), 0L)
+    up(crashed)(slice.toDF("k", "v"), 1L)      // partial commit, then crash
+    up(crashed)(batch1.toDF("k", "v"), 1L)     // restart replays batch 1
+    def read(state: String) = StreamIngest.readRollupState(spark, state)
+      .select("k", "n", "sum_cents", "mn", "mx")
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(read(crashed) == read(clean),
+      "partial-commit + replay must equal the uninterrupted run — a " +
+        "mismatch means the fence let a committed bucket double-merge")
+  }
+
   test("scd2 intervals tile each user's history and match the change count") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q_r_scd2")(spark, dir)
