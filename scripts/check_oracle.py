@@ -74,9 +74,19 @@ def main():
             # the same SQL passes in isolation). Retry ONCE on a fresh
             # connection before reporting; real SQL errors still surface.
             if "Out of Memory" in str(e) or "bad allocation" in str(e):
+                # build the replacement FIRST so a failed reconnect can't
+                # leave `con` closed and poison every remaining query
+                try:
+                    new_con = connect(sf_dir)
+                except Exception:
+                    results[name] = f"ORACLE-SQL-ERROR: {e}"
+                    continue
                 try:
                     con.close()
-                    con = connect(sf_dir)
+                except Exception:
+                    pass
+                con = new_con
+                try:
                     oracle_df = con.execute(oracles[name]).df()
                 except Exception as e2:
                     results[name] = f"ORACLE-SQL-ERROR: {e2}"

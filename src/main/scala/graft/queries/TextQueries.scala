@@ -81,6 +81,54 @@ object TextQueries extends QueryPack {
     * width 2000 — Spark's eps 0.001/conf 0.99 sizing) over every distinct
     * term, then min the 7 probed cells per top-20 term.
     */
+  /** Shared BM25 scoring leg (k1 = 1.2, b = 0.75, Lucene-style
+    * +1-inside-the-log IDF) over a (doc_id, text) frame: per-doc
+    * (n_terms, bm25) for the given query terms, UNORDERED — callers add
+    * their own top-k. Composed verbatim by `q_t_bm25_topk` and the
+    * hybrid-RRF sparse leg (`VectorQueries.q_e_hybrid_rrf`); the paired
+    * DuckDB oracles replay the same CTE chain, so a change here must land
+    * in both oracle texts too. Scale shape: doc lengths are a MAP-ONLY
+    * size() over the token array (`len > 0` keeps parity with the
+    * explode+groupBy shape the oracles replay, which never emits a
+    * zero-token doc — no corpus-sized token shuffle, no cache); only tf
+    * explodes, and its query-term IN filter runs map-side so that shuffle
+    * carries matching tokens only; df/idf and the corpus stats are O(1)
+    * broadcasts.
+    */
+  private[queries] def bm25PerDoc(docs: org.apache.spark.sql.DataFrame,
+      qterms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val lens = docs
+      .select(col("doc_id"),
+        size(expr(
+          "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
+          .cast("long").as("len"))
+      .where(col("len") > 0)
+    val st = lens.agg(count(lit(1)).as("n_docs"),
+      sum("len").as("tot_len"))
+    val tf = docs
+      .select(col("doc_id"),
+        explode(expr(
+          "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
+          .as("tok"))
+      .where(col("tok").isin(qterms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(st))
+      .select(col("tok"),
+        (round(log((col("n_docs") - col("df") + 0.5)
+          / (col("df") + 0.5) + 1.0), 6) + lit(0.0)).as("idf"))
+    tf.join(broadcast(idf), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(st))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        (round(sum(col("idf") * col("tf") * lit(2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * col("len")
+              / (col("tot_len") * lit(1.0) / col("n_docs"))))), 4)
+          + lit(0.0)).as("bm25"))
+  }
+
   private[queries] val cmsOracleSql: String =
     s"""WITH tok AS (
        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS term
@@ -645,44 +693,8 @@ object TextQueries extends QueryPack {
         // lengths + corpus stats are map-only size() arithmetic; final
         // top-k is TakeOrderedAndProject. IDF and the final score are
         // rounded before ranking (engine-stable order, ties by doc_id).
-        val qterms = Seq("join", "vector", "stream")
-        // Doc lengths are a MAP-ONLY size() over the token array — no
-        // token explode, no corpus-sized shuffle, no cache. `len > 0`
-        // keeps parity with the explode+groupBy shape the oracle replays
-        // (it never emits a zero-token doc). Only tf needs the explode,
-        // its IN filter runs map-side so the shuffle carries matching
-        // tokens only, and with one consumer nothing is retained.
-        val docs0 = Tables(s, dir, "documents")
-        val lens = docs0
-          .select(col("doc_id"),
-            size(expr(
-              "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
-              .cast("long").as("len"))
-          .where(col("len") > 0)
-        val st = lens.agg(count(lit(1)).as("n_docs"),
-          sum("len").as("tot_len"))
-        val tf = docs0
-          .select(col("doc_id"),
-            explode(expr(
-              "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
-              .as("tok"))
-          .where(col("tok").isin(qterms: _*))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-          .crossJoin(broadcast(st))
-          .select(col("tok"),
-            (round(log((col("n_docs") - col("df") + 0.5)
-              / (col("df") + 0.5) + 1.0), 6) + lit(0.0)).as("idf"))
-        tf.join(broadcast(idf), "tok")
-          .join(lens, "doc_id")
-          .crossJoin(broadcast(st))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_terms"),
-            (round(sum(col("idf") * col("tf") * lit(2.2)
-              / (col("tf") + lit(1.2) * (lit(0.25)
-                + lit(0.75) * col("len")
-                  / (col("tot_len") * lit(1.0) / col("n_docs"))))), 4)
-              + lit(0.0)).as("bm25"))
+        bm25PerDoc(Tables(s, dir, "documents"),
+          Seq("join", "vector", "stream"))
           .orderBy(col("bm25").desc, col("doc_id"))
           .limit(20)
       },

@@ -1177,44 +1177,12 @@ object VectorQueries extends QueryPack {
           .select(col("vec_id").as("doc_id"),
             row_number().over(Window.orderBy(col("sim").desc, col("vec_id")))
               .cast("long").as("r_dense"))
-        // Doc lengths are a MAP-ONLY size() over the token array — no
-        // reason to explode the whole corpus's tokens into a shuffle (and
-        // cache the exploded frame) just to count per doc. `len > 0`
-        // keeps parity with the explode+groupBy shape the oracle replays,
-        // which never emits a row for a zero-token doc. Only the tf leg
-        // needs the explode, and its 3-term filter runs map-side, so that
-        // shuffle carries matching tokens only — the exploded frame has
-        // exactly one consumer and is NOT retained.
-        val docs0 = Tables(s, dir, "documents").where(col("doc_id") =!= 0)
-        val lens = docs0
-          .select(col("doc_id"),
-            size(expr(
-              "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
-              .cast("long").as("len"))
-          .where(col("len") > 0)
-        val st = lens.agg(count(lit(1)).as("n_docs"),
-          sum("len").as("tot_len"))
-        val tf = docs0
-          .select(col("doc_id"),
-            explode(expr(
-              "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
-              .as("tok"))
-          .where(col("tok").isin("join", "vector", "stream"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-          .crossJoin(broadcast(st))
-          .select(col("tok"),
-            (round(log((col("n_docs") - col("df") + 0.5)
-              / (col("df") + 0.5) + 1.0), 6) + lit(0.0)).as("idf"))
-        val sparse = tf.join(broadcast(idf), "tok")
-          .join(lens, "doc_id")
-          .crossJoin(broadcast(st))
-          .groupBy("doc_id")
-          .agg((round(sum(col("idf") * col("tf") * lit(2.2)
-            / (col("tf") + lit(1.2) * (lit(0.25)
-              + lit(0.75) * col("len")
-                / (col("tot_len") * lit(1.0) / col("n_docs"))))), 4)
-            + lit(0.0)).as("bm25"))
+        // The sparse leg is the SHARED BM25 scorer (map-only doc lengths,
+        // map-side-filtered tf explode, broadcast idf/stats — see
+        // TextQueries.bm25PerDoc), truncated to its top-K and ranked.
+        val sparse = TextQueries.bm25PerDoc(
+            Tables(s, dir, "documents").where(col("doc_id") =!= 0),
+            Seq("join", "vector", "stream"))
           .orderBy(col("bm25").desc, col("doc_id"))
           .limit(K)
           .select(col("doc_id"),

@@ -56,15 +56,17 @@ object BucketedLayout {
     }
 
   /** Shared scaffold for the layout's bucketed tables: session-memoized,
-    * stale-location-safe, one sorted file per bucket on `user_id` into
+    * stale-location-safe, one sorted file per bucket on `bucketCol` into
     * [[NBuckets]] buckets. One file per bucket matters: the scan only
     * reports its outputOrdering (enabling sort elimination) when no
     * per-bucket merge is needed, so the writer repartitions on the bucket
     * expression first — the repartition hash and the bucket hash are both
-    * Murmur3 on `user_id`, so every task holds exactly one bucket's rows.
+    * Murmur3 on `bucketCol`, so every task holds exactly one bucket's
+    * rows.
     */
   private def ensureBucketedTable(spark: SparkSession, memoKey: String,
-      namePrefix: String, sfDir: String, sortCols: Seq[String])(
+      namePrefix: String, sfDir: String, sortCols: Seq[String],
+      bucketCol: String = "user_id")(
       build: => DataFrame): String = {
     val memo = built.synchronized {
       var m = built.get(spark)
@@ -102,9 +104,9 @@ object BucketedLayout {
           val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(loc)) fs.delete(loc, true)
           build
-            .repartition(NBuckets, col("user_id"))
+            .repartition(NBuckets, col(bucketCol))
             .write
-            .bucketBy(NBuckets, "user_id")
+            .bucketBy(NBuckets, bucketCol)
             .sortBy(sortCols.head, sortCols.tail: _*)
             .mode(SaveMode.Overwrite)
             .saveAsTable(name)

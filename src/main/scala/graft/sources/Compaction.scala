@@ -164,12 +164,23 @@ object Compaction {
     val inferK = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val prevInfer = spark.conf.getOption(inferK)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    spark.conf.set(inferK, "false")
     try {
-      val df = spark.read
-        .option("basePath", root)
-        .format(format)
-        .load(unhealthy.map(_._1.toString): _*)
+      // The inference flag is session-global, and partition-schema
+      // resolution happens inside load() — so the flag is flipped for
+      // exactly that call and restored before the job runs, keeping the
+      // window in which a CONCURRENTLY PLANNED partitioned read in this
+      // session would see string partition columns as narrow as the
+      // listing itself (the job's own plan keeps the captured schema).
+      val df = try {
+        spark.conf.set(inferK, "false")
+        spark.read
+          .option("basePath", root)
+          .format(format)
+          .load(unhealthy.map(_._1.toString): _*)
+      } finally prevInfer match {
+        case Some(v) => spark.conf.set(inferK, v)
+        case None => spark.conf.unset(inferK)
+      }
       val writer = df
         .repartition(partCols.map(col): _*)
         .write
@@ -179,17 +190,11 @@ object Compaction {
       (if (maxRecordsPerFile > 0L)
         writer.option("maxRecordsPerFile", maxRecordsPerFile)
       else writer).save(root)
-    } finally {
-      prevOverwrite match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      prevInfer match {
-        case Some(v) => spark.conf.set(inferK, v)
-        case None => spark.conf.unset(inferK)
-      }
+    } finally prevOverwrite match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
 
     val after = leaves(fs, rootPath).toMap
