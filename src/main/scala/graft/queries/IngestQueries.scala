@@ -93,6 +93,62 @@ object IngestQueries extends QueryPack {
              |  'ticker/' || event_type || '/' || CAST(epoch_us(ts) AS BIGINT) || '.json' AS object_key
              |FROM events""".stripMargin),
       doc = "SURVEY P17: {channel}/{key}/{epoch}.json object-key layout as an " +
-        "expression — the archive sink's partition path (K4)")
+        "expression — the archive sink's partition path (K4)"),
+
+    // ---- S6/P7/P8: the CSV batch source, oracle-checked ----
+    Query(
+      "q_s6_csv_scan",
+      (s, _) => graft.ts.FeatureFrame.loadOhlcvCsv(s, ensureCsvFixture())
+        .select(col("id"), col("ts"), col("open"), col("high"),
+          col("low"), col("close"), col("volume")),
+      Some(s"""SELECT CAST(epoch(CAST(timestamp AS TIMESTAMP)) AS BIGINT) AS id,
+              |  CAST(timestamp AS TIMESTAMP) AS ts,
+              |  Open AS open, High AS high, Low AS low,
+              |  Close AS close, Volume AS volume
+              |FROM read_csv('$CsvFixturePath', header=true,
+              |  columns={'timestamp':'VARCHAR','Open':'DOUBLE','High':'DOUBLE',
+              |           'Low':'DOUBLE','Close':'DOUBLE','Volume':'DOUBLE'})"""
+        .stripMargin),
+      doc = "SURVEY S6/P7/P8 upgraded from test-only to hash-checked: the " +
+        "reference-header CSV loader (declared schema — no inference job, " +
+        "rename map, to_timestamp parse, epoch id) against DuckDB's " +
+        "read_csv of the SAME on-disk file — both engines parse the " +
+        "identical decimal strings to identical doubles; the fixture is " +
+        "written deterministically (Locale.ROOT) by the query itself")
   )
+
+  /** Where [[ensureCsvFixture]] writes the S6 oracle fixture — an absolute
+    * path shared with the DuckDB oracle text, which reads the same file.
+    */
+  private val CsvFixturePath = "/tmp/graft_fixtures/ohlcv_s6.csv"
+
+  /** Idempotently write the deterministic 200-row 5-minute OHLCV fixture
+    * (reference header names, Locale.ROOT formatting so the decimal
+    * separator cannot drift with the JVM locale). Content is a pure
+    * function of the row index — every (re)write is byte-identical, so
+    * Verify and the driver's later DuckDB pass agree on the bytes.
+    */
+  private def ensureCsvFixture(): String = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(CsvFixturePath)
+    Files.createDirectories(p.getParent)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss", java.util.Locale.ROOT)
+    val rows = (0 until 200).map { i =>
+      val t = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+        .plusMinutes(5L * i).format(fmt)
+      val base = 100.0 + 10.0 * math.sin(i * 0.15)
+      val open = base
+      val close = base + math.cos(i * 0.4)
+      val high = math.max(open, close) + 0.5
+      val low = math.min(open, close) - 0.5
+      val vol = 10.0 + (i % 7)
+      String.format(java.util.Locale.ROOT,
+        "%s,%.6f,%.6f,%.6f,%.6f,%.2f", t, open, high, low, close, vol)
+    }
+    Files.write(p,
+      ("timestamp,Open,High,Low,Close,Volume" +: rows).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    CsvFixturePath
+  }
 }
