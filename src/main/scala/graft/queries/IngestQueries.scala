@@ -114,8 +114,42 @@ object IngestQueries extends QueryPack {
         "rename map, to_timestamp parse, epoch id) against DuckDB's " +
         "read_csv of the SAME on-disk file — both engines parse the " +
         "identical decimal strings to identical doubles; the fixture is " +
-        "written deterministically (Locale.ROOT) by the query itself")
+        "written deterministically (Locale.ROOT) by the query itself"),
+
+    // ---- S7: rows→frame adapter, oracle-checked ----
+    Query(
+      "q_s7_rows_adapter",
+      (s, _) => Tables.fromRows(s, Seq(
+        org.apache.spark.sql.Row(1L, "BTC-USD",
+          utc("2024-01-01T00:00:00Z"), 42000.5, true),
+        org.apache.spark.sql.Row(2L, "ETH-USD",
+          utc("2024-01-01T00:05:00Z"), null, false),
+        org.apache.spark.sql.Row(3L, "BTC-USD",
+          utc("2024-01-01T00:10:00Z"), 41950.25, true)),
+        "id BIGINT, product STRING, ts TIMESTAMP, price DOUBLE, live BOOLEAN"),
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 'BTC-USD', TIMESTAMP '2024-01-01 00:00:00',
+             |   CAST(42000.5 AS DOUBLE), true),
+             |  (CAST(2 AS BIGINT), 'ETH-USD', TIMESTAMP '2024-01-01 00:05:00',
+             |   CAST(NULL AS DOUBLE), false),
+             |  (CAST(3 AS BIGINT), 'BTC-USD', TIMESTAMP '2024-01-01 00:10:00',
+             |   CAST(41950.25 AS DOUBLE), true))
+             |  AS t(id, product, ts, price, live)""".stripMargin),
+      doc = "SURVEY S7 upgraded from test-only to hash-checked: the " +
+        "rows->frame adapter (createDataFrame + DDL schema) over a mixed-" +
+        "type fixture — bigint/string/timestamp/nullable-double/boolean — " +
+        "vs a DuckDB VALUES table; pins the DDL type mapping end-to-end " +
+        "through parquet, with instants (not zone-local Timestamp.valueOf) " +
+        "so the fixture is JVM-timezone-independent")
   )
+
+  /** S7 fixture instant: absolute (`Instant.parse`, not
+    * `Timestamp.valueOf`) so the rows mean the same UTC wall-clock no
+    * matter the JVM default zone — the oracle's naive TIMESTAMP literals
+    * compare against session-UTC values.
+    */
+  private def utc(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(s))
 
   /** Where [[ensureCsvFixture]] writes the S6 oracle fixture — an absolute
     * path shared with the DuckDB oracle text, which reads the same file.
