@@ -63,7 +63,16 @@ object Bench {
 
     val timed = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_e_hybrid_rrf runs only
+    // queries whose name matches a listed entry exactly or by prefix.
+    // Unset (the driver's case) → the full surface, unchanged.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(p => n == p || n.startsWith(p)))
+    }
+    selected.foreach { case (name, fn) =>
       try {
         val a = runOnce(fn)
         val b = runOnce(fn)

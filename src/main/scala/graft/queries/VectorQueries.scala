@@ -22,6 +22,64 @@ object VectorQueries extends QueryPack {
   private def queryVec(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).where(col("vec_id") === 0)
 
+  /** Shared RAG first stage: the fused top-20 RRF frame consumed by
+    * q_e_hybrid_rrf AND its two downstream queries (q_e_context_pack,
+    * q_e_fusion_gain). Built once per (session, dir) and retained via
+    * [[graft.CacheScope]] — the indicator-trio discipline
+    * ([[IndicatorQueries]]): the two corpus-scan legs (BM25 + dense
+    * cosine) run once instead of once per consumer. The reuse crosses
+    * query boundaries, so ReusedExchange could never dedupe it in-plan.
+    * Columns: doc_id, r_dense, r_bm25, rrf; ≤20 rows.
+    */
+  private val fusedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def fusedTop20(s: SparkSession, dir: String): DataFrame =
+    fusedCache.getOrElseUpdate((s, dir),
+      graft.CacheScope.retain(buildFusedTop20(s, dir),
+        onRelease = () => fusedCache.remove((s, dir))))
+
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al., k=60) of a
+    * sparse BM25 leg and a dense cosine leg — the standard RAG first-stage
+    * retriever. Each leg is the already-proven operator (q_t_bm25_topk /
+    * q_e_cosine_topk) truncated to its top-50; ranks are integers, so the
+    * fused 1/(60+r) sums are bit-identical across engines. Scale shape:
+    * both legs end in TakeOrderedAndProject (per-partition heaps), the
+    * rank windows and the full-outer fuse run over ≤50-row frames — the
+    * corpus is never shuffled wider than each leg already shuffles it.
+    * Doc 0 is the query (its embedding = the dense probe) and is excluded
+    * from both legs.
+    */
+  private def buildFusedTop20(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 50
+    val dense = VectorSearch.cosineTopK(
+      emb(s, dir).where(col("vec_id") =!= 0), queryVec(s, dir),
+      "vec_id", "embedding", K)
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(Window.orderBy(col("sim").desc, col("vec_id")))
+          .cast("long").as("r_dense"))
+    // The sparse leg is the SHARED BM25 scorer (map-only doc lengths,
+    // map-side-filtered tf explode, broadcast idf/stats — see
+    // TextQueries.bm25PerDoc), truncated to its top-K and ranked.
+    val sparse = TextQueries.bm25PerDoc(
+        Tables(s, dir, "documents").where(col("doc_id") =!= 0),
+        Seq("join", "vector", "stream"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(K)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long").as("r_bm25"))
+    dense.join(sparse, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_dense"), col("r_bm25"),
+        (round(
+          coalesce(lit(1.0) / (lit(60.0) + col("r_dense")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60.0) + col("r_bm25")), lit(0.0)),
+          6) + lit(0.0)).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** One Lloyd round as DuckDB CTEs, replaying
     * [[graft.vector.VectorSearch.trainCentroids]] exactly:
     * assignment = per-row argmax cosine against `c{i-1}` (ties → lowest
@@ -1157,46 +1215,12 @@ object VectorQueries extends QueryPack {
 
     Query(
       "q_e_hybrid_rrf",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        // Hybrid retrieval: reciprocal-rank fusion (Cormack et al., k=60)
-        // of a sparse BM25 leg and a dense cosine leg — the standard RAG
-        // first-stage retriever. Each leg is the already-proven operator
-        // (q_t_bm25_topk / q_e_cosine_topk) truncated to its top-50;
-        // ranks are integers, so the fused 1/(60+r) sums are bit-identical
-        // across engines. Scale shape: both legs end in
-        // TakeOrderedAndProject (per-partition heaps), the rank windows
-        // and the full-outer fuse run over ≤50-row frames — the corpus is
-        // never shuffled wider than each leg already shuffles it. Doc 0
-        // is the query (its embedding = the dense probe) and is excluded
-        // from both legs.
-        val K = 50
-        val dense = VectorSearch.cosineTopK(
-          emb(s, dir).where(col("vec_id") =!= 0), queryVec(s, dir),
-          "vec_id", "embedding", K)
-          .select(col("vec_id").as("doc_id"),
-            row_number().over(Window.orderBy(col("sim").desc, col("vec_id")))
-              .cast("long").as("r_dense"))
-        // The sparse leg is the SHARED BM25 scorer (map-only doc lengths,
-        // map-side-filtered tf explode, broadcast idf/stats — see
-        // TextQueries.bm25PerDoc), truncated to its top-K and ranked.
-        val sparse = TextQueries.bm25PerDoc(
-            Tables(s, dir, "documents").where(col("doc_id") =!= 0),
-            Seq("join", "vector", "stream"))
-          .orderBy(col("bm25").desc, col("doc_id"))
-          .limit(K)
-          .select(col("doc_id"),
-            row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
-              .cast("long").as("r_bm25"))
-        dense.join(sparse, Seq("doc_id"), "full_outer")
-          .select(col("doc_id"), col("r_dense"), col("r_bm25"),
-            (round(
-              coalesce(lit(1.0) / (lit(60.0) + col("r_dense")), lit(0.0))
-                + coalesce(lit(1.0) / (lit(60.0) + col("r_bm25")), lit(0.0)),
-              6) + lit(0.0)).as("rrf"))
-          .orderBy(col("rrf").desc, col("doc_id"))
-          .limit(20)
-      },
+      // Plan + scale-shape documented on buildFusedTop20; the frame is
+      // shared (retained once per session/dir) with q_e_context_pack and
+      // q_e_fusion_gain. The trailing orderBy re-asserts output order on
+      // the ≤20-row cached frame (persisted block order is not a contract).
+      (s, dir) => fusedTop20(s, dir)
+        .orderBy(col("rrf").desc, col("doc_id")),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
              |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
              |dense AS (SELECT e.vec_id AS doc_id,
@@ -1244,12 +1268,12 @@ object VectorQueries extends QueryPack {
         // rank order (running token cumsum; a doc is kept while the
         // cumulative total fits). The audit columns (rank, n_tokens,
         // cum_tokens, kept) are what a serving layer logs per request.
-        // Scale shape: identical to q_e_hybrid_rrf up to the 20-row
-        // fused frame; the doc-length join probes documents on its key
-        // and the pack window runs over 20 rows on one partition —
-        // per-request cost is O(k), independent of corpus size.
-        val fused = queries.find(_.name == "q_e_hybrid_rrf").get
-          .run(s, dir)
+        // Scale shape: consumes the SHARED fused 20-row frame (one
+        // first-stage run per session/dir across the whole RAG trio);
+        // the doc-length join probes documents on its key and the pack
+        // window runs over 20 rows on one partition — per-request cost
+        // is O(k), independent of corpus size.
+        val fused = fusedTop20(s, dir)
         val d = Tables(s, dir, "documents")
           .select(col("doc_id"),
             size(expr("filter(split(trim(text), '\\\\s+'), t -> t <> '')"))
@@ -1323,10 +1347,13 @@ object VectorQueries extends QueryPack {
         // each leg alone? overlap@10 per leg + the count of fused hits
         // NEITHER leg had in ITS top-10 — the reranking-effect evidence
         // that justifies (or kills) running both legs in production.
-        // Scale shape: re-runs the two leg plans (heaps) and the 20-row
-        // fuse, then three ≤10-row semi-join overlaps — eval cost is
-        // retrieval cost, not corpus cost.
-        val fused = queries.find(_.name == "q_e_hybrid_rrf").get.run(s, dir)
+        // Scale shape: consumes the SHARED fused 20-row frame (the leg
+        // plans run once per session/dir across the RAG trio), then the
+        // overlap flags reduce over ≤10 rows — eval cost is retrieval
+        // cost, not corpus cost. The explicit orderBy re-asserts rank
+        // order on the cached frame before the top-10 cut.
+        val fused = fusedTop20(s, dir)
+          .orderBy(col("rrf").desc, col("doc_id"))
           .limit(10).select(col("doc_id"),
             (col("r_dense") <= 10).as("in_dense10"),
             (col("r_bm25") <= 10).as("in_bm2510"))
