@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StructType}
+
+/** Distributed exact prefix sum (running total) over a globally-ordered
+  * frame — WITHOUT a zero-partition window.
+  *
+  * `sum(v) OVER (ORDER BY …)` with no PARTITION BY moves the ENTIRE input
+  * to one partition (Spark warns "No Partition Defined for Window
+  * operation"). Over a per-key aggregate that is O(#keys) rows — fatal at
+  * 100 TB key cardinalities (every customer of a 100 TB order book on one
+  * task). This op is the classic two-phase scan instead:
+  *
+  *  1. `repartitionByRange` on the sort keys — Spark's range partitioner
+  *     guarantees every row of partition i sorts before every row of
+  *     partition i+1, so partitions tile the global order; a
+  *     `sortWithinPartitions` makes each tile internally ordered.
+  *  2. one streaming `mapPartitions` pass computes the within-tile running
+  *     sum in exact java BigDecimal (O(1) state, no shuffle, the
+  *     Indicators.compute posture).
+  *  3. the per-tile totals — O(#partitions) rows, a bounded documented
+  *     driver read like the VectorSearch codebooks — become prefix
+  *     offsets, broadcast back and added map-side.
+  *
+  * Exactness: decimal addition is associative, the range partitioner
+  * preserves the strict total order of `sortCols` (callers must make the
+  * order strict, e.g. tie-break on the key), so `offset(tile) + within` is
+  * bit-equal to the single-partition window's running sum.
+  */
+object PrefixSum {
+
+  /** Appends `cumCol` = exact running total of DECIMAL column `valueCol`
+    * in the strict total order of `sortCols`, and returns the grand total
+    * alongside (it falls out of the same per-tile offsets fold — callers
+    * needing `cum / total` shares skip both a second corpus aggregate and
+    * the `SUM() OVER ()` whole-frame window). The input stays distributed:
+    * `nParts`-way range partitioning, one pass per partition. `valueCol`
+    * must be a non-null DecimalType column (aggregate outputs are).
+    */
+  def runningDecimalSum(df: DataFrame, valueCol: String, cumCol: String,
+      sortCols: Seq[Column], nParts: Int = 32)
+      : (DataFrame, java.math.BigDecimal) = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val valIdx = inSchema.fieldIndex(valueCol)
+    val scale = inSchema(valIdx).dataType match {
+      case d: DecimalType => d.scale
+      case t => throw new IllegalArgumentException(
+        s"runningDecimalSum needs a DecimalType value column, got $t")
+    }
+    val cumType = DecimalType(38, scale)
+
+    val ranged = df.repartitionByRange(nParts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val midSchema = new StructType(
+      (inSchema.add("__pid", IntegerType, nullable = false)
+        .add("__within", cumType, nullable = false)).fields)
+    val withWithin = ranged.mapPartitions { rows =>
+      var acc = java.math.BigDecimal.ZERO
+      rows.map { r =>
+        acc = acc.add(r.getDecimal(valIdx))
+        Row.fromSeq(r.toSeq :+ acc.setScale(scale))
+      }
+    }(Encoders.row(midSchema))
+
+    // Retained so the driver-side totals read and the main plan share ONE
+    // execution of the range shuffle + cumsum pass (CacheScope discipline:
+    // whoever drives the consuming action releases at its boundary).
+    val cached = graft.CacheScope.retain(withWithin)
+
+    // O(nParts) rows to the driver: the prefix offset of tile p is the sum
+    // of all tiles' totals before p (empty tiles simply never appear).
+    // Tile total = SUM of the values, NOT max(__within): with mixed-sign
+    // values the running sum is not monotone, so its max is not its last
+    // element (caught by PrefixSumSpec's mixed-sign property).
+    val totals = cached.groupBy("__pid")
+      .agg(sum(col(valueCol)).cast(cumType).as("__tile_total"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDecimal(1)))
+      .sortBy(_._1)
+    var running = java.math.BigDecimal.ZERO
+    val offsets = totals.map { case (pid, tot) =>
+      val off = running; running = running.add(tot); (pid, off)
+    }
+    val offsetsDf = spark.createDataFrame(
+      java.util.Arrays.asList(offsets.map { case (p, o) =>
+        Row(p, o.setScale(scale)) }: _*),
+      new StructType().add("__pid", IntegerType, nullable = false)
+        .add("__offset", cumType, nullable = false))
+
+    val out = cached.join(broadcast(offsetsDf), "__pid")
+      .withColumn(cumCol, (col("__offset") + col("__within")).cast(cumType))
+      .drop("__pid", "__within", "__offset")
+    (out, running.setScale(scale))
+  }
+}

@@ -845,26 +845,28 @@ object Relational extends QueryPack {
     Query(
       "q_a_abc_pareto",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         // Pareto/ABC analysis: customers ranked by revenue, classified by
         // cumulative revenue share (A ≤ 80 %, B ≤ 95 %, C rest). The
-        // global-ordered window runs over the per-customer AGGREGATE
-        // (O(#customers) rows after one partial-agg shuffle), never the
-        // fact table — that is what makes a global sort affordable at
-        // 100 TB of orders. Sums are DECIMAL (exact, order-independent);
-        // the share division happens in DOUBLE on identical exact inputs,
-        // so both engines compare identical values at the class cuts.
+        // running total over the per-customer aggregate is a DISTRIBUTED
+        // prefix sum (ops/PrefixSum: range-partition on the rank order,
+        // one streaming pass per tile, O(#partitions) offsets broadcast
+        // back) — a zero-partition `SUM OVER (ORDER BY)` window here
+        // would move every customer of a 100 TB order book to ONE task
+        // (the PlanShapeSpec global-window sweep pins that out). Sums are
+        // DECIMAL (exact, order-independent) and decimal addition is
+        // associative, so offset+within is bit-equal to the
+        // single-partition window's cumsum; the share division happens in
+        // DOUBLE on identical exact inputs, so both engines compare
+        // identical values at the class cuts. The grand total falls out
+        // of the same offsets fold — no second pass, no SUM() OVER ().
         val rev = Tables(s, dir, "orders")
           .groupBy(col("o_custkey"))
           .agg(sum(dec2(col("o_totalprice"))).as("rev"))
-        val w = Window.orderBy(col("rev").desc, col("o_custkey"))
-        val classed = rev
-          .withColumn("cum",
-            sum(col("rev")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("total",
-            sum(col("rev")).over(Window.partitionBy()))
+        val (cum, total) = graft.ops.PrefixSum.runningDecimalSum(
+          rev, "rev", "cum", Seq(col("rev").desc, col("o_custkey")))
+        val classed = cum
           .withColumn("share",
-            col("cum").cast("double") / col("total").cast("double"))
+            col("cum").cast("double") / lit(total).cast("double"))
           .withColumn("abc_class",
             when(col("share") <= 0.80, "A")
               .when(col("share") <= 0.95, "B").otherwise("C"))

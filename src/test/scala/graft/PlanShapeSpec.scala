@@ -226,4 +226,72 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"unbounded-join regressions:\n  ${offenders.mkString("\n  ")}")
   }
+
+  test("GLOBAL: every zero-partition window sits above a limit — the " +
+      "'WindowExec: No Partition Defined' warnings in the bench tail are " +
+      "bounded by construction, and stay that way") {
+    // A window with no PARTITION BY moves ALL its input to one partition
+    // — fine over a ≤50-row post-limit frame (the rank windows in the
+    // retrieval/fusion family), catastrophic over a corpus. This sweep
+    // pins the claim: for every query, every WindowExec/WindowGroupLimit
+    // with an empty partitionSpec must have a row-bounding node below it
+    // (a *Limit*, TakeOrderedAndProject, or a grouping-free aggregate's
+    // 1-row output) OR be a named site below whose bound the PLAN cannot
+    // show but the QUERY fixes (a domain-bounded grouped aggregate).
+    // Ships-unbounded-global-window ⇒ fails here by name. This sweep is
+    // what surfaced q_a_abc_pareto's O(#customers) single-partition
+    // cumsum — now the distributed ops/PrefixSum.
+    val globalWindowAllowed: Map[String, String] = Map(
+      "q_a_attribution" -> ("share window over the ≤#event-type-domain " +
+        "channel aggregate — a handful of rows by data contract"),
+      "q_sql_attribution" -> "SQL twin of the same ≤#channels frame",
+      "q_s_shard_manifest" -> ("balance window over the 8-row shard " +
+        "aggregate (shard count fixed in-query)"),
+      "q_sql_abc_pareto" -> ("SQL-text parity twin: Spark SQL text cannot " +
+        "express ops/PrefixSum — the DataFrame query q_a_abc_pareto is " +
+        "the declared scale path"))
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+    // Children for traversal: descend through the AQE wrapper and into
+    // cached relations' plans (the shared fused frame hides its
+    // TakeOrderedAndProject behind an InMemoryTableScan).
+    def kids(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case o => o.children
+    }) ++ p.subqueries
+
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(nodes)
+
+    def bounds(p: SparkPlan): Boolean = p match {
+      case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case _ => false
+    }
+
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan
+      if (!globalWindowAllowed.contains(name)) nodes(plan).foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          if (!nodes(w.child).exists(bounds))
+            offenders += s"$name: unbounded zero-partition WindowExec"
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+          if (!nodes(w.child).exists(bounds))
+            offenders += s"$name: unbounded zero-partition WindowGroupLimit"
+        case _ => ()
+      }
+      CacheScope.release(spark)
+    }
+    assert(offenders.isEmpty,
+      s"global-window regressions (a zero-partition window must sit " +
+        s"above a *Limit*/TakeOrderedAndProject/1-row-aggregate):\n  " +
+        offenders.mkString("\n  "))
+  }
 }
