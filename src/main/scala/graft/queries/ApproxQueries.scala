@@ -179,7 +179,7 @@ object ApproxQueries extends QueryPack {
       "q_a_active_users_approx",
       (s, dir) => {
         // The sketch twin of q_a_active_users, in the persisted-sketch-
-        // table shape: ONE raw pass folds each day's users into a ~4 KiB
+        // table shape: ONE raw pass folds each day's users into a ~16 KiB
         // Datasketches HLL (partials absorb duplicates map-side, the
         // shuffle carries one sketch per (partition, day)); DAU reads the
         // estimate straight off the day sketch, and the trailing-7-day
@@ -194,7 +194,7 @@ object ApproxQueries extends QueryPack {
           .select(to_date(col("ts")).as("d"), col("user_id"))
         val sk = au.groupBy("d")
           .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
-        graft.CacheScope.retain(sk) // O(#days) x 4 KiB — the persisted frame
+        graft.CacheScope.retain(sk) // O(#days) x ~16 KiB (lgK=14 dense) — the persisted frame
         val maxD = sk.agg(max(col("d")).as("max_d"))
         val dau = sk.select(col("d"),
           hll_sketch_estimate(col("sk")).as("dau_approx"))
@@ -211,7 +211,7 @@ object ApproxQueries extends QueryPack {
       },
       None,
       doc = "rolling active users at scale, persisted-sketch-table shape: " +
-        "one raw pass folds each day into a ~4 KiB Datasketches HLL " +
+        "one raw pass folds each day into a ~16 KiB (lgK=14) Datasketches HLL " +
         "(duplicates absorbed map-side), DAU = the day sketch's estimate, " +
         "WAU = hll_union_agg over the ≤7 exploded SKETCH rows — the x7 " +
         "fanout moved from raw rows to O(#days) sketches, and any window " +

@@ -153,8 +153,21 @@ object IngestQueries extends QueryPack {
 
   /** Where [[ensureCsvFixture]] writes the S6 oracle fixture — an absolute
     * path shared with the DuckDB oracle text, which reads the same file.
+    * USER-SCOPED (ADVICE r8): a world-shared /tmp/graft_fixtures could be
+    * pre-owned (or symlinked) by another user on a shared host, failing
+    * the write or redirecting it; scoping by user.name keeps the path
+    * stable between the Verify run that writes it and the driver's later
+    * DuckDB pass (both interpolate this same val) without world-sharing.
+    * Concurrent runs by the SAME user still race benignly — every write
+    * is byte-identical by construction.
     */
-  private val CsvFixturePath = "/tmp/graft_fixtures/ohlcv_s6.csv"
+  private val CsvFixturePath: String = {
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+      .stripSuffix("/")
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9_-]", "_")
+    s"$tmp/graft_fixtures_$user/ohlcv_s6.csv"
+  }
 
   /** Idempotently write the deterministic 200-row 5-minute OHLCV fixture
     * (reference header names, Locale.ROOT formatting so the decimal

@@ -119,6 +119,17 @@ object BucketedLayout {
   /** The two scan flags the layout's plan-shape claims depend on (see
     * [[ensureEventsByUser]] for why each is sound here). Idempotent;
     * callers building their own co-bucketed tables use this too.
+    *
+    * CONTRACT — these are SESSION-GLOBAL flags, sound only under the
+    * invariant this layer maintains (one sorted file per bucket, enforced
+    * by the repartition-before-bucketBy write and restored by
+    * [[compactBuckets]]): `autoBucketedScan=false` removes the planner's
+    * freedom to fall back to a non-bucketed scan, and the legacy
+    * `outputOrdering=true` trusts each bucket's file order. A session
+    * that ALSO reads an unrelated bucketed table with many unsorted files
+    * per bucket would lose auto-scan adaptivity on it and must not assume
+    * its ordering — call sites mixing foreign bucketed tables should
+    * restore the defaults around those reads.
     */
   def configureBucketedScans(spark: SparkSession): Unit = {
     val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"

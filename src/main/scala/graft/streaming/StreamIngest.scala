@@ -156,7 +156,7 @@ object StreamIngest {
   /** The at-scale body for the same `foreachBatch` contract as
     * [[lwwUpsert]]: state is hash-partitioned on the key into `nBuckets`
     * directories, and a micro-batch rewrites ONLY the buckets its keys
-    * touch (dynamic partition overwrite) after an LWW merge against just
+    * touch (staged write + per-bucket rename swap) after an LWW merge against just
     * those buckets' current rows — per-batch I/O is O(touched buckets),
     * not O(state), which is what lets a keyed upsert absorb a firehose
     * against a 100 TB table. Same replay-idempotence: re-upserting rows
@@ -192,14 +192,40 @@ object StreamIngest {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__rn")
-    val prev = spark.conf
-      .getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try next.write.mode("overwrite").partitionBy("__bucket").parquet(statePath)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    stageAndSwapBuckets(fs, statePath, next, touched, batchId)
+  }
+
+  /** Stage `staged` (bucket-partitioned) to a sibling temp dir, then
+    * rename each listed bucket dir into place and drop the staging dir.
+    *
+    * Why not a dynamic partition overwrite into `statePath` directly: the
+    * merged plan READS the current state files, and the overwrite commit
+    * deletes them — if a cached/computed block is lost mid-write (executor
+    * failure, eviction), recomputation re-reads parquet the commit is
+    * concurrently deleting: lost or corrupt state (ADVICE r8). Staging
+    * fully materializes the merge BEFORE any old file is touched, so the
+    * write never depends on files it replaces. Per-bucket atomicity is
+    * the FileSystem rename contract — a crash between renames leaves some
+    * buckets new and some old, exactly the partial-commit window the
+    * rollup fence (and LWW's idempotence) already heals on replay.
+    */
+  private def stageAndSwapBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      statePath: String, staged: DataFrame, buckets: Seq[Int],
+      batchId: Long): Unit = {
+    val tmp = new Path(statePath + s"__stage_$batchId")
+    staged.write.mode("overwrite").partitionBy("__bucket")
+      .parquet(tmp.toString)
+    val root = new Path(statePath)
+    fs.mkdirs(root)
+    buckets.foreach { b =>
+      val src = new Path(tmp, s"__bucket=$b")
+      val dst = new Path(root, s"__bucket=$b")
+      if (fs.exists(src)) {
+        if (fs.exists(dst)) fs.delete(dst, true)
+        fs.rename(src, dst)
+      }
     }
+    fs.delete(tmp, true)
   }
 
   /** Read the logical state written by [[lwwUpsertPartitioned]] (drops the
@@ -230,9 +256,24 @@ object StreamIngest {
     * bucket — and a bucket whose rows already record `>= batchId` is
     * skipped whole. foreachBatch replays re-run the LAST batch with the
     * SAME batchId, so the fence makes replay a no-op; the fence travels
-    * inside the same dynamic partition overwrite as the data, so it
-    * cannot disagree with what was actually committed (per-bucket
-    * atomicity = the FileSystem rename contract, as for LWW).
+    * inside the same per-bucket swap as the data, so it cannot disagree
+    * with what was actually committed (per-bucket atomicity = the
+    * FileSystem rename contract, as for LWW).
+    *
+    * CONTRACTS (both enforced/declared, not silent):
+    *  - Money precision: `valueCol` is quantized PER ROW to cents —
+    *    `CAST(value AS DECIMAL(18,2)) * 100` (HALF_UP on the shortest
+    *    decimal rendering of the double, so 0.575 → 58, not the binary
+    *    57.4999…) — before the exact integer sum. Exact and order-free
+    *    for ≤2-decimal money; deterministic but LOSSY for finer-grained
+    *    values (sub-cent ticks need a different scale, not this helper).
+    *  - Checkpoint lineage: a state dir is bound to ONE checkpoint
+    *    lineage. foreachBatch batchIds are monotone within a checkpoint;
+    *    restarting with a FRESH checkpoint against existing state resets
+    *    them to 0, which a `>= batchId` fence would read as "already
+    *    applied" and silently drop every batch. A bucket whose stored
+    *    `__applied_batch` EXCEEDS the incoming batchId therefore fails
+    *    fast (IllegalStateException) instead of losing data.
     */
   def rollupUpsertPartitioned(statePath: String, keyCols: Seq[String],
       valueCol: String, nBuckets: Int)(batch: DataFrame, batchId: Long): Unit = {
@@ -241,7 +282,11 @@ object StreamIngest {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bucketOf = pmod(hash(keyCols.map(col): _*), lit(nBuckets))
     // integer cents: exact, order-free, schema-stable across merges
-    // (DECIMAL sums widen per merge level; LongType does not)
+    // (DECIMAL sums widen per merge level; LongType does not). The
+    // per-row cent conversion goes through DECIMAL(18,2) — HALF_UP on
+    // the decimal rendering — NOT round(v*100), whose binary double
+    // product mis-rounds values like 0.575 (ADVICE r8; the 2-decimal
+    // contract is in the doc comment above).
     // Persisted: the partial frame is consumed twice (touched-bucket
     // collect, then the merge write) and it is tiny — O(batch keys) rows
     // of fixed-width aggregates — so caching it halves the per-trigger
@@ -250,7 +295,9 @@ object StreamIngest {
       .groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(round(col(valueCol) * 100).cast("long")).as("sum_cents"),
+        sum((col(valueCol)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long")).as("sum_cents"),
         min(col(valueCol)).as("mn"),
         max(col(valueCol)).as("mx"))
       .withColumn("__bucket", bucketOf)
@@ -262,9 +309,9 @@ object StreamIngest {
         .collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) return
       // Also persisted: the touched buckets' state feeds the fence
-      // collect AND the merge — one parquet scan, not two; and caching it
-      // before the overwrite means the rewrite never re-reads the very
-      // files it is replacing.
+      // collect AND the merge — one parquet scan, not two. (Correctness
+      // no longer rides on this cache: the staged-swap write below is
+      // fully materialized before any old file is deleted.)
       val existing =
         if (fs.exists(new Path(statePath)))
           Some(spark.read.parquet(statePath)
@@ -272,13 +319,26 @@ object StreamIngest {
             .persist())
         else None
       try {
-        // replay fence: buckets that already merged this batchId are done
-        val fencedBuckets: Set[Int] = existing match {
-          case None => Set.empty
+        // replay fence — per-bucket last-applied batchIds (O(touched))
+        val bucketMax: Map[Int, Long] = existing match {
+          case None => Map.empty
           case Some(e) => e.groupBy("__bucket")
             .agg(max(col("__applied_batch")).as("b"))
-            .collect().filter(_.getLong(1) >= batchId).map(_.getInt(0)).toSet
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         }
+        // batchId REGRESSION = a fresh checkpoint pointed at an old state
+        // dir: every batch would silently fence as "already applied".
+        // Fail fast instead (the checkpoint-lineage contract above).
+        val regressed = bucketMax.filter(_._2 > batchId)
+        if (regressed.nonEmpty) throw new IllegalStateException(
+          s"rollup state at $statePath has __applied_batch " +
+            s"${regressed.values.max} > incoming batchId $batchId: the " +
+            "state dir belongs to a different checkpoint lineage " +
+            "(restarting with a fresh checkpoint would silently drop " +
+            "every batch). Point the query at its original checkpoint, " +
+            "or start a new state dir.")
+        // buckets that already merged THIS batchId (replay) are done
+        val fencedBuckets = bucketMax.filter(_._2 == batchId).keySet
         val live = touched.filterNot(fencedBuckets)
         if (live.isEmpty) return
         val liveCol = (c: Column) => c.isin(live.map(Integer.valueOf): _*)
@@ -295,17 +355,7 @@ object StreamIngest {
             max(col("mx")).as("mx"),
             max(col("__applied_batch")).as("__applied_batch"))
           .withColumn("__bucket", bucketOf)
-        val prev = spark.conf
-          .getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try merged.write.mode("overwrite").partitionBy("__bucket")
-          .parquet(statePath)
-        finally prev match {
-          case Some(v) =>
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None =>
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
+        stageAndSwapBuckets(fs, statePath, merged, live, batchId)
       } finally existing.foreach(_.unpersist())
     } finally partial.unpersist()
   }

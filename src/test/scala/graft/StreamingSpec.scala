@@ -154,10 +154,49 @@ class StreamingSpec extends AnyFunSuite {
     // foreachBatch recovery contract) must NOT double-count
     up(b2.toDF("k", "v"), 2L)
     assert(snap() == got, "replayed batch was merged twice")
-    // state is bucket-partitioned on disk (the partition-overwrite layout)
+    // state is bucket-partitioned on disk (the staged-swap layout), and
+    // no staging directory survives a completed batch
     val dirs = new java.io.File(state).listFiles().filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("__bucket="))
     assert(dirs.nonEmpty && dirs.length <= 8)
+    assert(!new java.io.File(state).getParentFile.listFiles()
+      .exists(_.getName.contains("__stage_")), "staging dir leaked")
+  }
+
+  test("rollup cents quantization: DECIMAL(18,2) HALF_UP per row, not the " +
+      "binary round(v*100)") {
+    // 0.575 as a double is 0.57499999…: round(0.575*100) = 57, but the
+    // 2-decimal money contract says 58 (HALF_UP on the decimal rendering
+    // — what CAST(v AS DECIMAL(18,2)) does). Pin the contract through the
+    // full upsert path, including a merge across two batches.
+    val state = tmpDir("rollup-cents") + "/t"
+    val up = StreamIngest.rollupUpsertPartitioned(state,
+      Seq("k"), "v", nBuckets = 4) _
+    up(Seq(("a", 0.575), ("a", 1.0), ("b", 2.675)).toDF("k", "v"), 0L)
+    up(Seq(("a", 0.005)).toDF("k", "v"), 1L)
+    val got = StreamIngest.readRollupState(spark, state)
+      .select("k", "sum_cents").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> (58L + 100L + 1L), "b" -> 268L),
+      s"cent quantization drifted from the DECIMAL(18,2) contract: $got")
+  }
+
+  test("rollup fence fails fast on batchId regression (fresh checkpoint " +
+      "against an old state dir) instead of silently dropping batches") {
+    val state = tmpDir("rollup-regress") + "/t"
+    val up = StreamIngest.rollupUpsertPartitioned(state,
+      Seq("k"), "v", nBuckets = 2) _
+    up(Seq(("a", 1.0)).toDF("k", "v"), 5L)
+    // same batchId replay: fenced no-op (the recovery contract)
+    up(Seq(("a", 1.0)).toDF("k", "v"), 5L)
+    // REGRESSED batchId: a new checkpoint lineage — must throw, not drop
+    val e = intercept[IllegalStateException] {
+      up(Seq(("a", 9.0)).toDF("k", "v"), 0L)
+    }
+    assert(e.getMessage.contains("checkpoint lineage"), e.getMessage)
+    // and the state was not corrupted by the refused batch
+    val got = StreamIngest.readRollupState(spark, state)
+      .select("k", "n").as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 1L)))
   }
 
   test("curation quality gate runs identically in streaming (map-only ops)") {
