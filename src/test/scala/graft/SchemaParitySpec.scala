@@ -46,7 +46,34 @@ class SchemaParitySpec extends AnyFunSuite {
     "q_sql_time_to_convert" -> "q_a_time_to_convert",
     "q_sql_attribution" -> "q_a_attribution",
     "q_sql_incremental_rollup" -> "q_r_incremental_rollup",
-    "q_sql_bucketed_activity" -> "q_r_bucketed_user_activity")
+    "q_sql_bucketed_activity" -> "q_r_bucketed_user_activity",
+    // r9 (VERDICT #5): the previously twinless q_sql_* with a real
+    // DataFrame counterpart
+    "q_sql_vector_search" -> "q_e_cosine_topk",
+    "q_sql_quality_filter" -> "q_t_corpus_filter",
+    "q_sql_feature_frame" -> "q_feature_frame_26",
+    "q_sql_dedup_groups" -> "q_d_dedup_groups")
+
+  /** q_sql_* with NO DataFrame twin (pure-SQL surface: TPC-H text, the
+    * native-expression demos): the expected output schema is pinned as a
+    * literal instead — same drift protection, no twin to diff against.
+    */
+  private val pinned: Map[String, Seq[(String, String)]] = Map(
+    "q_sql_topk_orders" -> Seq(
+      "o_orderkey" -> "bigint", "o_totalprice" -> "double"),
+    "q_sql_native_fingerprint" -> Seq(
+      "doc_id" -> "bigint", "fp" -> "bigint"),
+    "q_sql_tpch_q1" -> Seq(
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "sum_qty" -> "double", "sum_base_price" -> "double",
+      "sum_disc_price" -> "double", "sum_charge" -> "double",
+      "avg_qty" -> "double", "count_order" -> "bigint"),
+    "q_sql_tpch_q3" -> Seq(
+      "o_orderkey" -> "bigint", "revenue" -> "double",
+      "o_orderdate" -> "timestamp_ntz"),
+    "q_sql_stratified_sample" -> Seq(
+      "event_id" -> "bigint", "event_type" -> "string",
+      "value" -> "double"))
 
   private def fields(name: String): Set[(String, DataType)] =
     SparkEntry.queries(name)(spark, dir)
@@ -57,8 +84,29 @@ class SchemaParitySpec extends AnyFunSuite {
 
   test("every declared twin name resolves to a real query") {
     val all = SparkEntry.queries.keySet
-    val missing = (twins.keySet ++ twins.values).filterNot(all.contains)
+    val missing = (twins.keySet ++ twins.values ++ pinned.keySet)
+      .filterNot(all.contains)
     assert(missing.isEmpty, s"unknown query names in twin map: $missing")
+  }
+
+  test("every q_sql_* query has a twin or a pinned schema (no unguarded " +
+      "SQL surface)") {
+    val unguarded = sqlNames
+      .filterNot(q => twins.contains(q) || pinned.contains(q))
+    assert(unguarded.isEmpty,
+      s"new q_sql_* queries need a twin row or a pinned schema: $unguarded")
+    val both = twins.keySet intersect pinned.keySet
+    assert(both.isEmpty, s"twin AND pin is ambiguous: $both")
+  }
+
+  test("pinned q_sql_* schemas match their literals exactly") {
+    val drift = pinned.toSeq.sortBy(_._1).flatMap { case (q, want) =>
+      val got = SparkEntry.queries(q)(spark, dir).schema.fields
+        .map(f => (f.name, f.dataType.simpleString)).toSeq
+      if (got.toSet == want.toSet) None
+      else Some(s"$q: got=${got.mkString(", ")} want=${want.mkString(", ")}")
+    }
+    assert(drift.isEmpty, "pinned schema drift:\n" + drift.mkString("\n"))
   }
 
   test("q_sql_* schemas equal their DataFrame twins (name AND dataType)") {
