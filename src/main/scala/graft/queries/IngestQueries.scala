@@ -140,8 +140,66 @@ object IngestQueries extends QueryPack {
         "type fixture — bigint/string/timestamp/nullable-double/boolean — " +
         "vs a DuckDB VALUES table; pins the DDL type mapping end-to-end " +
         "through parquet, with instants (not zone-local Timestamp.valueOf) " +
-        "so the fixture is JVM-timezone-independent")
+        "so the fixture is JVM-timezone-independent"),
+
+    // ---- runtime observability: ingest health from observe() counters ----
+    Query(
+      "q_o_ingest_health",
+      (s, dir) => ingestHealth(s, dir),
+      Some("""WITH m AS (SELECT MAX(ts) AS mx FROM events),
+             |c AS (SELECT COUNT(*) AS n_rows,
+             |        CAST(SUM(CASE WHEN value IS NULL OR isnan(value)
+             |              OR isinf(value) THEN 1 ELSE 0 END) AS BIGINT)
+             |          AS corrupt_rows,
+             |        CAST(SUM(CASE WHEN ts < mx - INTERVAL 24 HOUR
+             |              THEN 1 ELSE 0 END) AS BIGINT) AS late_rows
+             |      FROM events, m)
+             |SELECT n_rows, corrupt_rows, late_rows,
+             |  ROUND(corrupt_rows * 1.0 / n_rows, 6) + 0.0 AS corrupt_ratio,
+             |  ROUND(late_rows * 1.0 / n_rows, 6) + 0.0 AS late_ratio,
+             |  CASE WHEN corrupt_rows = 0
+             |        AND ROUND(late_rows * 1.0 / n_rows, 6) + 0.0 < 0.5
+             |       THEN 'healthy' ELSE 'degraded' END AS status
+             |FROM c""".stripMargin),
+      doc = "runtime observability (the reference's /health endpoint as a " +
+        "query): n_rows/corrupt_rows/late_rows from Dataset.observe " +
+        "counters riding the ingest scan itself (CollectMetrics — zero " +
+        "extra passes), folded through the same healthReport as the " +
+        "streaming listener path; the oracle recomputes the counters from " +
+        "first principles, so hash equality proves observe == ground truth")
   )
+
+  /** Runtime observability (the reference's /health endpoint, VERDICT r8
+    * #4): the ingest health report computed from Dataset.observe counters
+    * riding the SAME scan as the ingest — zero extra passes. The query
+    * drives the REAL machinery end-to-end: an [[org.apache.spark.sql
+    * .Observation]] collects (n_rows, corrupt_rows, late_rows) from a
+    * CollectMetrics node over the events scan, and the 1-row metrics
+    * table folds through the same healthReport the streaming listener
+    * path uses (batch==stream pinned in StreamingSpec). The DuckDB
+    * oracle recomputes the counters from first principles — hash
+    * equality proves the observed metrics match ground truth.
+    * Late threshold: 24 h before max(ts) (one bounded driver read, the
+    * J3/W14 scalar posture; the oracle replays it as a subquery).
+    */
+  private def ingestHealth(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.streaming.Observability
+    val ev = Tables(s, dir, "events")
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val threshold = java.sql.Timestamp
+      .from(maxTs.toInstant.minusSeconds(24 * 3600))
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = Observability.observeIngestBatch(
+      ev, obs, "value", "ts", lit(threshold))
+    observed.write.format("noop").mode("overwrite").save() // the action
+    val m = obs.get
+    val metricsRow = org.apache.spark.sql.Row(0L,
+      m("n_rows").asInstanceOf[Long], m("corrupt_rows").asInstanceOf[Long],
+      m("late_rows").asInstanceOf[Long])
+    Observability.healthReport(s.createDataFrame(
+      java.util.Arrays.asList(metricsRow), Observability.metricsSchema))
+  }
 
   /** S7 fixture instant: absolute (`Instant.parse`, not
     * `Timestamp.valueOf`) so the rows mean the same UTC wall-clock no

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Observation, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.types.StructType
+
+/** Runtime observability for the ingest paths — the Spark-native analog of
+  * the reference's health/status endpoint and container healthchecks
+  * (`prediction_service/src/prediction_service.py:324-351`,
+  * `docker-compose.yml:39-44`): per-(micro)batch row / corrupt-row /
+  * late-row counters computed INSIDE the ingest plan via
+  * `Dataset.observe`, surfaced through `StreamingQueryProgress
+  * .observedMetrics` on streams and [[Observation]] on batch, and folded
+  * into a health report a service publishes.
+  *
+  * Why observe() and not a second aggregate: the metrics ride the SAME
+  * pass as the ingest (a `CollectMetrics` node over the flowing rows) —
+  * zero extra scans, zero extra shuffles, identical cost on a 100 TB
+  * ingest as on a fixture. And because the metric EXPRESSIONS are shared
+  * (one definition below), batch and streaming report identical values
+  * over identical data — asserted in StreamingSpec.
+  */
+object Observability {
+
+  /** The observed-metrics name (the key in `observedMetrics`). */
+  val MetricsName = "graft_ingest"
+
+  /** A value is corrupt when it cannot enter downstream arithmetic:
+    * NULL, NaN, or ±Inf (the P10 zero/inf→null gate's refusal set).
+    */
+  def corruptCond(valueCol: String): Column =
+    col(valueCol).isNull || isnan(col(valueCol)) ||
+      col(valueCol) === Double.PositiveInfinity ||
+      col(valueCol) === Double.NegativeInfinity
+
+  /** A row is late when its event time predates `threshold` (on streams
+    * the caller derives the threshold from its watermark horizon; the
+    * batch health query uses max(ts) − 24 h).
+    */
+  def lateCond(tsCol: String, threshold: Column): Column =
+    col(tsCol) < threshold
+
+  /** The three shared metric aggregates — ONE definition so batch and
+    * streaming cannot drift: n_rows, corrupt_rows, late_rows.
+    */
+  private def metricAggs(valueCol: String, tsCol: String,
+      lateThreshold: Column): Seq[Column] = Seq(
+    count(lit(1)).as("n_rows"),
+    sum(when(corruptCond(valueCol), 1L).otherwise(0L)).as("corrupt_rows"),
+    sum(when(lateCond(tsCol, lateThreshold), 1L).otherwise(0L))
+      .as("late_rows"))
+
+  /** Attach the ingest metrics to a STREAMING frame; read them per batch
+    * from `progress.observedMetrics.get(MetricsName)` (see
+    * [[MetricsListener]]).
+    */
+  def observeIngestStream(df: DataFrame, valueCol: String, tsCol: String,
+      lateThreshold: Column): DataFrame = {
+    val aggs = metricAggs(valueCol, tsCol, lateThreshold)
+    df.observe(MetricsName, aggs.head, aggs.tail: _*)
+  }
+
+  /** Attach the ingest metrics to a BATCH frame through an [[Observation]]
+    * (its `get` blocks until the caller's first action completes).
+    */
+  def observeIngestBatch(df: DataFrame, obs: Observation, valueCol: String,
+      tsCol: String, lateThreshold: Column): DataFrame = {
+    val aggs = metricAggs(valueCol, tsCol, lateThreshold)
+    df.observe(obs, aggs.head, aggs.tail: _*)
+  }
+
+  /** Schema of the emitted metrics table (one row per micro-batch on
+    * streams; one row per observed action on batch).
+    */
+  val metricsSchema: StructType = new StructType()
+    .add("batch_id", "long").add("n_rows", "long")
+    .add("corrupt_rows", "long").add("late_rows", "long")
+
+  /** Fold a metrics table (rows of [[metricsSchema]]) into the 1-row
+    * health report the reference's /health endpoint publishes: totals,
+    * corrupt/late ratios, and a status verdict. `healthy` iff nothing is
+    * corrupt and late data stays under 50 % — the same shape as
+    * q_u4_data_profile's gate, but over ingest counters instead of
+    * column stats. Exact-integer sums; ratios rounded at the boundary.
+    */
+  def healthReport(metrics: DataFrame): DataFrame =
+    metrics.agg(
+      sum("n_rows").as("n_rows"),
+      sum("corrupt_rows").as("corrupt_rows"),
+      sum("late_rows").as("late_rows"))
+      .select(col("n_rows"), col("corrupt_rows"), col("late_rows"),
+        (round(col("corrupt_rows") / col("n_rows"), 6) + lit(0.0))
+          .as("corrupt_ratio"),
+        (round(col("late_rows") / col("n_rows"), 6) + lit(0.0))
+          .as("late_ratio"))
+      .withColumn("status",
+        when(col("corrupt_rows") === 0 && col("late_ratio") < 0.5,
+          lit("healthy")).otherwise(lit("degraded")))
+
+  /** Captures each micro-batch's observed ingest metrics — the listener a
+    * deployment points at its metrics sink. Thread-safe; `snapshot` turns
+    * the captured rows into the metrics table [[healthReport]] folds.
+    */
+  final class MetricsListener extends StreamingQueryListener {
+    private val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]
+
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val m = e.progress.observedMetrics
+      if (m.containsKey(MetricsName)) {
+        val r = m.get(MetricsName)
+        buf.add((e.progress.batchId, r.getAs[Long]("n_rows"),
+          r.getAs[Long]("corrupt_rows"), r.getAs[Long]("late_rows")))
+      }
+    }
+
+    def batches: Seq[(Long, Long, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      buf.iterator().asScala.toSeq.sortBy(_._1)
+    }
+
+    def snapshot(spark: SparkSession): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(batches.map { case (b, n, c, l) =>
+          Row(b, n, c, l) }: _*), metricsSchema)
+  }
+}

@@ -199,6 +199,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(("a", 1L)))
   }
 
+  test("observability: per-batch observed ingest metrics equal batch " +
+      "ground truth, and the folded health report is batch==stream") {
+    import graft.streaming.Observability
+    // Three micro-batches with known corrupt (NaN/Inf/null) and late
+    // rows; the observe() counters ride the stream plan, the listener
+    // captures them per batch, and the SAME aggregates run as a batch
+    // Observation over the union — values must be identical.
+    val threshold = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val batches: Seq[Seq[(java.sql.Timestamp, java.lang.Double)]] = Seq(
+      Seq((ts("2024-03-01 10:00:00"), 1.5),
+        (ts("2024-02-28 23:59:59"), 2.0),            // late
+        (ts("2024-03-01 10:01:00"), Double.NaN)),    // corrupt
+      Seq((ts("2024-03-01 11:00:00"), null),         // corrupt
+        (ts("2024-02-01 00:00:00"), Double.PositiveInfinity)), // late+corrupt
+      Seq((ts("2024-03-01 12:00:00"), 3.25)))
+    val expectPerBatch = batches.map { b =>
+      (b.size.toLong,
+        b.count(r => r._2 == null || r._2.isNaN || r._2.isInfinite).toLong,
+        b.count(_._1.before(threshold)).toLong)
+    }
+
+    val listener = new Observability.MetricsListener
+    spark.streams.addListener(listener)
+    try {
+      implicit val ctx = spark.sqlContext
+      val mem = MemoryStream[(java.sql.Timestamp, java.lang.Double)]
+      val observed = Observability.observeIngestStream(
+        mem.toDF().toDF("ts", "value"), "value", "ts", lit(threshold))
+      val q = observed.writeStream
+        .format("noop")
+        .option("checkpointLocation", tmpDir("obs-chk"))
+        .start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      // listener events post asynchronously on the listener bus
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (listener.batches.count(_._2 > 0) < batches.size &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      val got = listener.batches.filter(_._2 > 0)
+        .map(b => (b._2, b._3, b._4))
+      assert(got == expectPerBatch,
+        s"per-batch observed metrics drifted: got=$got want=$expectPerBatch")
+
+      // batch==stream: the same aggregates as a batch Observation over
+      // the union, folded through the same healthReport
+      val all = batches.flatten
+      val batchDf = spark.createDataFrame(
+        java.util.Arrays.asList(all.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2)): _*),
+        new org.apache.spark.sql.types.StructType()
+          .add("ts", "timestamp").add("value", "double"))
+      val obs = new org.apache.spark.sql.Observation()
+      Observability.observeIngestBatch(batchDf, obs, "value", "ts",
+        lit(threshold)).write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      val batchReport = Observability.healthReport(spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(0L,
+          m("n_rows").asInstanceOf[Long],
+          m("corrupt_rows").asInstanceOf[Long],
+          m("late_rows").asInstanceOf[Long])),
+        Observability.metricsSchema)).collect().toSeq
+      val streamReport = Observability.healthReport(
+        listener.snapshot(spark).where(col("n_rows") > 0))
+        .collect().toSeq
+      assert(streamReport == batchReport,
+        s"health report batch!=stream: $streamReport vs $batchReport")
+      // the fixture is degraded by construction (3 corrupt rows)
+      assert(batchReport.head.getAs[String]("status") == "degraded")
+    } finally spark.streams.removeListener(listener)
+  }
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
   test("curation quality gate runs identically in streaming (map-only ops)") {
     // The corpus-filter signals (token count, quality, language-ID, PII
     // scrub) are pure column expressions, so the SAME code gates a
