@@ -148,7 +148,39 @@ object ScaleProbe {
       "cms_heavy_hitters" -> (dir => SparkEntry.queries("q_t_cms_heavy_hitters")(spark, dir)),
       "bucketed_user_activity" -> (dir => SparkEntry.queries("q_r_bucketed_user_activity")(spark, dir)),
       "bucketed_join" -> (dir => SparkEntry.queries("q_r_bucketed_join")(spark, dir)),
-      "incremental_rollup" -> (dir => SparkEntry.queries("q_r_incremental_rollup")(spark, dir))
+      "incremental_rollup" -> (dir => SparkEntry.queries("q_r_incremental_rollup")(spark, dir)),
+      // r9 (VERDICT #6): ops previously measured only at 1x
+      "fusion_gain" -> (dir => SparkEntry.queries("q_e_fusion_gain")(spark, dir)),
+      "distinct_approx" -> (dir => SparkEntry.queries("q_a2_distinct_approx")(spark, dir)),
+      "quantiles_exact" -> (dir => SparkEntry.queries("q_a4_quantiles")(spark, dir)),
+      "quantiles_approx" -> (dir => SparkEntry.queries("q_a4_quantiles_approx")(spark, dir)),
+      "robust_scaler" -> (dir => SparkEntry.queries("q_a5_robust_scaler_params")(spark, dir)),
+      "robust_scaler_approx" -> (dir => SparkEntry.queries("q_a5_robust_scaler_approx")(spark, dir)),
+      "asof_join" -> (dir => SparkEntry.queries("q_j1_asof_join")(spark, dir)),
+      "horizon_metrics" -> (dir => SparkEntry.queries("q_j2_horizon_metrics")(spark, dir)),
+      "jaccard_pairs" -> (dir => SparkEntry.queries("q_d_jaccard_pairs")(spark, dir)),
+      "simhash_pairs" -> (dir => SparkEntry.queries("q_d_simhash_pairs")(spark, dir)),
+      "cross_source_pairs" -> (dir => SparkEntry.queries("q_d_cross_source_pairs")(spark, dir)),
+      "boilerplate" -> (dir => SparkEntry.queries("q_d_boilerplate")(spark, dir)),
+      "minhash_dedup_groups" -> (dir => SparkEntry.queries("q_d_minhash_dedup_groups")(spark, dir)),
+      "bm25_topk" -> (dir => SparkEntry.queries("q_t_bm25_topk")(spark, dir)),
+      "tfidf_top" -> (dir => SparkEntry.queries("q_t_tfidf_top")(spark, dir)),
+      "corpus_filter" -> (dir => SparkEntry.queries("q_t_corpus_filter")(spark, dir)),
+      "feature_frame_26" -> (dir => SparkEntry.queries("q_feature_frame_26")(spark, dir)),
+      "error_metrics" -> (dir => SparkEntry.queries("q_a7_error_metrics")(spark, dir)),
+      "grouped_metrics" -> (dir => SparkEntry.queries("q_a9_grouped_metrics")(spark, dir)),
+      "ivf_trained_topk" -> (dir => SparkEntry.queries("q_e_ivf_trained_topk")(spark, dir)),
+      "label_centroids" -> (dir => SparkEntry.queries("q_e_label_centroids")(spark, dir)),
+      "centroid_drift" -> (dir => SparkEntry.queries("q_e_centroid_drift")(spark, dir)),
+      "session_windows" -> (dir => SparkEntry.queries("q_t5_session_windows")(spark, dir)),
+      "horizon_fanout" -> (dir => SparkEntry.queries("q_w15_horizon_fanout")(spark, dir)),
+      "latest_window" -> (dir => SparkEntry.queries("q_w14_latest_window")(spark, dir)),
+      "ffill" -> (dir => SparkEntry.queries("q_p12_ffill")(spark, dir)),
+      "rolling_median_fill" -> (dir => SparkEntry.queries("q_p11_rolling_median_fill")(spark, dir)),
+      "resample_rollup" -> (dir => SparkEntry.queries("q_a1_resample_rollup")(spark, dir)),
+      // (q_m_* synthesize fixed-N media independent of dir — no scaling
+      // signal to measure, so they stay out of the probe)
+      "ingest_health" -> (dir => SparkEntry.queries("q_o_ingest_health")(spark, dir))
     )
 
     // optional arg: comma-separated op-name filter (dev iteration on a
