@@ -81,9 +81,18 @@ object NearDup {
     *    pairs before verification;
     *  - full exact-intersection verify of surviving candidates only.
     *
-    * At 100 TB this is the difference between the inverted index joining
-    * on EVERY shared shingle (frequent shingles dominate pair fan-out)
-    * and joining only on rare prefixes.
+    * WHEN THIS WINS (measured, ScaleProbe r9): prefix filtering prunes
+    * candidate pairs that can't reach t — i.e. FALSE positives induced by
+    * common shingles between mostly-dissimilar docs. On a corpus where
+    * the candidates are mostly TRUE pairs it can prune nothing, and its
+    * extra passes (per-doc rank window, candidate distinct, two verify
+    * re-joins) compound: 10x dup-heavy replica corpus = 279 s / 35.1x vs
+    * the plain index's 45.8 s / 16.3x (benign 1x corpus: 7.9 s vs ~3 s —
+    * plain wins there too). The measured switches for dup-heavy inputs
+    * are `maxDocsPerShingle` (5.3 s / 2.2x, at 78.8% pair recall on that
+    * corpus) or SimHash hamming verify (4.0 s at the same pair volume).
+    * Reach for this path only on the specific adversary it targets:
+    * high-df shingles shared across genuinely dissimilar docs.
     */
   def exactJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {

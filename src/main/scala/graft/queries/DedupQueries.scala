@@ -118,9 +118,15 @@ object DedupQueries extends QueryPack {
       (s, dir) =>
         // plain inverted index: on a benign shingle-frequency distribution
         // (this corpus) its single self-join beats the PPJoin-style
-        // prefix path by ~2.6x; exactJaccardPairsPrefix (result-identical,
-        // DedupSpec-asserted) is the switch for skewed corpora where hot
-        // shingles drive k(k-1)/2 pair fan-out
+        // prefix path by ~2.6x. Measured escape hatches for adversarial
+        // corpora (ScaleProbe, 10x dup-heavy replicas): maxDocsPerShingle
+        // (2.2x sublinear, drops pairs only reachable via hot shingles —
+        // 78.8% pair recall there) or SimHash signature-verify (same pair
+        // volume, 11x faster). exactJaccardPairsPrefix (result-identical,
+        // DedupSpec-asserted) only pays off when candidates are mostly
+        // FALSE positives from common shingles — on dup-heavy corpora,
+        // where candidates are true pairs, it prunes nothing (measured
+        // 35.1x vs plain 16.3x; see its doc)
         NearDup.exactJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5)
           .orderBy("doc_a", "doc_b"),
       Some(s"""WITH $shingleCtes,

@@ -180,7 +180,19 @@ object ScaleProbe {
       "resample_rollup" -> (dir => SparkEntry.queries("q_a1_resample_rollup")(spark, dir)),
       // (q_m_* synthesize fixed-N media independent of dir — no scaling
       // signal to measure, so they stay out of the probe)
-      "ingest_health" -> (dir => SparkEntry.queries("q_o_ingest_health")(spark, dir))
+      "ingest_health" -> (dir => SparkEntry.queries("q_o_ingest_health")(spark, dir)),
+      // the two documented knobs for q_d_jaccard_pairs' sum-df^2 exact
+      // verify (its uncapped 10x ratio is 16.3x on the dup-heavy replica
+      // corpus): the PPJoin prefix path and the stop-shingle cap —
+      // measured here so the "switch for skewed corpora" claim in its
+      // doc comment carries a number, not folklore. Direct NearDup calls
+      // (no query twin: the cap changes the result set; the prefix path
+      // is result-identical and DedupSpec-asserted).
+      "jaccard_prefix" -> (dir => graft.dedup.NearDup.exactJaccardPairsPrefix(
+        Tables(spark, dir, "documents"), "doc_id", "text", 3, 0.5)),
+      "jaccard_capped64" -> (dir => graft.dedup.NearDup.exactJaccardPairs(
+        Tables(spark, dir, "documents"), "doc_id", "text", 3, 0.5,
+        maxDocsPerShingle = Some(64)))
     )
 
     // optional arg: comma-separated op-name filter (dev iteration on a
