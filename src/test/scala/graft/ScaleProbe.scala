@@ -192,7 +192,27 @@ object ScaleProbe {
         Tables(spark, dir, "documents"), "doc_id", "text", 3, 0.5)),
       "jaccard_capped64" -> (dir => graft.dedup.NearDup.exactJaccardPairs(
         Tables(spark, dir, "documents"), "doc_id", "text", 3, 0.5,
-        maxDocsPerShingle = Some(64)))
+        maxDocsPerShingle = Some(64))),
+      // r9 second sweep: the remaining DISTINCT physical plan classes
+      // measured only at 1x so far (SQL twins / approx twins of probed
+      // plans stay out — identical plans carry no new scaling signal).
+      "quality_filter_fit" -> (dir => SparkEntry.queries("q_t_quality_filter_fit")(spark, dir)),
+      "rolling_corr" -> (dir => SparkEntry.queries("q_w_rolling_corr")(spark, dir)),
+      "pivot_lang" -> (dir => SparkEntry.queries("q_a_pivot_lang")(spark, dir)),
+      "embed_neardup_pairs" -> (dir => SparkEntry.queries("q_e_embed_neardup_pairs")(spark, dir)),
+      "embed_dedup_groups" -> (dir => SparkEntry.queries("q_e_embed_dedup_groups")(spark, dir)),
+      "outlier_mad_exact" -> (dir => SparkEntry.queries("q_p_outlier_mad")(spark, dir)),
+      "rolling_mse" -> (dir => SparkEntry.queries("q_w16_rolling_mse")(spark, dir)),
+      "residual_volatility" -> (dir => SparkEntry.queries("q_w17_residual_volatility")(spark, dir)),
+      "histogram" -> (dir => SparkEntry.queries("q_a4_histogram")(spark, dir)),
+      "window_inference" -> (dir => SparkEntry.queries("q_u1_window_inference")(spark, dir)),
+      "bpe_merge_pairs" -> (dir => SparkEntry.queries("q_t_bpe_merge_pairs")(spark, dir)),
+      "pack_efficiency" -> (dir => SparkEntry.queries("q_t_pack_efficiency")(spark, dir)),
+      // salting on a UNIFORM corpus: measures the two-stage agg's
+      // overhead scaling (the skew benefit itself is proven in
+      // AqeSkewSpec's forced-skew plan assertions)
+      "salted_summary" -> (dir => SparkEntry.queries("q_a3_salted_summary")(spark, dir)),
+      "quantile_bins" -> (dir => SparkEntry.queries("q_p_quantile_bins")(spark, dir))
     )
 
     // optional arg: comma-separated op-name filter (dev iteration on a
