@@ -85,11 +85,28 @@ object TextAnalysis {
     */
   def qualityScore(textCol: String): Column = qualityScore(col(textCol))
 
+  /** Characters of `text` OUTSIDE [A-Za-z0-9] + ASCII whitespace — the
+    * value of `regexp_count(text, "[^A-Za-z0-9\\s]")`, computed WITHOUT a
+    * regex. Why: a never-matching negated char class is the regex
+    * engine's worst case on Spark 4.1 — measured 25 s for 500 k
+    * 300-char docs at local[32] (~1.6 ms/doc of CPU, ~94x a pure-JVM
+    * matcher on the same pattern; match-rich patterns don't hit it).
+    * `translate` deletes the allowed set in one per-char table pass, so
+    * `length` of the remainder IS the punct count: same value, O(n)
+    * guaranteed. The allowed set spells out Java's `\s` = [ \t\n\x0B\f\r]
+    * exactly (no UNICODE_CHARACTER_CLASS flag in Spark's pattern
+    * compile), keeping the translate value bit-identical to the regex's.
+    */
+  def punctCount(text: Column): Column =
+    length(translate(text,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789" +
+        " \t\n\u000B\f\r", ""))
+
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val nChars = length(text).cast("double")
     val avgWordLen = nChars / greatest(nTok, lit(1.0))
-    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
+    val punct = punctCount(text).cast("double")
     val punctRatio = punct / greatest(nChars, lit(1.0))
     val sw = stopwordCount(text, StopwordSets.head._2).cast("double")
     val swRatio = sw / greatest(nTok, lit(1.0))

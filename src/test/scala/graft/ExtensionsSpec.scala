@@ -77,6 +77,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.map(_._3) == Seq("en", "es", "und", "de"))
   }
 
+  test("punctCount == regexp_count('[^A-Za-z0-9\\s]') on adversarial text") {
+    // qualityScore's punct term is computed via translate (one per-char
+    // table pass) instead of the regex — a never-matching negated char
+    // class is Spark 4.1's regex worst case (measured ~94x a pure-JVM
+    // matcher; see TextAnalysis.punctCount). This pins the value
+    // contract: identical counts for every char, including all 128
+    // ASCII codepoints (covers \t \n  \f \r individually),
+    // unicode letters/CJK (non-ASCII counts as punct in BOTH forms,
+    // since Java \s and the A-Za-z0-9 ranges are ASCII-only), empties.
+    import org.apache.spark.sql.functions._
+    val adv = Seq(
+      (0 until 128).map(_.toChar).mkString,
+      "héllo wörld … 模型   ok",
+      "", "   ", "a.b,c;d!e?f") .toDF("text")
+    val diff = adv.where(graft.text.TextAnalysis.punctCount(col("text")) =!=
+      regexp_count(col("text"), lit("[^A-Za-z0-9\\s]"))).count()
+    assert(diff == 0)
+  }
+
   test("literal-arg validation fails clearly") {
     GraftExtensions.register(spark)
     Seq("x").toDF("text").createOrReplaceTempView("t_ext3")
