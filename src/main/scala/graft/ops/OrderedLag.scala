@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+
+/** Distributed LAG over grouped, ordered data — without one-task-per-key.
+  *
+  * `lag(v, k) OVER (PARTITION BY key ORDER BY …)` hash-partitions on
+  * `key`: with low key cardinality the whole sort runs on #keys tasks
+  * (measured: the 5-event-type lag alignment over the 100x probe corpus
+  * spent 11 s sorting 10 M rows on 5 of 32 cores — at 100 TB that plan
+  * puts ~20 TB on one task). This op is the PrefixSum discipline
+  * ([[PrefixSum]]) applied to lag:
+  *
+  *  1. `repartitionByRange` on (key ++ order) — tiles partition the
+  *     global (key, order) sort order, so same-key rows are contiguous
+  *     ACROSS tiles and a key's rows can span many tiles;
+  *  2. one streaming `mapPartitions` pass per tile keeps a ring buffer of
+  *     the last `maxLag` (key, value) pairs — `lag j` of a row is buffer
+  *     position j iff that row has the SAME key (contiguity of the sorted
+  *     order makes the check sufficient: if the j-th previous global row
+  *     shares the key, every row between does too);
+  *  3. tile heads need up to `maxLag` carry-in rows from preceding tiles
+  *     — [[TiledScan]] stitches them (O(nParts · maxLag) bounded driver
+  *     read) and ships them back in the task closure.
+  *
+  * Lag is pure row shifting — no arithmetic — so the output is bit-equal
+  * to the window formulation for ANY value type (OrderedLagSpec). Callers
+  * must make (keyCols ++ orderCols) a strict total order (tie-break on a
+  * unique id) and keys must be non-null, exactly like the window this
+  * replaces.
+  */
+object OrderedLag {
+
+  /** Appends `lagSpecs` columns (name -> lag distance) of `valueCol`,
+    * computed within `keyCols` groups in `orderCols` order. Output schema
+    * = input schema ++ lag columns (each `valueCol`'s type, nullable).
+    */
+  def withLags(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+      valueCol: String, lagSpecs: Seq[(String, Int)],
+      nPartsOpt: Option[Int] = None): DataFrame = {
+    require(lagSpecs.nonEmpty && lagSpecs.forall(_._2 >= 1),
+      "lag distances must be >= 1")
+    val spark = df.sparkSession
+    val nParts = nPartsOpt.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val maxLag = lagSpecs.map(_._2).max
+
+    val prep = TiledScan.prepare(df, keyCols, orderCols, valueCol,
+      memory = maxLag, nParts = nParts)
+    import prep.{carry, keyIdx, pidIdx, valIdx}
+
+    val valField = prep.inSchema(valIdx)
+    val outSchema = lagSpecs.foldLeft(prep.inSchema) {
+      case (s, (name, _)) => s.add(name, valField.dataType, nullable = true)
+    }
+
+    prep.withPid.mapPartitions { rows =>
+      var ring: scala.collection.mutable.ArrayDeque[(Seq[Any], Any)] = null
+      rows.map { r =>
+        if (ring == null) {
+          ring = scala.collection.mutable.ArrayDeque.from(
+            carry.getOrElse[Array[(Seq[Any], Any)]](
+              r.getInt(pidIdx), Array.empty))
+        }
+        val key = keyIdx.map(r.get)
+        // ring is oldest-first with size <= maxLag; lag j = element j from
+        // the newest end, valid iff its key matches
+        val lagVals = lagSpecs.map { case (_, j) =>
+          if (ring.size >= j) {
+            val (k, v) = ring(ring.size - j)
+            if (k == key) v else null
+          } else null
+        }
+        if (ring.size == maxLag) ring.removeHead()
+        ring.append((key, r.get(valIdx)))
+        Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) ++ lagVals)
+      }
+    }(Encoders.row(outSchema))
+  }
+}

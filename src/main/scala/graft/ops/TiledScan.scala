@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructType}
+
+/** Shared tile/carry machinery for the ordered-scan operator family
+  * ([[OrderedLag]], [[OrderedRolling]]): range-partition a frame on
+  * (key ++ order) so tiles partition the global sort order, and hand each
+  * tile the last `memory` (key, value) rows that precede it — the
+  * finite-memory carry that lets per-tile streaming passes reproduce
+  * per-key window semantics without one-task-per-key. See
+  * [[OrderedLag]]'s doc for the full rationale; [[PrefixSum]] documents
+  * the bounded O(nParts · memory) driver-read contract the carry shares.
+  *
+  * Only FINITE-memory scans fit this shape (lag k, rolling frames of N
+  * rows). Unbounded recurrences (EMA chains — [[graft.ts.Indicators]])
+  * keep the per-key sequential contract instead.
+  */
+private[ops] object TiledScan {
+
+  final case class Prep(
+      withPid: DataFrame, midSchema: StructType, pidIdx: Int,
+      keyIdx: Seq[Int], valIdx: Int, inSchema: StructType,
+      carry: Map[Int, Array[(Seq[Any], Any)]])
+
+  def prepare(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+      valueCol: String, memory: Int, nParts: Int): Prep = {
+    val inSchema = df.schema
+    val valIdx = inSchema.fieldIndex(valueCol)
+    val keyIdx = keyCols.map(inSchema.fieldIndex)
+
+    val sortCols = keyCols.map(col) ++ orderCols
+    val ranged = df.repartitionByRange(nParts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    // read twice (tails + main pass): one shuffle+sort, not two
+    val cached = graft.CacheScope.retain(ranged)
+
+    // Per-tile trailing rows — O(nParts · memory) rows to the driver,
+    // bounded and independent of data size (the PrefixSum-offsets
+    // contract).
+    val tails: Array[(Int, Array[(Seq[Any], Any)])] =
+      if (memory == 0) Array.empty
+      else cached.rdd.mapPartitionsWithIndex { (pid, rows) =>
+        val buf = new scala.collection.mutable.ArrayDeque[(Seq[Any], Any)]()
+        rows.foreach { r =>
+          if (buf.size == memory) buf.removeHead()
+          buf.append((keyIdx.map(r.get), r.get(valIdx)))
+        }
+        Iterator.single((pid, buf.toArray))
+      }.collect().sortBy(_._1)
+
+    // Carry-in for tile p = the last `memory` global rows before it,
+    // walking backwards over preceding tiles (covers tiles shorter than
+    // `memory`). Ordered oldest -> newest.
+    val tailByPid = tails.toMap
+    val maxPid = tails.lastOption.map(_._1).getOrElse(-1)
+    val carry: Map[Int, Array[(Seq[Any], Any)]] =
+      (0 to maxPid).map { p =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Any)]
+        var q = p - 1
+        while (acc.size < memory && q >= 0) {
+          val t = tailByPid.getOrElse(q, Array.empty[(Seq[Any], Any)])
+          acc.prependAll(t.takeRight(memory - acc.size))
+          q -= 1
+        }
+        p -> acc.toArray
+      }.toMap
+
+    val withPid = cached.withColumn("__pid", spark_partition_id())
+    val midSchema = new StructType(
+      inSchema.add("__pid", IntegerType, nullable = false).fields)
+    Prep(withPid, midSchema, midSchema.fieldIndex("__pid"), keyIdx, valIdx,
+      inSchema, carry)
+  }
+}

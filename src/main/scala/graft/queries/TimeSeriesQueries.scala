@@ -56,9 +56,22 @@ object TimeSeriesQueries extends QueryPack {
     // ---- W4: rolling z-score ----
     Query(
       "q_w4_rolling_zscore",
-      (s, dir) =>
-        ev(s, dir).select(col("event_type"), col("event_id"),
-          (round(rollingZscore(col("value"), w, 24), 4) + lit(0.0)).as("zscore")),
+      (s, dir) => {
+        // rolling frames via ops/OrderedRolling, not a window: the
+        // PARTITION BY event_type sort runs on #event_types tasks (the
+        // q_a7 OrderedLag rationale). The op replicates the window's
+        // per-row frame re-accumulation bit-for-bit
+        // (OrderedRollingSpec), so the zscore arithmetic and the oracle
+        // are unchanged.
+        import graft.ops.OrderedRolling
+        OrderedRolling.withRollups(ev(s, dir), Seq("event_type"),
+            Seq(col("ts"), col("event_id")), "value",
+            Seq(OrderedRolling.Roll("__a24", "avg", 24),
+              OrderedRolling.Roll("__s24", "stddev_samp", 24)))
+          .select(col("event_type"), col("event_id"),
+            (round(safeDiv(col("value") - col("__a24"), col("__s24")), 4)
+              + lit(0.0)).as("zscore"))
+      },
       Some("""SELECT event_type, event_id,
              |  ROUND(CASE WHEN STDDEV_SAMP(value) OVER win <> 0
              |             THEN (value - AVG(value) OVER win) / STDDEV_SAMP(value) OVER win
@@ -108,9 +121,17 @@ object TimeSeriesQueries extends QueryPack {
 
     Query(
       "q_w12_momentum",
-      (s, dir) =>
-        ev(s, dir).select(col("event_type"), col("event_id"),
-          (round(momentum(col("value"), w, 3, 12), 4) + lit(0.0)).as("momentum_3_12")),
+      (s, dir) => {
+        // same OrderedRolling rationale as q_w4_rolling_zscore above
+        import graft.ops.OrderedRolling
+        OrderedRolling.withRollups(ev(s, dir), Seq("event_type"),
+            Seq(col("ts"), col("event_id")), "value",
+            Seq(OrderedRolling.Roll("__a3", "avg", 3),
+              OrderedRolling.Roll("__a12", "avg", 12)))
+          .select(col("event_type"), col("event_id"),
+            (round(col("__a3") - col("__a12"), 4) + lit(0.0))
+              .as("momentum_3_12"))
+      },
       Some("""SELECT event_type, event_id,
              |  ROUND(AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
              |      - AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 4) + 0.0 AS momentum_3_12
@@ -387,12 +408,25 @@ object TimeSeriesQueries extends QueryPack {
     Query(
       "q_w_rolling_corr",
       (s, dir) => {
+        // Pearson via safeDiv(covar, sx*sy), NOT the corr() aggregate:
+        // Spark's Corr guards n<=1 but lets a zero-variance frame reach
+        // its internal ck/sqrt(xMk*yMk) division, which RAISES under
+        // ANSI mode (Spark 4 default) where DuckDB's CORR returns NULL.
+        // sf0.1 never has a flat 24-frame so bench/verify passed on data
+        // luck — the 10x replica corpus (10 near-identical rows in a
+        // row) and any real flatlining price feed hit it. covar_samp and
+        // stddev_samp guard their own n-1 divisions (null, not raise),
+        // and safeDiv's CaseWhen evaluates the outer division lazily —
+        // null on flat frames, exactly the oracle's CORR.
         val lagged = lag(col("value"), 1).over(w)
+        val f = trailing(w, 24)
         ev(s, dir)
           .withColumn("prev", lagged)
           .where(col("prev").isNotNull)
           .select(col("event_type"), col("event_id"),
-            (round(corr(col("value"), col("prev")).over(trailing(w, 24)), 4)
+            (round(safeDiv(covar_samp(col("value"), col("prev")).over(f),
+              stddev_samp(col("value")).over(f) *
+                stddev_samp(col("prev")).over(f)), 4)
               + lit(0.0)).as("corr_24"))
       },
       Some("""WITH p AS (
@@ -535,9 +569,16 @@ object TimeSeriesQueries extends QueryPack {
     Query(
       "q_a7_error_metrics",
       (s, dir) => {
-        val pred = ev(s, dir)
-          .withColumn("pred", lag(col("value"), 1).over(w))
-          .withColumn("prev2", lag(col("value"), 2).over(w))
+        // lag alignment via ops/OrderedLag, not a window: `lag OVER
+        // (PARTITION BY event_type)` sorts on #event_types tasks (5 here)
+        // — measured 11 s of the query's 12.1 s at the 100x probe scale,
+        // and at 100 TB it puts ~20 TB on one task. OrderedLag
+        // range-partitions (key, ts, id) so the sort uses every core;
+        // lag is pure row shifting, so the output is bit-equal
+        // (OrderedLagSpec) and the oracle keeps its window formulation.
+        val pred = graft.ops.OrderedLag.withLags(ev(s, dir),
+            Seq("event_type"), Seq(col("ts"), col("event_id")), "value",
+            Seq("pred" -> 1, "prev2" -> 2))
           .where(col("pred").isNotNull && col("prev2").isNotNull)
         pred.groupBy(col("event_type")).agg(
           round(avg(abs(col("value") - col("pred"))), 4).as("mae"),
@@ -569,22 +610,44 @@ object TimeSeriesQueries extends QueryPack {
     Query(
       "q_a9_grouped_metrics",
       (s, dir) => {
-        val pred = ev(s, dir)
-          .withColumn("pred", lag(col("value"), 1).over(w))
+        // same OrderedLag rationale as q_a7_error_metrics above.
+        // mae goes through the DSIR integer-micro-unit discipline: a
+        // round-4 over avg(double) is summation-ORDER-dependent, and the
+        // tile partitioning changed the partial-agg order — one sf0.01
+        // cell sat exactly on a .00005 boundary and flipped against the
+        // oracle. Quantizing each |diff| to exact micro-units
+        // (floor(x*1e6 + .5) — identical double product + floor on both
+        // engines), summing in long, and rounding to 4 decimals in
+        // integer arithmetic before one shared /1e4 division makes the
+        // cell partition-order-free and engine-exact, boundary or not.
+        val pred = graft.ops.OrderedLag.withLags(ev(s, dir),
+            Seq("event_type"), Seq(col("ts"), col("event_id")), "value",
+            Seq("pred" -> 1))
           .where(col("pred").isNotNull)
-        pred.groupBy(col("event_type"), dow(col("ts")).as("dow"))
-          .agg(round(avg(abs(col("value") - col("pred"))), 4).as("mae"),
-            count(lit(1)).as("n"))
+        val q6 = floor(abs(col("value") - col("pred")) * 1e6 + 0.5)
+          .cast("long")
+        pred.select(col("event_type"), dow(col("ts")).as("dow"), q6.as("q6"))
+          .groupBy(col("event_type"), col("dow"))
+          .agg(sum(col("q6")).as("__s6"), count(lit(1)).as("n"))
+          .select(col("event_type"), col("dow"),
+            (expr("(__s6 + n * 50) div (n * 100)").cast("double")
+              / lit(10000.0) + lit(0.0)).as("mae"),
+            col("n"))
           .orderBy("event_type", "dow")
       },
       Some("""WITH p AS (
-             |  SELECT event_type, dayofweek(ts) AS dow, value,
-             |    LAG(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pred
-             |  FROM events)
-             |SELECT event_type, dow, ROUND(AVG(ABS(value - pred)), 4) AS mae, COUNT(*) AS n
-             |FROM p WHERE pred IS NOT NULL
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      doc = "SURVEY A9: metrics per (key, horizon-like dimension)"),
+             |  SELECT event_type, dayofweek(ts) AS dow,
+             |    CAST(FLOOR(ABS(value - LAG(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id)) * 1e6 + 0.5) AS BIGINT) AS q6
+             |  FROM events),
+             |g AS (SELECT event_type, dow, SUM(q6) AS s6, COUNT(*) AS n
+             |      FROM p WHERE q6 IS NOT NULL GROUP BY 1, 2)
+             |SELECT event_type, dow,
+             |  CAST((s6 + n * 50) // (n * 100) AS DOUBLE) / 10000.0 + 0.0 AS mae,
+             |  n
+             |FROM g ORDER BY 1, 2""".stripMargin),
+      doc = "SURVEY A9: metrics per (key, horizon-like dimension); mae in " +
+        "exact integer micro-units (partition-order-free, the DSIR " +
+        "rounding discipline)"),
 
     Query(
       "q_a_vwap",

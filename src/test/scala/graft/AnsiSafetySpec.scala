@@ -67,6 +67,26 @@ class AnsiSafetySpec extends AnyFunSuite {
     assert(!out.isNullAt(0)) // nulls skipped by avg; zero rows contribute null
   }
 
+  test("rolling Pearson over a flat frame yields null, no ANSI raise " +
+    "(corr() aggregate would throw: its internal ck/sqrt(xMk*yMk) " +
+    "division is unguarded for zero-variance n>1 frames)") {
+    // rows 7-10 are constant -> prev == value == 50 on rows 8-10: both
+    // stddevs are 0 where DuckDB's CORR returns NULL. The safeDiv(covar,
+    // sx*sy) formulation (q_w_rolling_corr) must return null, not raise.
+    val f = trailing(w, 3)
+    val out = df
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("id"), safeDiv(
+        covar_samp(col("value"), col("prev")).over(f),
+        stddev_samp(col("value")).over(f) *
+          stddev_samp(col("prev")).over(f)).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(10L).isEmpty) // frame rows 8-10: flat on both sides
+    assert(out(4L).isDefined) // varied frame: defined
+  }
+
   test("validateInput on an empty frame reports size, not NullPointerException") {
     val empty = df.where(lit(false))
     val errs = Serving.validateInput(empty, Seq("value"), 1)

@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.OrderedRolling
+import graft.ops.OrderedRolling.Roll
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** OrderedRolling must be BIT-EQUAL to the sliding-frame window — the op
+  * replicates SlidingWindowFunctionFrame's per-row re-accumulation with
+  * the aggregates' exact update arithmetic, so any last-ulp drift is a
+  * bug. Comparison is on collected Rows (== on boxed doubles compares
+  * bit patterns via equals; NaN == NaN holds under Double.equals).
+  */
+class OrderedRollingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private def compare(n: Int, nKeys: Int, nParts: Int, rolls: Seq[Roll],
+      withNulls: Boolean = false): Unit = {
+    val rnd = new scala.util.Random(n * 131 + nKeys + rolls.size)
+    val rows = (0 until n).map { i =>
+      val v = if (withNulls && rnd.nextInt(5) == 0) None
+      else Some(rnd.nextDouble() * 100 - 50)
+      (s"k${rnd.nextInt(nKeys)}", i.toLong, v)
+    }
+    val df = rows.toDF("key", "seq", "value")
+    def frame(k: Int) = Window.partitionBy("key").orderBy(col("seq"))
+      .rowsBetween(-(k - 1), Window.currentRow)
+    val expected = rolls.foldLeft(df) { (d, roll) =>
+      val agg = roll.func match {
+        case "avg" => avg(col("value"))
+        case "sum" => sum(col("value"))
+        case "stddev_samp" => stddev_samp(col("value"))
+      }
+      d.withColumn(roll.name, agg.over(frame(roll.frame)))
+    }.orderBy("key", "seq").collect().toSeq
+    val got = OrderedRolling.withRollups(df, Seq("key"), Seq(col("seq")),
+        "value", rolls, nPartsOpt = Some(nParts))
+      .orderBy("key", "seq").collect().toSeq
+    CacheScope.release(spark)
+    assert(got == expected,
+      s"n=$n nKeys=$nKeys nParts=$nParts rolls=$rolls")
+  }
+
+  test("avg+stddev over one frame — the rolling-zscore shape") {
+    compare(4000, nKeys = 3, nParts = 16,
+      rolls = Seq(Roll("a24", "avg", 24), Roll("s24", "stddev_samp", 24)))
+  }
+
+  test("two avg frames — the momentum shape") {
+    compare(3000, nKeys = 4, nParts = 16,
+      rolls = Seq(Roll("a3", "avg", 3), Roll("a12", "avg", 12)))
+  }
+
+  test("sum frame, many keys, few rows per key") {
+    compare(1000, nKeys = 200, nParts = 8,
+      rolls = Seq(Roll("s5", "sum", 5)))
+  }
+
+  test("frames spanning tile boundaries (tiles smaller than frame)") {
+    compare(40, nKeys = 2, nParts = 32,
+      rolls = Seq(Roll("a12", "avg", 12), Roll("sd12", "stddev_samp", 12)))
+  }
+
+  test("frame of 1 (memory 0): stddev_samp is null, avg is identity") {
+    compare(500, nKeys = 3, nParts = 8,
+      rolls = Seq(Roll("a1", "avg", 1), Roll("sd1", "stddev_samp", 1)))
+  }
+
+  test("null values occupy frame slots but don't contribute") {
+    compare(2000, nKeys = 3, nParts = 16,
+      rolls = Seq(Roll("a7", "avg", 7), Roll("sd7", "stddev_samp", 7),
+        Roll("s7", "sum", 7)),
+      withNulls = true)
+  }
+}
