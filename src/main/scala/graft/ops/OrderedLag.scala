@@ -45,9 +45,10 @@ object OrderedLag {
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val maxLag = lagSpecs.map(_._2).max
 
-    val prep = TiledScan.prepare(df, keyCols, orderCols, valueCol,
+    val prep = TiledScan.prepare(df, keyCols, orderCols, Seq(valueCol),
       memory = maxLag, nParts = nParts)
-    import prep.{carry, keyIdx, pidIdx, valIdx}
+    import prep.{carry, keyIdx, pidIdx}
+    val valIdx = prep.valIdx.head
 
     val valField = prep.inSchema(valIdx)
     val outSchema = lagSpecs.foldLeft(prep.inSchema) {
@@ -55,11 +56,12 @@ object OrderedLag {
     }
 
     prep.withPid.mapPartitions { rows =>
-      var ring: scala.collection.mutable.ArrayDeque[(Seq[Any], Any)] = null
+      var ring: scala.collection.mutable.ArrayDeque[(Seq[Any], Array[Any])] =
+        null
       rows.map { r =>
         if (ring == null) {
           ring = scala.collection.mutable.ArrayDeque.from(
-            carry.getOrElse[Array[(Seq[Any], Any)]](
+            carry.getOrElse[Array[(Seq[Any], Array[Any])]](
               r.getInt(pidIdx), Array.empty))
         }
         val key = keyIdx.map(r.get)
@@ -68,11 +70,11 @@ object OrderedLag {
         val lagVals = lagSpecs.map { case (_, j) =>
           if (ring.size >= j) {
             val (k, v) = ring(ring.size - j)
-            if (k == key) v else null
+            if (k == key) v(0) else null
           } else null
         }
         if (ring.size == maxLag) ring.removeHead()
-        ring.append((key, r.get(valIdx)))
+        ring.append((key, Array[Any](r.get(valIdx))))
         Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) ++ lagVals)
       }
     }(Encoders.row(outSchema))

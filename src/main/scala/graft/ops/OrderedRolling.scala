@@ -18,28 +18,35 @@ import org.apache.spark.sql.types.DoubleType
   * declarative aggregates). This op does the identical per-row
   * re-accumulation with the identical update arithmetic — `Average`'s
   * sum/count, `CentralMomentAgg`'s Welford recurrence (delta / deltaN /
-  * m2), `Sum`'s null-seeded running sum — in the identical oldest→newest
-  * order, so every output double is bit-equal to the window's
-  * (OrderedRollingSpec pins this, NaN/null cases included). Per-row cost
-  * is O(frame) — the same as WindowExec — but the sort parallelism is
-  * nParts tiles instead of #keys tasks.
+  * m2), `Covariance`'s co-moment recurrence, `Sum`'s null-seeded running
+  * sum — in the identical oldest→newest order, so every output double is
+  * bit-equal to the window's (OrderedRollingSpec pins this, null cases
+  * included). Per-row cost is O(frame · #rolls) — the same as WindowExec
+  * evaluating the same aggregates — but the sort parallelism is nParts
+  * tiles instead of #keys tasks.
   *
-  * Value column must be DoubleType; keys non-null; (keyCols ++ orderCols)
-  * a strict total order. Nulls in the value column occupy frame SLOTS but
-  * don't contribute (aggregate semantics), exactly like the window.
+  * Value columns must be DoubleType; keys non-null; (keyCols ++
+  * orderCols) a strict total order. Null values occupy frame SLOTS but
+  * don't contribute (single-column aggs skip null x; covariance skips a
+  * pair when EITHER side is null), exactly like the window aggregates.
   */
 object OrderedRolling {
 
-  /** One output column: `func` over the trailing `frame`-row window.
-    * `func`: "avg" | "stddev_samp" | "sum".
+  /** One output column: `func` over the trailing `frame`-row window of
+    * column `x` (and `y` for the two-column funcs).
+    * `func`: "avg" | "stddev_samp" | "sum" | "covar_samp".
     */
-  final case class Roll(name: String, func: String, frame: Int) {
+  final case class Roll(name: String, func: String, frame: Int,
+      x: String, y: String = null) {
     require(frame >= 1, "frame must be >= 1")
-    require(Set("avg", "stddev_samp", "sum")(func), s"unsupported: $func")
+    require(Set("avg", "stddev_samp", "sum", "covar_samp")(func),
+      s"unsupported: $func")
+    require((func == "covar_samp") == (y != null),
+      "covar_samp needs a y column; single-column funcs must not pass y")
   }
 
   def withRollups(df: DataFrame, keyCols: Seq[String],
-      orderCols: Seq[Column], valueCol: String, rolls: Seq[Roll],
+      orderCols: Seq[Column], rolls: Seq[Roll],
       nPartsOpt: Option[Int] = None): DataFrame = {
     require(rolls.nonEmpty)
     val spark = df.sparkSession
@@ -47,12 +54,21 @@ object OrderedRolling {
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val memory = rolls.map(_.frame).max - 1
 
-    val prep = TiledScan.prepare(df, keyCols, orderCols, valueCol,
+    val valueCols: Seq[String] =
+      rolls.flatMap(r => Seq(r.x) ++ Option(r.y)).distinct
+    val prep = TiledScan.prepare(df, keyCols, orderCols, valueCols,
       memory = memory, nParts = nParts)
-    import prep.{carry, keyIdx, pidIdx, valIdx}
-    require(prep.inSchema(valIdx).dataType == DoubleType,
-      s"rolling value column must be double, got " +
-        prep.inSchema(valIdx).dataType)
+    import prep.{carry, keyIdx, pidIdx}
+    prep.valIdx.zip(valueCols).foreach { case (i, c) =>
+      require(prep.inSchema(i).dataType == DoubleType,
+        s"rolling value column $c must be double, got " +
+          prep.inSchema(i).dataType)
+    }
+    // per-roll positions in the tracked-values array
+    val xPos = rolls.map(r => valueCols.indexOf(r.x)).toArray
+    val yPos = rolls.map(r => Option(r.y).map(valueCols.indexOf).getOrElse(-1))
+      .toArray
+    val rowValIdx = prep.valIdx.toArray
 
     val outSchema = rolls.foldLeft(prep.inSchema) { case (s, roll) =>
       s.add(roll.name, DoubleType, nullable = true)
@@ -60,15 +76,22 @@ object OrderedRolling {
     val rollArr = rolls.toArray
 
     prep.withPid.mapPartitions { rows =>
-      var ring: scala.collection.mutable.ArrayDeque[(Seq[Any], Any)] = null
+      var ring: scala.collection.mutable.ArrayDeque[(Seq[Any], Array[Any])] =
+        null
       rows.map { r =>
         if (ring == null) {
           ring = scala.collection.mutable.ArrayDeque.from(
-            carry.getOrElse[Array[(Seq[Any], Any)]](
+            carry.getOrElse[Array[(Seq[Any], Array[Any])]](
               r.getInt(pidIdx), Array.empty))
         }
         val key = keyIdx.map(r.get)
-        val cur: Any = if (r.isNullAt(valIdx)) null else r.getDouble(valIdx)
+        val cur = new Array[Any](rowValIdx.length)
+        var c = 0
+        while (c < rowValIdx.length) {
+          cur(c) = if (r.isNullAt(rowValIdx(c))) null
+            else r.getDouble(rowValIdx(c))
+          c += 1
+        }
         // trailing same-key prefix of the ring (newest-last): ring may
         // hold older keys from the carry; sorted contiguity means the
         // same-key rows are exactly the trailing run
@@ -79,53 +102,80 @@ object OrderedRolling {
         var i = 0
         while (i < rollArr.length) {
           val roll = rollArr(i)
+          val xp = xPos(i); val yp = yPos(i)
           val take = math.min(roll.frame - 1, same)
           // frame = [ring tail of `take` rows] ++ [current row], oldest
           // first — accumulate EXACTLY like the Spark aggregate would
           out(i) = roll.func match {
             case "avg" =>
               var sum = 0.0; var cnt = 0L
-              var j = ring.size - take
-              while (j < ring.size) {
-                val v = ring(j)._2
+              def upd(vs: Array[Any]): Unit = {
+                val v = vs(xp)
                 if (v != null) { sum += v.asInstanceOf[Double]; cnt += 1L }
-                j += 1
               }
-              if (cur != null) { sum += cur.asInstanceOf[Double]; cnt += 1L }
+              var j = ring.size - take
+              while (j < ring.size) { upd(ring(j)._2); j += 1 }
+              upd(cur)
               if (cnt == 0L) null else sum / cnt
             case "sum" =>
               var sum = 0.0; var any = false
-              var j = ring.size - take
-              while (j < ring.size) {
-                val v = ring(j)._2
+              def upd(vs: Array[Any]): Unit = {
+                val v = vs(xp)
                 if (v != null) { sum += v.asInstanceOf[Double]; any = true }
-                j += 1
               }
-              if (cur != null) { sum += cur.asInstanceOf[Double]; any = true }
+              var j = ring.size - take
+              while (j < ring.size) { upd(ring(j)._2); j += 1 }
+              upd(cur)
               if (!any) null else sum
             case "stddev_samp" =>
               // CentralMomentAgg's Welford recurrence, verbatim:
               // n' = n+1; delta = x - avg; deltaN = delta / n';
               // avg' = avg + deltaN; m2' = m2 + delta * (delta - deltaN)
               var n = 0.0; var avg = 0.0; var m2 = 0.0
-              def upd(x: Double): Unit = {
-                n += 1.0
-                val delta = x - avg
-                val deltaN = delta / n
-                avg += deltaN
-                m2 += delta * (delta - deltaN)
+              def upd(vs: Array[Any]): Unit = {
+                val v = vs(xp)
+                if (v != null) {
+                  val x = v.asInstanceOf[Double]
+                  n += 1.0
+                  val delta = x - avg
+                  val deltaN = delta / n
+                  avg += deltaN
+                  m2 += delta * (delta - deltaN)
+                }
               }
               var j = ring.size - take
-              while (j < ring.size) {
-                val v = ring(j)._2
-                if (v != null) upd(v.asInstanceOf[Double])
-                j += 1
-              }
-              if (cur != null) upd(cur.asInstanceOf[Double])
+              while (j < ring.size) { upd(ring(j)._2); j += 1 }
+              upd(cur)
               // n<=1 -> null: StddevSamp's nullOnDivideByZero default
               // (spark.sql.legacy.statisticalAggregate=false)
               if (n <= 1.0) null
               else math.sqrt(m2 / (n - 1.0))
+            case "covar_samp" =>
+              // Covariance's co-moment recurrence, verbatim (pairs with
+              // a null on EITHER side are skipped whole):
+              // n' = n+1; dx = x - xAvg; dy = y - yAvg;
+              // xAvg' = xAvg + dx/n'; yAvg' = yAvg + dy/n';
+              // ck' = ck + dx * (y - yAvg')
+              var n = 0.0; var xAvg = 0.0; var yAvg = 0.0; var ck = 0.0
+              def upd(vs: Array[Any]): Unit = {
+                val vx = vs(xp); val vy = vs(yp)
+                if (vx != null && vy != null) {
+                  val x = vx.asInstanceOf[Double]
+                  val y = vy.asInstanceOf[Double]
+                  n += 1.0
+                  val dx = x - xAvg
+                  val dy = y - yAvg
+                  xAvg += dx / n
+                  yAvg += dy / n
+                  ck += dx * (y - yAvg)
+                }
+              }
+              var j = ring.size - take
+              while (j < ring.size) { upd(ring(j)._2); j += 1 }
+              upd(cur)
+              // n<=1 -> null: CovSample's nullOnDivideByZero default
+              if (n <= 1.0) null
+              else ck / (n - 1.0)
           }
           i += 1
         }

@@ -19,15 +19,18 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   */
 private[ops] object TiledScan {
 
+  /** `carry(pid)` rows are (key values, value-column values) — one entry
+    * per tracked value column, in `valueCols` order.
+    */
   final case class Prep(
       withPid: DataFrame, midSchema: StructType, pidIdx: Int,
-      keyIdx: Seq[Int], valIdx: Int, inSchema: StructType,
-      carry: Map[Int, Array[(Seq[Any], Any)]])
+      keyIdx: Seq[Int], valIdx: Seq[Int], inSchema: StructType,
+      carry: Map[Int, Array[(Seq[Any], Array[Any])]])
 
   def prepare(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
-      valueCol: String, memory: Int, nParts: Int): Prep = {
+      valueCols: Seq[String], memory: Int, nParts: Int): Prep = {
     val inSchema = df.schema
-    val valIdx = inSchema.fieldIndex(valueCol)
+    val valIdx = valueCols.map(inSchema.fieldIndex)
     val keyIdx = keyCols.map(inSchema.fieldIndex)
 
     val sortCols = keyCols.map(col) ++ orderCols
@@ -39,13 +42,14 @@ private[ops] object TiledScan {
     // Per-tile trailing rows — O(nParts · memory) rows to the driver,
     // bounded and independent of data size (the PrefixSum-offsets
     // contract).
-    val tails: Array[(Int, Array[(Seq[Any], Any)])] =
+    val tails: Array[(Int, Array[(Seq[Any], Array[Any])])] =
       if (memory == 0) Array.empty
       else cached.rdd.mapPartitionsWithIndex { (pid, rows) =>
-        val buf = new scala.collection.mutable.ArrayDeque[(Seq[Any], Any)]()
+        val buf =
+          new scala.collection.mutable.ArrayDeque[(Seq[Any], Array[Any])]()
         rows.foreach { r =>
           if (buf.size == memory) buf.removeHead()
-          buf.append((keyIdx.map(r.get), r.get(valIdx)))
+          buf.append((keyIdx.map(r.get), valIdx.map(r.get).toArray))
         }
         Iterator.single((pid, buf.toArray))
       }.collect().sortBy(_._1)
@@ -55,12 +59,13 @@ private[ops] object TiledScan {
     // `memory`). Ordered oldest -> newest.
     val tailByPid = tails.toMap
     val maxPid = tails.lastOption.map(_._1).getOrElse(-1)
-    val carry: Map[Int, Array[(Seq[Any], Any)]] =
+    val carry: Map[Int, Array[(Seq[Any], Array[Any])]] =
       (0 to maxPid).map { p =>
-        val acc = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Any)]
+        val acc =
+          scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Array[Any])]
         var q = p - 1
         while (acc.size < memory && q >= 0) {
-          val t = tailByPid.getOrElse(q, Array.empty[(Seq[Any], Any)])
+          val t = tailByPid.getOrElse(q, Array.empty[(Seq[Any], Array[Any])])
           acc.prependAll(t.takeRight(memory - acc.size))
           q -= 1
         }

@@ -65,9 +65,9 @@ object TimeSeriesQueries extends QueryPack {
         // are unchanged.
         import graft.ops.OrderedRolling
         OrderedRolling.withRollups(ev(s, dir), Seq("event_type"),
-            Seq(col("ts"), col("event_id")), "value",
-            Seq(OrderedRolling.Roll("__a24", "avg", 24),
-              OrderedRolling.Roll("__s24", "stddev_samp", 24)))
+            Seq(col("ts"), col("event_id")),
+            Seq(OrderedRolling.Roll("__a24", "avg", 24, "value"),
+              OrderedRolling.Roll("__s24", "stddev_samp", 24, "value")))
           .select(col("event_type"), col("event_id"),
             (round(safeDiv(col("value") - col("__a24"), col("__s24")), 4)
               + lit(0.0)).as("zscore"))
@@ -125,9 +125,9 @@ object TimeSeriesQueries extends QueryPack {
         // same OrderedRolling rationale as q_w4_rolling_zscore above
         import graft.ops.OrderedRolling
         OrderedRolling.withRollups(ev(s, dir), Seq("event_type"),
-            Seq(col("ts"), col("event_id")), "value",
-            Seq(OrderedRolling.Roll("__a3", "avg", 3),
-              OrderedRolling.Roll("__a12", "avg", 12)))
+            Seq(col("ts"), col("event_id")),
+            Seq(OrderedRolling.Roll("__a3", "avg", 3, "value"),
+              OrderedRolling.Roll("__a12", "avg", 12, "value")))
           .select(col("event_type"), col("event_id"),
             (round(col("__a3") - col("__a12"), 4) + lit(0.0))
               .as("momentum_3_12"))
@@ -418,15 +418,23 @@ object TimeSeriesQueries extends QueryPack {
         // stddev_samp guard their own n-1 divisions (null, not raise),
         // and safeDiv's CaseWhen evaluates the outer division lazily —
         // null on flat frames, exactly the oracle's CORR.
-        val lagged = lag(col("value"), 1).over(w)
-        val f = trailing(w, 24)
-        ev(s, dir)
-          .withColumn("prev", lagged)
+        // Executed via the ordered-scan ops (one OrderedLag pass for
+        // prev, then covar + both stddevs in ONE OrderedRolling pass,
+        // bit-equal to the three window aggregates per
+        // OrderedRollingSpec): the window form ran the whole 3-aggregate
+        // frame re-accumulation on #event_types tasks — 72.8 s at the
+        // 100x probe scale.
+        import graft.ops.{OrderedLag, OrderedRolling}
+        val lagged = OrderedLag.withLags(ev(s, dir), Seq("event_type"),
+            Seq(col("ts"), col("event_id")), "value", Seq("prev" -> 1))
           .where(col("prev").isNotNull)
+        OrderedRolling.withRollups(lagged, Seq("event_type"),
+            Seq(col("ts"), col("event_id")),
+            Seq(OrderedRolling.Roll("__cv", "covar_samp", 24, "value", "prev"),
+              OrderedRolling.Roll("__sx", "stddev_samp", 24, "value"),
+              OrderedRolling.Roll("__sy", "stddev_samp", 24, "prev")))
           .select(col("event_type"), col("event_id"),
-            (round(safeDiv(covar_samp(col("value"), col("prev")).over(f),
-              stddev_samp(col("value")).over(f) *
-                stddev_samp(col("prev")).over(f)), 4)
+            (round(safeDiv(col("__cv"), col("__sx") * col("__sy")), 4)
               + lit(0.0)).as("corr_24"))
       },
       Some("""WITH p AS (

@@ -36,7 +36,7 @@ class OrderedRollingSpec extends AnyFunSuite {
       d.withColumn(roll.name, agg.over(frame(roll.frame)))
     }.orderBy("key", "seq").collect().toSeq
     val got = OrderedRolling.withRollups(df, Seq("key"), Seq(col("seq")),
-        "value", rolls, nPartsOpt = Some(nParts))
+        rolls, nPartsOpt = Some(nParts))
       .orderBy("key", "seq").collect().toSeq
     CacheScope.release(spark)
     assert(got == expected,
@@ -45,33 +45,78 @@ class OrderedRollingSpec extends AnyFunSuite {
 
   test("avg+stddev over one frame — the rolling-zscore shape") {
     compare(4000, nKeys = 3, nParts = 16,
-      rolls = Seq(Roll("a24", "avg", 24), Roll("s24", "stddev_samp", 24)))
+      rolls = Seq(Roll("a24", "avg", 24, "value"), Roll("s24", "stddev_samp", 24, "value")))
   }
 
   test("two avg frames — the momentum shape") {
     compare(3000, nKeys = 4, nParts = 16,
-      rolls = Seq(Roll("a3", "avg", 3), Roll("a12", "avg", 12)))
+      rolls = Seq(Roll("a3", "avg", 3, "value"), Roll("a12", "avg", 12, "value")))
   }
 
   test("sum frame, many keys, few rows per key") {
     compare(1000, nKeys = 200, nParts = 8,
-      rolls = Seq(Roll("s5", "sum", 5)))
+      rolls = Seq(Roll("s5", "sum", 5, "value")))
   }
 
   test("frames spanning tile boundaries (tiles smaller than frame)") {
     compare(40, nKeys = 2, nParts = 32,
-      rolls = Seq(Roll("a12", "avg", 12), Roll("sd12", "stddev_samp", 12)))
+      rolls = Seq(Roll("a12", "avg", 12, "value"), Roll("sd12", "stddev_samp", 12, "value")))
   }
 
   test("frame of 1 (memory 0): stddev_samp is null, avg is identity") {
     compare(500, nKeys = 3, nParts = 8,
-      rolls = Seq(Roll("a1", "avg", 1), Roll("sd1", "stddev_samp", 1)))
+      rolls = Seq(Roll("a1", "avg", 1, "value"), Roll("sd1", "stddev_samp", 1, "value")))
   }
 
   test("null values occupy frame slots but don't contribute") {
     compare(2000, nKeys = 3, nParts = 16,
-      rolls = Seq(Roll("a7", "avg", 7), Roll("sd7", "stddev_samp", 7),
-        Roll("s7", "sum", 7)),
+      rolls = Seq(Roll("a7", "avg", 7, "value"), Roll("sd7", "stddev_samp", 7, "value"),
+        Roll("s7", "sum", 7, "value")),
       withNulls = true)
+  }
+
+  test("covar_samp over two columns matches the window bit-for-bit, " +
+    "pairs with a null on either side skipped whole") {
+    val rnd = new scala.util.Random(977)
+    val rows = (0 until 3000).map { i =>
+      def v() = if (rnd.nextInt(6) == 0) None
+        else Some(rnd.nextDouble() * 40 - 20)
+      (s"k${rnd.nextInt(3)}", i.toLong, v(), v())
+    }
+    val df = rows.toDF("key", "seq", "x", "y")
+    val f = Window.partitionBy("key").orderBy(col("seq"))
+      .rowsBetween(-23, Window.currentRow)
+    val expected = df
+      .withColumn("c24", covar_samp(col("x"), col("y")).over(f))
+      .orderBy("key", "seq").collect().toSeq
+    val got = OrderedRolling.withRollups(df, Seq("key"), Seq(col("seq")),
+        Seq(Roll("c24", "covar_samp", 24, "x", "y")), nPartsOpt = Some(16))
+      .orderBy("key", "seq").collect().toSeq
+    CacheScope.release(spark)
+    assert(got == expected)
+  }
+
+  test("the rolling-corr composition: covar + both stddevs in ONE tiled " +
+    "pass equals the three window aggregates") {
+    val rnd = new scala.util.Random(1213)
+    val rows = (0 until 2500).map { i =>
+      (s"k${rnd.nextInt(4)}", i.toLong,
+        rnd.nextDouble() * 10, rnd.nextDouble() * 10)
+    }
+    val df = rows.toDF("key", "seq", "x", "y")
+    val f = Window.partitionBy("key").orderBy(col("seq"))
+      .rowsBetween(-23, Window.currentRow)
+    val expected = df
+      .withColumn("cv", covar_samp(col("x"), col("y")).over(f))
+      .withColumn("sx", stddev_samp(col("x")).over(f))
+      .withColumn("sy", stddev_samp(col("y")).over(f))
+      .orderBy("key", "seq").collect().toSeq
+    val got = OrderedRolling.withRollups(df, Seq("key"), Seq(col("seq")),
+        Seq(Roll("cv", "covar_samp", 24, "x", "y"),
+          Roll("sx", "stddev_samp", 24, "x"),
+          Roll("sy", "stddev_samp", 24, "y")), nPartsOpt = Some(16))
+      .orderBy("key", "seq").collect().toSeq
+    CacheScope.release(spark)
+    assert(got == expected)
   }
 }
