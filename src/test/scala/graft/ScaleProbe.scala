@@ -21,13 +21,20 @@ object ScaleProbe {
     import spark.implicits._
 
     val base = "/root/testdata/sf0.1"
-    val big = "/tmp/graft_sf1_synth"
+    // Replication factor (default 10). SPARK_GRAFT_PROBE_FACTOR=100 adds a
+    // second decade: 1x/10x/100x distinguishes fixed-plan-overhead ops
+    // (ratio stays flat across decades) from truly linear ones (ratio
+    // approaches the factor). 100x = 10M events / 1M docs / 1M vectors.
+    val factor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FACTOR", "10").toInt
+    val big =
+      if (factor == 10) "/tmp/graft_sf1_synth"
+      else s"/tmp/graft_probe_${factor}x_synth"
 
-    // ---- build the 10x tables once ----
+    // ---- build the replicated tables once ----
     if (!new java.io.File(big + "/events.parquet").exists()) {
       val ev = Tables(spark, base, "events")
-      ev.crossJoin(spark.range(10).toDF("rep"))
-        .withColumn("event_id", col("event_id") * 10 + col("rep"))
+      ev.crossJoin(spark.range(factor).toDF("rep"))
+        .withColumn("event_id", col("event_id") * factor + col("rep"))
         // original layout stores ts as INT64 nanos (Tables reads it via
         // nanosAsLong) — mirror it so the same loader path applies
         .withColumn("ts",
@@ -37,16 +44,16 @@ object ScaleProbe {
         .repartition(32)
         .write.mode("overwrite").parquet(big + "/events.parquet")
       val docs = Tables(spark, base, "documents")
-      docs.crossJoin(spark.range(10).toDF("rep"))
-        .withColumn("doc_id", col("doc_id") * 10 + col("rep"))
+      docs.crossJoin(spark.range(factor).toDF("rep"))
+        .withColumn("doc_id", col("doc_id") * factor + col("rep"))
         // vary text per replica so dedup work isn't degenerate
         .withColumn("text", concat(col("text"), lit(" rep"), col("rep")))
         .drop("rep")
         .repartition(32)
         .write.mode("overwrite").parquet(big + "/documents.parquet")
       val emb = Tables(spark, base, "embeddings")
-      emb.crossJoin(spark.range(10).toDF("rep"))
-        .withColumn("vec_id", col("vec_id") * 10 + col("rep"))
+      emb.crossJoin(spark.range(factor).toDF("rep"))
+        .withColumn("vec_id", col("vec_id") * factor + col("rep"))
         .drop("rep")
         .repartition(32)
         .write.mode("overwrite").parquet(big + "/embeddings.parquet")
@@ -225,9 +232,17 @@ object ScaleProbe {
     // release builder caches between ops (the production request-boundary
     // posture) so one op's retained frames don't distort the next op's
     // memory budget — without this the tail ops measure GC pressure, not
-    // their own cost
+    // their own cost.
+    // Force FULL materialization (Bench posture: xxhash64 over every
+    // column + bit_xor reduce) — count() lets Catalyst prune the body of
+    // map-only ops entirely: pii_scrub "measured" 0.13 s at 100x under
+    // count() because the scrub expressions never ran (r9 lesson; same
+    // trap the round-1 Bench hit).
     def run(f: String => DataFrame, dir: String): Long = {
-      val n = f(dir).count()
+      val df = f(dir)
+      val n = df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+        .agg(expr("bit_xor(__h)"), count(lit(1)).as("__n"))
+        .head.getLong(1)
       CacheScope.release(spark)
       n
     }
@@ -243,9 +258,10 @@ object ScaleProbe {
     }
     println("== 1x (sf0.1) ==")
     val t1 = opsRun.map { case (n, f) => n -> time(n)(run(f, base)) }.toMap
-    println("== 10x (synthetic) ==")
+    println(s"== ${factor}x (synthetic) ==")
     val t10 = opsRun.map { case (n, f) => n -> time(n)(run(f, big)) }.toMap
-    println("== scaling factor (10x time / 1x time; 10.0 = linear) ==")
+    println(s"== scaling factor (${factor}x time / 1x time; " +
+      s"$factor.0 = linear) ==")
     opsRun.foreach { case (n, _) =>
       println(f"$n%-34s ${t10(n) / t1(n)}%5.1f x")
     }
