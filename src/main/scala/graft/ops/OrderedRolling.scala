@@ -34,15 +34,30 @@ object OrderedRolling {
 
   /** One output column: `func` over the trailing `frame`-row window of
     * column `x` (and `y` for the two-column funcs).
-    * `func`: "avg" | "stddev_samp" | "sum" | "covar_samp".
+    * `func`: "avg" | "stddev_samp" | "sum" | "covar_samp" |
+    * "frame_array".
+    *
+    * `frame_array` collects the frame's non-null x values as
+    * array<double> in scan order (`collect_list` semantics), skipping
+    * the `skip` rows nearest the current row — `skip = 0` starts at the
+    * current row. Combined with a DESCENDING order this expresses
+    * FORWARD-looking collect frames: sorting (ts desc) makes "the
+    * previous `skip+frame` scanned rows" be the rows at ascending-time
+    * offsets 0..skip+frame-1 from the current row, and emitting them in
+    * newest-scanned-first ring order reproduces the ascending-time
+    * collect_list order exactly (the serving sliding-window shape:
+    * x = frame 288 skip 0, y = frame 36 skip 288).
     */
   final case class Roll(name: String, func: String, frame: Int,
-      x: String, y: String = null) {
+      x: String, y: String = null, skip: Int = 0) {
     require(frame >= 1, "frame must be >= 1")
-    require(Set("avg", "stddev_samp", "sum", "covar_samp")(func),
-      s"unsupported: $func")
+    require(Set("avg", "stddev_samp", "sum", "covar_samp", "frame_array")(
+      func), s"unsupported: $func")
     require((func == "covar_samp") == (y != null),
       "covar_samp needs a y column; single-column funcs must not pass y")
+    require(skip == 0 || func == "frame_array",
+      "skip is only meaningful for frame_array")
+    require(skip >= 0, "skip must be >= 0")
   }
 
   def withRollups(df: DataFrame, keyCols: Seq[String],
@@ -52,7 +67,7 @@ object OrderedRolling {
     val spark = df.sparkSession
     val nParts = nPartsOpt.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val memory = rolls.map(_.frame).max - 1
+    val memory = rolls.map(r => r.frame + r.skip).max - 1
 
     val valueCols: Seq[String] =
       rolls.flatMap(r => Seq(r.x) ++ Option(r.y)).distinct
@@ -71,7 +86,10 @@ object OrderedRolling {
     val rowValIdx = prep.valIdx.toArray
 
     val outSchema = rolls.foldLeft(prep.inSchema) { case (s, roll) =>
-      s.add(roll.name, DoubleType, nullable = true)
+      val t = if (roll.func == "frame_array")
+        org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+      else DoubleType
+      s.add(roll.name, t, nullable = true)
     }
     val rollArr = rolls.toArray
 
@@ -150,6 +168,22 @@ object OrderedRolling {
               // (spark.sql.legacy.statisticalAggregate=false)
               if (n <= 1.0) null
               else math.sqrt(m2 / (n - 1.0))
+            case "frame_array" =>
+              // collect_list semantics over offsets skip..skip+frame-1
+              // from the current row (offset 0 = current), bounded by the
+              // same-key run; nulls skipped, empty frame -> empty array
+              // (collect_list is never null)
+              val buf = new scala.collection.mutable.ArrayBuffer[Any](
+                roll.frame)
+              var off = roll.skip
+              val maxOff = math.min(roll.skip + roll.frame - 1, same)
+              while (off <= maxOff) {
+                val v = if (off == 0) cur(xp)
+                  else ring(ring.size - off)._2(xp)
+                if (v != null) buf += v
+                off += 1
+              }
+              buf.toSeq
             case "covar_samp" =>
               // Covariance's co-moment recurrence, verbatim (pairs with
               // a null on EITHER side are skipped whole):

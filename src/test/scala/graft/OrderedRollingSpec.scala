@@ -96,6 +96,32 @@ class OrderedRollingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("frame_array over DESC order equals the forward collect_list " +
+    "window — the sliding-training-window shape (x + skipped y)") {
+    val rnd = new scala.util.Random(4242)
+    val rows = (0 until 900).map { i =>
+      val v = if (rnd.nextInt(7) == 0) None else Some(rnd.nextDouble() * 9)
+      (s"k${rnd.nextInt(3)}", i.toLong, i.toLong, v,
+        Some(rnd.nextDouble()).filter(_ => rnd.nextInt(9) != 0))
+    }
+    val df = rows.toDF("key", "ts", "id", "f", "l")
+    val (seqLen, predLen) = (5, 3)
+    val w = Window.partitionBy("key").orderBy(col("ts"), col("id"))
+    val expected = df
+      .withColumn("x", collect_list(col("f")).over(w.rowsBetween(0, seqLen - 1)))
+      .withColumn("y", collect_list(col("l"))
+        .over(w.rowsBetween(seqLen, seqLen + predLen - 1)))
+      .orderBy("key", "ts").collect().toSeq
+    val got = OrderedRolling.withRollups(df, Seq("key"),
+        Seq(col("ts").desc, col("id").desc),
+        Seq(Roll("x", "frame_array", seqLen, "f"),
+          Roll("y", "frame_array", predLen, "l", skip = seqLen)),
+        nPartsOpt = Some(16))
+      .orderBy("key", "ts").collect().toSeq
+    CacheScope.release(spark)
+    assert(got == expected)
+  }
+
   test("the rolling-corr composition: covar + both stddevs in ONE tiled " +
     "pass equals the three window aggregates") {
     val rnd = new scala.util.Random(1213)
