@@ -29,7 +29,8 @@ object Serving {
     // the forward collect frames into trailing ring slices — offsets
     // 0..seqLen-1 for x, seqLen..seqLen+predLen-1 for y — emitted in
     // ascending-time order, collect_list semantics exactly;
-    // PropertySpec pins equality with the window formulation). The
+    // OrderedRollingSpec pins equality with the window formulation,
+    // PropertySpec the per-key count identity). The
     // window form ran every key's sort + 324-value transient array
     // builds on #keys tasks: 57 s at the 100x probe scale on the
     // 5-event-type corpus.
