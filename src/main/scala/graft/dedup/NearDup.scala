@@ -182,21 +182,66 @@ object NearDup {
     *
     * Output: (new_doc, dup_of, jaccard) for every verified duplicate, where
     * `new_doc` is always from the delta.
+    *
+    * `maxDocsPerBand` is the within-batch hot-bucket guard — the analog of
+    * [[exactJaccardPairs]]' stop-shingle cap, and like it NOT optional at
+    * scale on dup-heavy batches: a template page crawled 100k× lands its
+    * copies in ONE delta band bucket, and the uncapped a<b self-join emits
+    * k(k−1)/2 candidate rows (measured: OOMs an 8 GiB local[32] run at
+    * ~100-member buckets × 5k buckets — SCALE.md, 100× leg). With the cap,
+    * buckets over `cap` members pair each member against the bucket
+    * representative (min id) ONLY — O(k) pairs — and probe the corpus
+    * index through the representative alone. The gate guarantee holds
+    * (every member is exact-verified against at least one earlier doc);
+    * what changes is pair COMPLETENESS inside a hot bucket: x↔y there is
+    * reported only through the representative, so a false-positive bucket
+    * whose members dup each other but not the representative can pass.
+    * Corpus-side buckets need no cap by induction: a gated ingest never
+    * admits the duplicates that would make one hot. Default None = exact
+    * (every pair mined), the oracle-checked contract.
     */
   def incrementalDedup(corpus: DataFrame, delta: DataFrame, idCol: String,
       textCol: String, n: Int, k: Int, bands: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxDocsPerBand: Option[Int] = None): DataFrame = {
     val sigC = bandedSignatures(corpus, idCol, textCol, n, k, bands)
     val sigD = bandedSignatures(delta, idCol, textCol, n, k, bands)
-    val candCorpus = sigC.alias("c").join(broadcast(sigD).alias("nw"),
+    // (probeD, candBatch): which delta rows probe the corpus index, and the
+    // within-batch candidate pairs. Uncapped: every row probes, all a<b
+    // pairs per bucket. Capped: hot buckets star through the min-id rep.
+    val (probeD, candBatch) = maxDocsPerBand match {
+      case None =>
+        val cb = sigD.alias("a").join(sigD.alias("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_val") === col("b.band_val") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"b.$idCol").as("new_doc"),
+            col(s"a.$idCol").as("dup_of"))
+        (sigD, cb)
+      case Some(cap) =>
+        val stats = sigD.groupBy("band", "band_val")
+          .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__rep"))
+        val tagged = sigD.join(stats, Seq("band", "band_val"))
+        val cold = tagged.where(col("__n") <= cap)
+        val hot = tagged.where(col("__n") > cap)
+        val full = cold.alias("a").join(cold.alias("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_val") === col("b.band_val") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"b.$idCol").as("new_doc"),
+            col(s"a.$idCol").as("dup_of"))
+        // rep = min id in the bucket, so dup_of < new_doc always holds —
+        // same earlier-doc-survives convention as the a<b full pairing.
+        val star = hot.where(col(idCol) =!= col("__rep"))
+          .select(col(idCol).as("new_doc"), col("__rep").as("dup_of"))
+        val probe = cold.select(col(idCol), col("band"), col("band_val"))
+          .unionByName(hot.where(col(idCol) === col("__rep"))
+            .select(col(idCol), col("band"), col("band_val")))
+        (probe, full.unionByName(star))
+    }
+    val candCorpus = sigC.alias("c").join(broadcast(probeD).alias("nw"),
         col("c.band") === col("nw.band") &&
           col("c.band_val") === col("nw.band_val"))
       .select(col(s"nw.$idCol").as("new_doc"), col(s"c.$idCol").as("dup_of"))
-    val candBatch = sigD.alias("a").join(sigD.alias("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_val") === col("b.band_val") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"b.$idCol").as("new_doc"), col(s"a.$idCol").as("dup_of"))
     val cand = candCorpus.unionByName(candBatch).distinct()
     val candIds = cand.select(col("new_doc").as(idCol))
       .unionByName(cand.select(col("dup_of").as(idCol))).distinct()

@@ -129,6 +129,39 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 11L))
   }
 
+  test("incrementalDedup maxDocsPerBand: no-op under the cap, star-pairs " +
+    "hot buckets through the representative, gate guarantee preserved") {
+    val corpusSide = Seq(
+      (0L, "shared template body that the hot crawl batch repeats many times over today"),
+      (2L, "completely different words describing a very unrelated subject matter entirely here now")
+    ).toDF("doc_id", "text")
+    // a template page crawled 5x in ONE batch — all five land in the same
+    // band bucket in every band (identical text => identical signature)
+    val tmpl = "shared template body that the hot crawl batch repeats many times over today"
+    val delta = (Seq((30L, "fresh new content that appears in this batch for the very first time ever")) ++
+      (20L to 24L).map(_ -> tmpl)).toDF("doc_id", "text")
+    def pairs(cap: Option[Int]) =
+      NearDup.incrementalDedup(corpusSide, delta, "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5, maxDocsPerBand = cap)
+        .select("new_doc", "dup_of").as[(Long, Long)].collect().toSet
+    val exact = pairs(None)
+    // every bucket under a generous cap => capped path == exact path
+    assert(pairs(Some(100)) == exact)
+    val capped = pairs(Some(2))
+    // the GATE answer (which delta docs are flagged) is identical: every
+    // template replica is caught, the novel doc is not
+    assert(capped.map(_._1) == exact.map(_._1))
+    assert(capped.map(_._1) == Set(20L, 21L, 22L, 23L, 24L))
+    // within the hot bucket, non-rep members pair ONLY with the rep (20);
+    // the rep alone carries the corpus probe (20, 0)
+    assert((21L to 24L).forall(x => capped.contains((x, 20L))))
+    assert(capped.filter(_._1 >= 21L).forall(_._2 == 20L))
+    assert(capped.contains((20L, 0L)))
+    // exact mode mines all k(k-1)/2 = 10 within-batch pairs + 5 corpus
+    // probes; capped mode is 4 star pairs + 1 corpus probe
+    assert(exact.size == 15 && capped.size == 5)
+  }
+
   test("connectedComponents: transitive chains collapse into one group") {
     import spark.implicits._
     // chain 1-2, 2-3 (1 and 3 not directly paired) + isolated pair 7-9

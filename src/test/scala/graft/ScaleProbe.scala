@@ -95,6 +95,18 @@ object ScaleProbe {
       "index_prep" -> (dir => SparkEntry.queries("q_e_index_prep")(spark, dir)),
       "skew_audit" -> (dir => SparkEntry.queries("q_a_skew_audit")(spark, dir)),
       "incremental_dedup" -> (dir => SparkEntry.queries("q_d_incremental_dedup")(spark, dir)),
+      // the hot-bucket-capped gate (maxDocsPerBand=64): the SCALE posture
+      // for dup-heavy batches. Plain incremental_dedup OOMs the 100x
+      // replica corpus (100 near-identical docs per band bucket ->
+      // k(k-1)/2 within-batch candidates); the star-capped variant is the
+      // shape that must stay bounded there. Same 400-id split as the query.
+      "incremental_dedup_capped64" -> { dir =>
+        val d = Tables(spark, dir, "documents")
+        graft.dedup.NearDup.incrementalDedup(
+          d.where(col("doc_id") < 400), d.where(col("doc_id") >= 400),
+          "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5,
+          maxDocsPerBand = Some(64))
+      },
       "chunk_dedup" -> (dir => SparkEntry.queries("q_t_chunk_dedup")(spark, dir)),
       "unigram_logprob" -> (dir => SparkEntry.queries("q_t_unigram_logprob")(spark, dir)),
       "pq_topk" -> (dir => SparkEntry.queries("q_e_pq_topk")(spark, dir)),
@@ -246,8 +258,20 @@ object ScaleProbe {
       CacheScope.release(spark)
       n
     }
+    // One op failing (OOM at an adversarial factor is a FINDING, not a
+    // harness bug) must not abort the other ~90 ops' sweep: report FAIL,
+    // record NaN, release whatever the op retained, keep going.
+    def timeSafe(name: String)(f: => Long): Double =
+      try time(name)(f) catch {
+        case e: Throwable =>
+          println(f"$name%-34s FAIL: ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").replace('\n', ' ').take(160))
+          CacheScope.release(spark)
+          Double.NaN
+      }
     println("== warmup ==")
-    opsRun.foreach { case (_, f) => run(f, base) }
+    opsRun.foreach { case (_, f) =>
+      try run(f, base) catch { case _: Throwable => CacheScope.release(spark) } }
     // Layout ops pay their one-time bucketed write outside the measured
     // window at BOTH scales (warmup covers base; this covers the 10x dir)
     // — their cost model is write-once/query-many, and the write itself
@@ -257,13 +281,14 @@ object ScaleProbe {
       sources.BucketedLayout.ensureUserTiers(spark, big)
     }
     println("== 1x (sf0.1) ==")
-    val t1 = opsRun.map { case (n, f) => n -> time(n)(run(f, base)) }.toMap
+    val t1 = opsRun.map { case (n, f) => n -> timeSafe(n)(run(f, base)) }.toMap
     println(s"== ${factor}x (synthetic) ==")
-    val t10 = opsRun.map { case (n, f) => n -> time(n)(run(f, big)) }.toMap
+    val t10 = opsRun.map { case (n, f) => n -> timeSafe(n)(run(f, big)) }.toMap
     println(s"== scaling factor (${factor}x time / 1x time; " +
       s"$factor.0 = linear) ==")
     opsRun.foreach { case (n, _) =>
-      println(f"$n%-34s ${t10(n) / t1(n)}%5.1f x")
+      if (t1(n).isNaN || t10(n).isNaN) println(f"$n%-34s  FAIL")
+      else println(f"$n%-34s ${t10(n) / t1(n)}%5.1f x")
     }
 
     // Opt-in (args contain "rollup_upsert_probe"): per-batch cost of the
