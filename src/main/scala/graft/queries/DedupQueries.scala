@@ -252,7 +252,11 @@ object DedupQueries extends QueryPack {
         "index (broadcast delta, corpus never shuffled or self-joined), " +
         "within-batch pairs from a delta-only self-join, exact-Jaccard " +
         "verify tokenizes CANDIDATE docs only (semi-join prune); cost per " +
-        "ingest is O(delta + candidates), not O(corpus)"),
+        "ingest is O(delta + candidates), not O(corpus). On dup-heavy " +
+        "batches the within-batch self-join needs the maxDocsPerBand " +
+        "hot-bucket cap (star-pairs through the bucket representative — " +
+        "the uncapped quadratic OOMs at ~100-member buckets, SCALE.md); " +
+        "this query runs the exact uncapped contract the oracle replays"),
 
     Query(
       "q_d_cross_source_pairs",

@@ -57,9 +57,24 @@ object ScaleProbe {
         .drop("rep")
         .repartition(32)
         .write.mode("overwrite").parquet(big + "/embeddings.parquet")
-      // others: symlink-substitute by copying references
-      Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem").foreach { t =>
+      // orders/lineitem are FACTS for abc_pareto / fk_audit — replicate
+      // them key-consistently (same o_orderkey*f+rep formula on both
+      // sides keeps the lineitem->orders FK bijective per replica, and
+      // o_custkey untouched keeps orders->customer valid) so those two
+      // ops measure real scaling. Before this they read 1x data at every
+      // factor: their old "1.4x/1.7x" table rows were noise, not scaling.
+      Tables(spark, base, "orders")
+        .crossJoin(spark.range(factor).toDF("rep"))
+        .withColumn("o_orderkey", col("o_orderkey") * factor + col("rep"))
+        .drop("rep").repartition(32)
+        .write.mode("overwrite").parquet(s"$big/orders.parquet")
+      Tables(spark, base, "lineitem")
+        .crossJoin(spark.range(factor).toDF("rep"))
+        .withColumn("l_orderkey", col("l_orderkey") * factor + col("rep"))
+        .drop("rep").repartition(32)
+        .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+      // true dimensions: copy as-is (they stay small at any corpus scale)
+      Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
         Tables(spark, base, t).write.mode("overwrite")
           .parquet(s"$big/$t.parquet")
       }
