@@ -31,7 +31,10 @@ object ScaleProbe {
       else s"/tmp/graft_probe_${factor}x_synth"
 
     // ---- build the replicated tables once ----
-    if (!new java.io.File(big + "/events.parquet").exists()) {
+    // guard on the LAST table the build writes (an interrupted build
+    // leaves earlier tables on disk — keying the guard off the first one
+    // turned a killed build into a permanently half-empty corpus)
+    if (!new java.io.File(big + "/part.parquet/_SUCCESS").exists()) {
       val ev = Tables(spark, base, "events")
       ev.crossJoin(spark.range(factor).toDF("rep"))
         .withColumn("event_id", col("event_id") * factor + col("rep"))
