@@ -145,15 +145,64 @@ object NearDup {
       .drop("__sig")
   }
 
-  /** MinHash signatures + banded candidate pairs, then exact verify. */
+  /** Within-index banded candidate pairs + the probe-row set, shared by
+    * [[minhashLshPairs]] and [[incrementalDedup]]'s within-batch side.
+    *
+    * Uncapped (`cap` = None): all id<id pairs per (band, band_val) bucket,
+    * and every signature row probes other indexes. Capped: buckets over
+    * `cap` members emit only (rep, member) star pairs through the min-id
+    * representative — O(k) instead of k(k−1)/2 — and only the
+    * representative probes other indexes. See [[incrementalDedup]]'s
+    * maxDocsPerBand doc for the OOM measurement and the completeness
+    * trade (a false-positive hot bucket whose members dup each other but
+    * not the representative loses those pairs — and, downstream, can
+    * split a CC group).
+    *
+    * Returns (pairs as (__lo, __hi) with __lo < __hi, probe rows as
+    * (idCol, band, band_val)).
+    */
+  private def bandedSelfCandidates(sig: DataFrame, idCol: String,
+      cap: Option[Int]): (DataFrame, DataFrame) = cap match {
+    case None =>
+      val p = sig.alias("a").join(sig.alias("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_val") === col("b.band_val") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("__lo"), col(s"b.$idCol").as("__hi"))
+      (p, sig)
+    case Some(c) =>
+      val stats = sig.groupBy("band", "band_val")
+        .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__rep"))
+      val tagged = sig.join(stats, Seq("band", "band_val"))
+      val cold = tagged.where(col("__n") <= c)
+      val hot = tagged.where(col("__n") > c)
+      val full = cold.alias("a").join(cold.alias("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_val") === col("b.band_val") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("__lo"), col(s"b.$idCol").as("__hi"))
+      // rep = min id in the bucket, so __lo = rep < member always holds
+      val star = hot.where(col(idCol) =!= col("__rep"))
+        .select(col("__rep").as("__lo"), col(idCol).as("__hi"))
+      val probe = cold.select(col(idCol), col("band"), col("band_val"))
+        .unionByName(hot.where(col(idCol) === col("__rep"))
+          .select(col(idCol), col("band"), col("band_val")))
+      (full.unionByName(star), probe)
+  }
+
+  /** MinHash signatures + banded candidate pairs, then exact verify.
+    * `maxDocsPerBand` is the hot-bucket star cap — same knob, same OOM
+    * rationale, same completeness trade as [[incrementalDedup]]'s
+    * (this miner feeds CC group collapse, where star edges preserve
+    * bucket connectivity as long as members verify against the
+    * representative). Default None = every pair, the oracle contract.
+    */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+      n: Int, k: Int, bands: Int, threshold: Double,
+      maxDocsPerBand: Option[Int] = None): DataFrame = {
     val banded = bandedSignatures(docs, idCol, textCol, n, k, bands)
-    val cand = banded.alias("a").join(banded.alias("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_val") === col("b.band_val") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+    val cand = bandedSelfCandidates(banded, idCol, maxDocsPerBand)._1
+      .select(col("__lo").as("doc_a"), col("__hi").as("doc_b"))
       .distinct()
     val d = docShingles(docs, idCol, textCol, n)
     val inter = cand
@@ -205,39 +254,13 @@ object NearDup {
       threshold: Double, maxDocsPerBand: Option[Int] = None): DataFrame = {
     val sigC = bandedSignatures(corpus, idCol, textCol, n, k, bands)
     val sigD = bandedSignatures(delta, idCol, textCol, n, k, bands)
-    // (probeD, candBatch): which delta rows probe the corpus index, and the
-    // within-batch candidate pairs. Uncapped: every row probes, all a<b
-    // pairs per bucket. Capped: hot buckets star through the min-id rep.
-    val (probeD, candBatch) = maxDocsPerBand match {
-      case None =>
-        val cb = sigD.alias("a").join(sigD.alias("b"),
-            col("a.band") === col("b.band") &&
-              col("a.band_val") === col("b.band_val") &&
-              col(s"a.$idCol") < col(s"b.$idCol"))
-          .select(col(s"b.$idCol").as("new_doc"),
-            col(s"a.$idCol").as("dup_of"))
-        (sigD, cb)
-      case Some(cap) =>
-        val stats = sigD.groupBy("band", "band_val")
-          .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__rep"))
-        val tagged = sigD.join(stats, Seq("band", "band_val"))
-        val cold = tagged.where(col("__n") <= cap)
-        val hot = tagged.where(col("__n") > cap)
-        val full = cold.alias("a").join(cold.alias("b"),
-            col("a.band") === col("b.band") &&
-              col("a.band_val") === col("b.band_val") &&
-              col(s"a.$idCol") < col(s"b.$idCol"))
-          .select(col(s"b.$idCol").as("new_doc"),
-            col(s"a.$idCol").as("dup_of"))
-        // rep = min id in the bucket, so dup_of < new_doc always holds —
-        // same earlier-doc-survives convention as the a<b full pairing.
-        val star = hot.where(col(idCol) =!= col("__rep"))
-          .select(col(idCol).as("new_doc"), col("__rep").as("dup_of"))
-        val probe = cold.select(col(idCol), col("band"), col("band_val"))
-          .unionByName(hot.where(col(idCol) === col("__rep"))
-            .select(col(idCol), col("band"), col("band_val")))
-        (probe, full.unionByName(star))
-    }
+    // within-batch candidates + which delta rows probe the corpus index
+    // (uncapped: all a<b pairs, every row probes; capped: hot buckets
+    // star through the min-id rep, which alone carries the corpus probe).
+    // The smaller id survives, so __lo is the dup_of side.
+    val (batchPairs, probeD) = bandedSelfCandidates(sigD, idCol, maxDocsPerBand)
+    val candBatch = batchPairs
+      .select(col("__hi").as("new_doc"), col("__lo").as("dup_of"))
     val candCorpus = sigC.alias("c").join(broadcast(probeD).alias("nw"),
         col("c.band") === col("nw.band") &&
           col("c.band_val") === col("nw.band_val"))

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Distributed NTILE over grouped, ordered data — without one-task-per-key.
+  *
+  * `ntile(b) OVER (PARTITION BY key ORDER BY …)` sorts every key's rows in
+  * ONE task; with a low-cardinality key (5 event types at the 100× probe:
+  * 22.3× ratio, 19.9 s) the whole input serializes onto #keys cores.
+  * NTILE needs only (per-key rank, per-key count) — both computable on
+  * range-partitioned tiles, the [[PrefixSum]] shape:
+  *
+  *  1. `repartitionByRange` on (keyCols ++ orderCols) — tiles tile the
+  *     global (key, order) sequence; `sortWithinPartitions` orders each.
+  *  2. per-(tile, key) row counts — O(nParts + #keys) rows (a key spans
+  *     contiguous tiles under the range partitioner), a bounded documented
+  *     driver read like PrefixSum's tile totals — fold into per-(tile,
+  *     key) rank offsets and per-key totals, broadcast back.
+  *  3. one streaming `mapPartitions` pass: rank = offset + running
+  *     within-tile count, bucket from the standard SQL NTILE arithmetic
+  *     (n = q·b + rem: first `rem` buckets take q+1 rows) — integer-exact,
+  *     so the assignment is bit-identical to the window's on any engine.
+  *
+  * Callers must make (keyCols ++ orderCols) a strict total order (tie-break
+  * on a unique id) — same contract as the window form needs for an
+  * engine-stable assignment anyway.
+  */
+object OrderedNtile {
+
+  def withNtile(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+      buckets: Int, binCol: String, nPartsOpt: Option[Int] = None)
+      : DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val spark = df.sparkSession
+    val nParts = nPartsOpt.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val inSchema = df.schema
+    val keyIdx = keyCols.map(inSchema.fieldIndex)
+    val sortCols = keyCols.map(col) ++ orderCols
+
+    val ranged = df.repartitionByRange(nParts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val pidIdx = inSchema.length
+    // counts read + binning pass share ONE execution of the range shuffle
+    // (CacheScope discipline: the consuming action's driver releases)
+    val cached = graft.CacheScope.retain(ranged)
+
+    // O(nParts + #keys) driver read: per-(tile, key) row counts
+    val counts = cached
+      .groupBy((col("__pid") +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("__c"))
+      .collect()
+      .map(r => (r.getInt(0), keyIdx.indices.map(i => r.get(1 + i)).toList,
+        r.getLong(1 + keyIdx.length)))
+    val totals: Map[List[Any], Long] =
+      counts.groupBy(_._2).map { case (k, rs) => k -> rs.map(_._3).sum }
+    // rank offset of (tile, key) = rows of that key in earlier tiles
+    val offsets: Map[(Int, List[Any]), Long] = counts
+      .groupBy(_._2).flatMap { case (k, rs) =>
+        var run = 0L
+        rs.sortBy(_._1).map { case (pid, _, c) =>
+          val off = run; run += c; (pid, k) -> off
+        }
+      }
+    val bc = spark.sparkContext.broadcast((offsets, totals))
+
+    val outSchema = inSchema
+      .add("__pid", IntegerType, nullable = false)
+      .add(binCol, IntegerType, nullable = false)
+    cached.mapPartitions { rows =>
+      val (offs, tots) = bc.value
+      var curKey: List[Any] = null
+      var local = 0L; var off = 0L; var n = 0L
+      rows.map { r =>
+        val k = keyIdx.map(r.get).toList
+        if (k != curKey) {
+          curKey = k; local = 0L
+          off = offs((r.getInt(pidIdx), k)); n = tots(k)
+        }
+        local += 1
+        val rank = off + local
+        // SQL NTILE: q = n/b, rem = n%b; buckets 1..rem take q+1 rows
+        val q = n / buckets; val rem = n - q * buckets
+        val bin =
+          if (rank <= (q + 1) * rem) (rank - 1) / (q + 1) + 1
+          else rem + (rank - (q + 1) * rem - 1) / q + 1
+        Row.fromSeq(r.toSeq :+ bin.toInt)
+      }
+    }(Encoders.row(outSchema))
+      .drop("__pid")
+  }
+}

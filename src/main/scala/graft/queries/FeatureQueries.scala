@@ -151,16 +151,24 @@ object FeatureQueries extends QueryPack {
     Query(
       "q_w16_rolling_mse",
       (s, dir) => {
-        val w = keyedOrder(K, "ts", "event_id")
-        ev(s, dir)
-          .withColumn("pred", lag(col("value"), 1).over(w))
+        // ordered-scan ops, not a partitionBy(event_type) window: 5 keys
+        // = 5 tasks sorting 10M rows each at the 100x probe (19.9x
+        // ratio, 30.0 s); OrderedLag + OrderedRolling range-partition
+        // (key, ts) into tiles so sort AND frame re-accumulation use all
+        // cores, bit-equal to the window per OrderedRollingSpec
+        import graft.ops.{OrderedLag, OrderedRolling}
+        val lagged = OrderedLag.withLags(ev(s, dir), Seq(K),
+            Seq(col("ts"), col("event_id")), "value", Seq("pred" -> 1))
           .where(col("pred").isNotNull)
           .withColumn("se",
             (col("value") - col("pred")) * (col("value") - col("pred")))
+        OrderedRolling.withRollups(lagged, Seq(K),
+            Seq(col("ts"), col("event_id")),
+            Seq(OrderedRolling.Roll("__mse", "avg", 100, "se")))
           .select(col(K), col("event_id"),
             // sqrt before round: raw MSE magnitudes make 4-digit rounding
             // sensitive to the engines' differing sliding-sum orders
-            (round(sqrt(avg(col("se")).over(trailing(w, 100))), 4) + lit(0.0))
+            (round(sqrt(col("__mse")), 4) + lit(0.0))
               .as("rolling_rmse_100"))
       },
       Some("""WITH p AS (
@@ -181,13 +189,22 @@ object FeatureQueries extends QueryPack {
     Query(
       "q_w17_residual_volatility",
       (s, dir) => {
-        val w = keyedOrder(K, "ts", "event_id")
-        ev(s, dir)
-          .withColumn("lr", logReturns(col("value"), w))
+        // same ordered-scan rationale as q_w16 above (was 15.6x at the
+        // 100x probe as a 5-key window); lr replicates logReturns with
+        // OrderedLag's prev, lr2 is materialized so the rolling avg
+        // re-accumulates the identical per-row input the window saw
+        import graft.ops.{OrderedLag, OrderedRolling}
+        val lagged = OrderedLag.withLags(ev(s, dir), Seq(K),
+            Seq(col("ts"), col("event_id")), "value", Seq("prev" -> 1))
+          .withColumn("lr", when(col("value") > 0.0 && col("prev") > 0.0,
+            log(col("value") / col("prev"))))
           .where(col("lr").isNotNull)
+          .withColumn("lr2", pow(col("lr"), 2))
+        OrderedRolling.withRollups(lagged, Seq(K),
+            Seq(col("ts"), col("event_id")),
+            Seq(OrderedRolling.Roll("__v", "avg", 24, "lr2")))
           .select(col(K), col("event_id"),
-            (round(sqrt(avg(pow(col("lr"), 2)).over(trailing(w, 24))), 6)
-              + lit(0.0)).as("resid_vol_24"))
+            (round(sqrt(col("__v")), 6) + lit(0.0)).as("resid_vol_24"))
       },
       Some("""WITH r AS (
              |  SELECT event_type, event_id, ts,

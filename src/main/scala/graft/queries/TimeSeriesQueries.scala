@@ -536,12 +536,14 @@ object TimeSeriesQueries extends QueryPack {
         // deciles over (value, event_id) — the id tiebreak makes the
         // assignment total and engine-stable, and ntile is pure integer
         // arithmetic on ranks, so bin populations and edges are exact on
-        // both engines. One window shuffle on the key (same partition a
-        // per-key fit already pays), then an O(#keys·10) rollup of bin
-        // edges — the fitted bin table a serving layer broadcasts.
-        val w = Window.partitionBy(K).orderBy(col("value"), col("event_id"))
-        ev(s, dir)
-          .withColumn("bin", ntile(10).over(w))
+        // both engines. Executed via ops/OrderedNtile, NOT the
+        // partitionBy(event_type) window: 5 keys = 5 tasks sorting the
+        // whole input (22.3x / 19.9 s at the 100x probe); the tiled rank
+        // form range-partitions (key, value, id) so the sort uses all
+        // cores, then an O(#keys·10) rollup of bin edges — the fitted
+        // bin table a serving layer broadcasts.
+        graft.ops.OrderedNtile.withNtile(ev(s, dir), Seq(K),
+            Seq(col("value"), col("event_id")), 10, "bin")
           .groupBy(col(K), col("bin"))
           .agg(count(lit(1)).as("n"),
             (round(min("value"), 4) + lit(0.0)).as("lo"),

@@ -129,6 +129,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 11L))
   }
 
+  test("minhashLshPairs maxDocsPerBand: no-op under the cap; star pairs " +
+    "keep CC groups intact on a hot bucket") {
+    val tmpl = "shared template body that the hot crawl batch repeats many times over today"
+    val docs6 = (Seq((9L, "fresh new content that appears in this batch for the very first time ever")) ++
+      (0L to 5L).map(_ -> tmpl)).toDF("doc_id", "text")
+    def mine(cap: Option[Int]) = NearDup.minhashLshPairs(docs6, "doc_id",
+      "text", n = 3, k = 16, bands = 4, threshold = 0.5, maxDocsPerBand = cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exactPairs = mine(None)
+    assert(mine(Some(100)) == exactPairs) // generous cap == exact path
+    val starPairs = mine(Some(2))
+    // 6 identical docs = one hot bucket per band: C(6,2)=15 exact pairs
+    // collapse to 5 star pairs through the representative (0)
+    assert(exactPairs.size == 15)
+    assert(starPairs == (1L to 5L).map(x => (0L, x)).toSet)
+    // and the downstream group collapse is IDENTICAL under both modes
+    def groups(p: Set[(Long, Long)]) = NearDup.connectedComponents(
+      p.toSeq.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(groups(exactPairs) == groups(starPairs))
+  }
+
   test("incrementalDedup maxDocsPerBand: no-op under the cap, star-pairs " +
     "hot buckets through the representative, gate guarantee preserved") {
     val corpusSide = Seq(

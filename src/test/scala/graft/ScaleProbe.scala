@@ -98,6 +98,13 @@ object ScaleProbe {
       "indicators_series" -> (dir => SparkEntry.queries("q_w7w9_indicator_series")(spark, dir)),
       "langid" -> (dir => SparkEntry.queries("q_t_langid_confusion")(spark, dir)),
       "minhash_lsh" -> (dir => SparkEntry.queries("q_d_minhash_lsh_pairs")(spark, dir)),
+      // hot-bucket-capped LSH miner: the posture that keeps the batch
+      // miner bounded on the 100-replica corpus where the uncapped band
+      // self-join is quadratic (see incremental_dedup_capped64)
+      "minhash_lsh_capped64" -> (dir => graft.dedup.NearDup.minhashLshPairs(
+        Tables(spark, dir, "documents"), "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5,
+        maxDocsPerBand = Some(64))),
       "w13_windows" -> (dir => SparkEntry.queries("q_w13_windows")(spark, dir)),
       "u2_scale_roundtrip" -> (dir => SparkEntry.queries("q_u2_scale_roundtrip")(spark, dir)),
       "stratified_sample" -> (dir => SparkEntry.queries("q_s_stratified_sample")(spark, dir)),
