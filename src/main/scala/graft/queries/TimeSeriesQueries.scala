@@ -28,9 +28,17 @@ object TimeSeriesQueries extends QueryPack {
     // ---- W1: log returns ----
     Query(
       "q_w1_log_returns",
-      (s, dir) =>
-        ev(s, dir).select(col("event_type"), col("event_id"),
-          (round(logReturns(col("value"), w), 4) + lit(0.0)).as("log_ret")),
+      (s, dir) => {
+        // ordered-scan form (the q_w4 rationale: a partitionBy(event_type)
+        // window sorts on #event_types tasks); prev + the same guarded-log
+        // CASE replicate logReturns exactly
+        import graft.ops.OrderedLag
+        OrderedLag.withLags(ev(s, dir), Seq(K),
+            Seq(col("ts"), col("event_id")), "value", Seq("prev" -> 1))
+          .select(col("event_type"), col("event_id"),
+            (round(when(col("value") > 0.0 && col("prev") > 0.0,
+              log(col("value") / col("prev"))), 4) + lit(0.0)).as("log_ret"))
+      },
       Some("""SELECT event_type, event_id,
              |  ROUND(CASE WHEN value > 0 AND LAG(value) OVER w > 0
              |             THEN LN(value / LAG(value) OVER w) END, 4) + 0.0 AS log_ret
@@ -42,9 +50,16 @@ object TimeSeriesQueries extends QueryPack {
     // ---- W2: price / trailing-mean ratio ----
     Query(
       "q_w2_ma_ratio",
-      (s, dir) =>
-        ev(s, dir).select(col("event_type"), col("event_id"),
-          round(maRatio(col("value"), w, 24), 4).as("ma_ratio")),
+      (s, dir) => {
+        // same ordered-scan rationale as q_w4; safeDiv over the rolling
+        // avg is maRatio verbatim, the frame bit-equal per OrderedRollingSpec
+        import graft.ops.OrderedRolling
+        OrderedRolling.withRollups(ev(s, dir), Seq(K),
+            Seq(col("ts"), col("event_id")),
+            Seq(OrderedRolling.Roll("__ma24", "avg", 24, "value")))
+          .select(col("event_type"), col("event_id"),
+            round(safeDiv(col("value"), col("__ma24")), 4).as("ma_ratio"))
+      },
       Some("""SELECT event_type, event_id,
              |  ROUND(CASE WHEN AVG(value) OVER win <> 0
              |             THEN value / AVG(value) OVER win END, 4) AS ma_ratio
@@ -95,17 +110,30 @@ object TimeSeriesQueries extends QueryPack {
              |  ROUND(SUM(sv) OVER (PARTITION BY event_type ORDER BY ts, event_id
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0.0 AS obv
              |FROM d""".stripMargin),
-      doc = "SURVEY W10: cumulative signed sum — running-total frame, no self-join"),
+      doc = "SURVEY W10: cumulative signed sum — running-total frame, no " +
+        "self-join. Stays a per-key window ON PURPOSE: an unbounded " +
+        "running DOUBLE sum is a per-key sequential recurrence (tiling " +
+        "would re-associate float addition and drift from the oracle) — " +
+        "the indicators_series contract: parallelism unit is the key, " +
+        "and real feeds have thousands of symbols"),
 
     // ---- W11 + W12: rolling volatility & momentum ----
     Query(
       "q_w11_volatility",
       (s, dir) => {
-        val lr = logReturns(col("value"), w)
-        ev(s, dir)
-          .withColumn("lr", lr)
+        // ordered-scan form; NO filter on null lr — null rows occupy
+        // frame slots without contributing, exactly the window's (and
+        // OrderedRolling's pinned) null semantics
+        import graft.ops.{OrderedLag, OrderedRolling}
+        val lagged = OrderedLag.withLags(ev(s, dir), Seq(K),
+            Seq(col("ts"), col("event_id")), "value", Seq("prev" -> 1))
+          .withColumn("lr", when(col("value") > 0.0 && col("prev") > 0.0,
+            log(col("value") / col("prev"))))
+        OrderedRolling.withRollups(lagged, Seq(K),
+            Seq(col("ts"), col("event_id")),
+            Seq(OrderedRolling.Roll("__v12", "stddev_samp", 12, "lr")))
           .select(col("event_type"), col("event_id"),
-            round(rollingStd(col("lr"), w, 12), 4).as("volatility_12"))
+            round(col("__v12"), 4).as("volatility_12"))
       },
       Some("""WITH r AS (
              |  SELECT event_type, event_id, ts,

@@ -95,6 +95,17 @@ object ScaleProbe {
       "resample_ohlcv" -> (dir => SparkEntry.queries("q_a1_resample_ohlcv")(spark, dir)),
       "winsorize" -> (dir => SparkEntry.queries("q_p9_winsorize")(spark, dir)),
       "rolling_zscore" -> (dir => SparkEntry.queries("q_w4_rolling_zscore")(spark, dir)),
+      // the remaining W-family members after the r9d ordered-scan sweep:
+      // w1/w2/w11 rewired like w4; w10 (OBV) is the documented per-key
+      // running-sum recurrence — measured so the contract has a number
+      "w1_log_returns" -> (dir => SparkEntry.queries("q_w1_log_returns")(spark, dir)),
+      "w2_ma_ratio" -> (dir => SparkEntry.queries("q_w2_ma_ratio")(spark, dir)),
+      "w11_volatility" -> (dir => SparkEntry.queries("q_w11_volatility")(spark, dir)),
+      "w10_obv" -> (dir => SparkEntry.queries("q_w10_obv")(spark, dir)),
+      // w18: row_number + count windows on the 5-key partition — sort-
+      // bound (O(1)/row, no frame re-accumulation), probed to pin that
+      // class's cost rather than rewired
+      "temporal_split" -> (dir => SparkEntry.queries("q_w18_temporal_split")(spark, dir)),
       "indicators_series" -> (dir => SparkEntry.queries("q_w7w9_indicator_series")(spark, dir)),
       "langid" -> (dir => SparkEntry.queries("q_t_langid_confusion")(spark, dir)),
       "minhash_lsh" -> (dir => SparkEntry.queries("q_d_minhash_lsh_pairs")(spark, dir)),
