@@ -294,4 +294,41 @@ class PlanShapeSpec extends AnyFunSuite {
         s"above a *Limit*/TakeOrderedAndProject/1-row-aggregate):\n  " +
         offenders.mkString("\n  "))
   }
+
+  test("GLOBAL: the ordered-scan family plans NO window nodes — the " +
+      "5-key partitionBy(event_type) shape cannot creep back") {
+    // These queries were rewired onto OrderedLag/OrderedRolling/
+    // OrderedNtile precisely because a frame-aggregate window on the
+    // low-cardinality series key serializes the whole input onto #keys
+    // tasks (w16: 30.0 s -> 11.0 s at the 100x probe; quantile_bins:
+    // 19.9 s -> 4.1 s — SCALE.md r9d/r9e). A WindowExec reappearing in
+    // any of their plans is the regression this test exists to catch.
+    val orderedScanFamily = Seq(
+      "q_w1_log_returns", "q_w2_ma_ratio", "q_w4_rolling_zscore",
+      "q_w11_volatility", "q_w12_momentum", "q_w16_rolling_mse",
+      "q_w17_residual_volatility", "q_w_rolling_corr",
+      "q_a7_error_metrics", "q_a9_grouped_metrics", "q_p_quantile_bins",
+      "q_w13_windows")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def kids(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case o => o.children
+    }) ++ p.subqueries
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(nodes)
+    val offenders = orderedScanFamily.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      val hit = nodes(p).exists {
+        case _: WindowExec | _: WindowGroupLimitExec => true
+        case _ => false
+      }
+      CacheScope.release(spark)
+      if (hit) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"window node reappeared in the ordered-scan family: $offenders")
+  }
 }
