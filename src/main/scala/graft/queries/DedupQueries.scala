@@ -474,11 +474,12 @@ object DedupQueries extends QueryPack {
         // spaces, collapse runs, trim, THEN hash. Catches the
         // case/punctuation/whitespace variants raw exact dedup misses
         // (mirrored crawls, re-encoded feeds) at exact-dedup cost: one
-        // map-only codegen pass + one shuffle on the 128-bit hash. The
-        // explicit [a-z0-9 ] class keeps both engines' regex semantics
-        // identical (no locale-dependent \w).
-        val canon = trim(regexp_replace(regexp_replace(
-          lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        // map-only codegen pass + one shuffle on the 128-bit hash.
+        // NormalizeTextExpr is the single-byte-scan twin of the oracle's
+        // lower/regex/regex/trim pipeline (bit-equality pinned in
+        // NormalizeTextSpec; the explicit [a-z0-9 ] class keeps both
+        // engines' semantics identical — no locale-dependent \w).
+        val canon = graft.functions.NormalizeText.normalize_text(col("text"))
         val w = Window.partitionBy("norm_hash")
         docs(s, dir)
           .select(col("doc_id"), md5(canon).as("norm_hash"))
