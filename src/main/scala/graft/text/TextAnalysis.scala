@@ -16,29 +16,35 @@ import graft.functions.RollingHash.rolling_hash
   */
 object TextAnalysis {
 
-  /** Whitespace token count (0 for blank text). */
+  /** Whitespace token count (0 for blank text) — the value of
+    * `when(length(trim(text))===0, 0).otherwise(size(split(trim(text),
+    * "\\s+")))`, computed as one byte scan with no token-array
+    * allocation ([[graft.functions.TextScan]]; split's limit-(-1)
+    * leading/trailing-empty quirks replicated and property-pinned).
+    */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+    graft.functions.TextScan.ws_token_count(text)
 
   /** BPE-ish token proxy: alpha runs, single digits, single punctuation —
-    * the standard cheap stand-in for subword tokenizer counts.
+    * the standard cheap stand-in for subword tokenizer counts. The value
+    * of `regexp_count(text, "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")` in one
+    * regex-free code-point scan ([[graft.functions.TextScan]]).
     */
   def bpeishTokenCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+    graft.functions.TextScan.bpeish_token_count(text)
 
   /** Number of lowercase whitespace tokens of column `textCol` that appear
-    * in `words`. A whitespace-split token equals `w` iff `w` occurs in the
-    * string bounded by whitespace/string-edge on both sides, so this is one
-    * anchored-alternation regex scan per row — no token-array allocation,
-    * no interpreted higher-order lambda (the round-1 langId hot spot).
+    * in `words` — the value of `regexp_count(lower(text),
+    * "(?:^|\\s)(?:w1|…)(?=\\s|\\z)")`, computed as one tokenizer byte
+    * scan instead of an NFA alternation pass (the 100x-probe langid /
+    * quality hot spot — SCALE.md r9g). The DuckDB oracles keep the regex
+    * form, so the hash sweeps re-prove the equivalence continuously.
     */
   def stopwordCount(textCol: String, words: Seq[String]): Column =
     stopwordCount(col(textCol), words)
 
   def stopwordCount(text: Column, words: Seq[String]): Column =
-    regexp_count(lower(text),
-      lit("(?:^|\\s)(?:" + words.mkString("|") + ")(?=\\s|\\z)"))
+    graft.functions.TextScan.stopword_count(text, words)
 
   /** Small per-language stopword sets for the n-gram/stopword lang-ID
     * heuristic. CJK languages are detected by script range instead.
@@ -49,9 +55,14 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
     "fr" -> Seq("le", "la", "de", "et", "les", "un", "est"))
 
-  /** CJK codepoint count (zh/ja signal). */
+  /** CJK codepoint count (zh/ja signal) — the value of
+    * `length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", ""))` without
+    * the match-rich replace (on non-CJK text that regex matches EVERY
+    * char and rebuilds the string to measure it); one UTF-8 scan,
+    * zero allocation ([[graft.functions.TextScan]]).
+    */
   def cjkCount(text: Column): Column =
-    length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", ""))
+    graft.functions.TextScan.cjk_count(text)
 
   /** Language-ID heuristic: stopword score per language (+ CJK chars for
     * zh); argmax with a fixed priority order on ties (en > es > de > fr >
@@ -67,8 +78,13 @@ object TextAnalysis {
   def langId(textCol: String): Column = langId(col(textCol))
 
   def langId(text: Column): Column = {
-    val scores = StopwordSets.map { case (lang, words) =>
-      lang -> stopwordCount(text, words)
+    // ONE tokenizer pass scores all four stopword sets (the array
+    // subtree is identical across the four getItem uses, so codegen
+    // subexpression elimination evaluates it once) + one CJK scan —
+    // vs the previous four regex alternation passes + one regexp_replace.
+    val sw = graft.functions.TextScan.stopword_counts(text, StopwordSets.map(_._2))
+    val scores = StopwordSets.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> sw.getItem(i)
     } :+ ("zh" -> cjkCount(text))
     val entries = scores.zipWithIndex.map { case ((lang, score), idx) =>
       struct(score.cast("long").as("score"),
