@@ -28,17 +28,48 @@ object NearDup {
     * by single spaces. Shingles as strings (not hashes) so exact-Jaccard
     * equality is engine-independent.
     */
-  def docShingles(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, maxDocsPerShingle: Option[Int] = None): DataFrame = {
+  /** The map side alone: per-doc shingles exploded, BEFORE the distinct —
+    * duplicates within a doc still present. Probe/decomposition surface
+    * (SCALE.md "shingle_map" vs "shingle_index"); production callers want
+    * [[docShingles]].
+    */
+  def docShinglesRaw(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
     val shingles = when(size(toks) < n, array().cast("array<string>"))
       .otherwise(expr(
         s"transform(sequence(1, size(__toks) - ${n - 1}), i -> " +
           (0 until n).map(o => s"element_at(__toks, i + $o)")
             .mkString("concat_ws(' ', ", ", ", ")") + ")"))
-    val d0 = docs
+    docs
       .withColumn("__toks", toks)
       .select(col(idCol), explode(shingles).as("shingle"))
+  }
+
+  def docShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocsPerShingle: Option[Int] = None): DataFrame = {
+    // ONE exchange, keyed the way every downstream hop wants the index:
+    // repartition by `shingle` BEFORE the distinct. HashPartitioning on a
+    // subset of the group keys satisfies the distinct's clustering, so no
+    // second exchange is planned — and the df aggregate, the freq
+    // join-back, and the inverted-index SELF-JOIN (all keyed on shingle)
+    // then run exchange-free off the cached index. The previous
+    // (doc_id, shingle) distinct layout satisfied none of them: the
+    // boilerplate/jaccard family re-shuffled the full string index 1-2
+    // more times (measured: the shuffle side is 70% of the index build
+    // at 100x — SCALE.md "shingle_map vs shingle_index"). Skew note: a
+    // mega-hot shingle now concentrates its index rows in one partition
+    // at the distinct too (previously only at the downstream shingle
+    // hops); within-doc duplicate shingles are <0.2% of raw rows, so
+    // shipping raw pairs instead of partial-deduped ones costs nothing.
+    // Measured and REVERTED: additionally sorting the cached index by
+    // (shingle, id) at build time ("pay the SMJ sort once") was net
+    // negative at the 100x probe — every consumer pays the ~9.5 s build
+    // sort through the shared retained index (bloom_decontaminate, which
+    // never sort-merge-joins, went 15.2 → 26.1 s) and the SMJ consumers
+    // re-sorted anyway. SCALE.md "r9h".
+    val d0 = docShinglesRaw(docs, idCol, textCol, n)
+      .repartition(col("shingle"))
       .distinct()
     val capped = maxDocsPerShingle match {
       case None => d0

@@ -291,4 +291,56 @@ class DedupSpec extends AnyFunSuite {
     // short text (< k) fingerprints to the empty set, not null/crash
     assert(fps("tiny").isEmpty)
   }
+
+  test("shingle index: one exchange feeds distinct, df-agg, join-back AND " +
+      "the inverted-index self-join (all shingle-keyed hops exchange-free)") {
+    // docShingles repartitions by `shingle` BEFORE the distinct, so every
+    // downstream shingle-keyed hop reuses that single exchange. Assert it
+    // on the boilerplate shape (df agg + join-back) and the jaccard
+    // self-join: the ONLY exchanges in the pair-mining plan up to the
+    // (doc_a, doc_b) grouping are the index build's own repartition and
+    // the pair-key aggregation — the full string index is never
+    // re-shuffled. Regression guard for the measured 70%-shuffle index
+    // cost (SCALE.md "shingle_map vs shingle_index").
+    // the index's own repartition exchange lives INSIDE the cached plan
+    // (CacheScope.retain), so the consumer plans must show ZERO further
+    // Exchange nodes on any shingle-keyed hop — the InMemoryTableScan
+    // reports HashPartitioning(shingle) and every hop reuses it.
+    // the plan printout echoes the cached relation's body once per
+    // InMemoryTableScan reference, so dedupe exchanges by plan_id: the
+    // index's own REPARTITION_BY_COL(shingle) is the only shingle-keyed
+    // exchange anywhere, however many times the printout repeats it.
+    def exchanges(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.collect() // let AQE finalize the plan before reading it
+      df.queryExecution.executedPlan.toString.linesIterator
+        .map(_.dropWhile(c => !c.isLetter))
+        .filter(_.startsWith("Exchange "))
+        // the AQE printout repeats nodes (initial plan + final plan) with
+        // fresh plan_ids — identify an exchange by its partitioning only
+        .map(_.replaceAll("\\[plan_id=\\d+\\]", "").take(120))
+        .toSeq.distinct
+    }
+    try {
+      val d = NearDup.docShingles(corpus, "doc_id", "text", 3)
+      d.collect()
+      assert(d.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+        "index must be retained (its one exchange lives in the cached plan)")
+      val freq = d.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val joined = d.join(freq, "shingle")
+      val jEx = exchanges(joined)
+      assert(jEx.length == 1 && jEx.head.contains("shingle") &&
+          jEx.head.contains("REPARTITION_BY_COL"),
+        s"df-agg + join-back must reuse the index's own repartition " +
+          s"(zero further exchanges): $jEx")
+      val pairs = d.alias("a").join(d.alias("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val pEx = exchanges(pairs)
+      assert(pEx.length == 2 && pEx.count(_.contains("shingle")) == 1,
+        s"self-join must add ONLY the pair-key exchange — the string index " +
+          s"is never re-shuffled: $pEx")
+    } finally CacheScope.release(spark)
+  }
 }

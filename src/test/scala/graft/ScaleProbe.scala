@@ -108,6 +108,16 @@ object ScaleProbe {
       "temporal_split" -> (dir => SparkEntry.queries("q_w18_temporal_split")(spark, dir)),
       "indicators_series" -> (dir => SparkEntry.queries("q_w7w9_indicator_series")(spark, dir)),
       "langid" -> (dir => SparkEntry.queries("q_t_langid_confusion")(spark, dir)),
+      // the shingle pipeline split in two: map side alone (tokenize +
+      // build 3-gram strings + explode; the hash agg's partial side
+      // makes its shuffle negligible) vs the full inverted-index build
+      // (same map + distinct on the full shingle strings) — the
+      // decomposition that says whether boilerplate/bloom_decontaminate
+      // are string-build-bound or shuffle-bound at 100x
+      "shingle_map" -> (dir => graft.dedup.NearDup
+        .docShinglesRaw(Tables(spark, dir, "documents"), "doc_id", "text", 3)),
+      "shingle_index" -> (dir => graft.dedup.NearDup
+        .docShingles(Tables(spark, dir, "documents"), "doc_id", "text", 3)),
       "minhash_lsh" -> (dir => SparkEntry.queries("q_d_minhash_lsh_pairs")(spark, dir)),
       // hot-bucket-capped LSH miner: the posture that keeps the batch
       // miner bounded on the 100-replica corpus where the uncapped band
