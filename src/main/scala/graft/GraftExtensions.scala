@@ -115,6 +115,15 @@ object GraftExtensions {
       arity(args, "quality_score", 1, 1)
       import org.apache.spark.sql.graftbridge.ColumnBridge._
       eagerExpression(graft.text.TextAnalysis.qualityScore(column(args.head)))
+    }),
+    // normalized-dedup canonicalization from pure SQL — the same
+    // single-byte-scan expression q_d_norm_dedup runs (NormalizeTextExpr;
+    // equals trim(regexp_replace(regexp_replace(lower(x),
+    // '[^a-z0-9 ]', ' '), ' +', ' ')), bit-equality pinned in
+    // NormalizeTextSpec)
+    "normalize_text" -> ((args: Seq[Expression]) => {
+      arity(args, "normalize_text", 1, 1)
+      graft.functions.NormalizeTextExpr(args.head)
     }))
 
   /** Register on a live session (idempotent — replaces same-name entries). */

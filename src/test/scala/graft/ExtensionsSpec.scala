@@ -66,15 +66,23 @@ class ExtensionsSpec extends AnyFunSuite {
     docs.createOrReplaceTempView("t_ext_txt")
     val viaSql = spark.sql(
       """SELECT doc_id, token_count(text) AS tc, lang_id(text) AS lang,
-        |  quality_score(text) AS q FROM t_ext_txt ORDER BY doc_id""".stripMargin)
-      .as[(Long, Int, String, Double)].collect().toSeq
+        |  quality_score(text) AS q, normalize_text(text) AS nt
+        |FROM t_ext_txt ORDER BY doc_id""".stripMargin)
+      .as[(Long, Int, String, Double, String)].collect().toSeq
     import graft.text.TextAnalysis
     val viaColumn = docs.orderBy("doc_id")
       .select($"doc_id", TextAnalysis.tokenCount($"text"),
-        TextAnalysis.langId($"text"), TextAnalysis.qualityScore($"text"))
-      .as[(Long, Int, String, Double)].collect().toSeq
+        TextAnalysis.langId($"text"), TextAnalysis.qualityScore($"text"),
+        graft.functions.NormalizeText.normalize_text($"text"))
+      .as[(Long, Int, String, Double, String)].collect().toSeq
     assert(viaSql == viaColumn)
     assert(viaSql.map(_._3) == Seq("en", "es", "und", "de"))
+    // and the SQL form equals the regex pipeline it replaces
+    val viaRegex = spark.sql(
+      """SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^a-z0-9 ]', ' '), ' +', ' ')) FROM t_ext_txt ORDER BY doc_id"""
+        .stripMargin).as[String].collect().toSeq
+    assert(viaSql.map(_._5) == viaRegex)
   }
 
   test("punctCount == regexp_count('[^A-Za-z0-9\\s]') on adversarial text") {
