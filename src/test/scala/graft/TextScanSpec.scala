@@ -126,6 +126,18 @@ class TextScanSpec extends AnyFunSuite {
     assert((0 until 5).forall(i => !r(1).isNullAt(i)), s"expected non-null: ${r(1)}")
   }
 
+  test("langId's four stopword-set scores run ONE tokenizer scan " +
+      "(codegen subexpression elimination, as the doc comment claims)") {
+    import org.apache.spark.sql.execution.debug._
+    val df = spark.range(8)
+      .select(concat(lit("the el der le #"), col("id").cast("string")).as("text"))
+      .select(TextAnalysis.langId(col("text")).as("lang"))
+    val generated = df.queryExecution.debug.codegenToSeq().map(_._2).mkString
+    val calls = "TextScan\\.stopwordCounts\\(".r.findAllIn(generated).size
+    assert(calls == 1,
+      s"expected the array scan to be CSE'd to one call site, found $calls")
+  }
+
   test("stays inside whole-stage codegen (no eval fallback in the hot path)") {
     val plan = spark.range(8)
       .select(concat(lit("Doc the #"), col("id").cast("string")).as("text"))
