@@ -176,8 +176,9 @@ object NearDup {
       .drop("__sig")
   }
 
-  /** Within-index banded candidate pairs + the probe-row set, shared by
-    * [[minhashLshPairs]] and [[incrementalDedup]]'s within-batch side.
+  /** Within-index banded candidate pairs + the probe-row set + the star
+    * edges, shared by [[minhashLshPairs]] and [[incrementalDedup]]'s
+    * within-batch side.
     *
     * Uncapped (`cap` = None): all id<id pairs per (band, band_val) bucket,
     * and every signature row probes other indexes. Capped: buckets over
@@ -190,17 +191,20 @@ object NearDup {
     * split a CC group).
     *
     * Returns (pairs as (__lo, __hi) with __lo < __hi, probe rows as
-    * (idCol, band, band_val)).
+    * (idCol, band, band_val), star edges as the (__lo=rep, __hi=member)
+    * subset of the pairs — empty when uncapped). The star edges let
+    * [[incrementalDedup]] route hot-bucket members to the corpus docs
+    * their representative matched (the rep-mediated corpus verify).
     */
   private def bandedSelfCandidates(sig: DataFrame, idCol: String,
-      cap: Option[Int]): (DataFrame, DataFrame) = cap match {
+      cap: Option[Int]): (DataFrame, DataFrame, DataFrame) = cap match {
     case None =>
       val p = sig.alias("a").join(sig.alias("b"),
           col("a.band") === col("b.band") &&
             col("a.band_val") === col("b.band_val") &&
             col(s"a.$idCol") < col(s"b.$idCol"))
         .select(col(s"a.$idCol").as("__lo"), col(s"b.$idCol").as("__hi"))
-      (p, sig)
+      (p, sig, p.limit(0))
     case Some(c) =>
       val stats = sig.groupBy("band", "band_val")
         .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__rep"))
@@ -218,7 +222,7 @@ object NearDup {
       val probe = cold.select(col(idCol), col("band"), col("band_val"))
         .unionByName(hot.where(col(idCol) === col("__rep"))
           .select(col(idCol), col("band"), col("band_val")))
-      (full.unionByName(star), probe)
+      (full.unionByName(star), probe, star)
   }
 
   /** MinHash signatures + banded candidate pairs, then exact verify.
@@ -270,15 +274,22 @@ object NearDup {
     * k(k−1)/2 candidate rows (measured: OOMs an 8 GiB local[32] run at
     * ~100-member buckets × 5k buckets — SCALE.md, 100× leg). With the cap,
     * buckets over `cap` members pair each member against the bucket
-    * representative (min id) ONLY — O(k) pairs — and probe the corpus
-    * index through the representative alone. The gate guarantee holds
-    * (every member is exact-verified against at least one earlier doc);
-    * what changes is pair COMPLETENESS inside a hot bucket: x↔y there is
-    * reported only through the representative, so a false-positive bucket
-    * whose members dup each other but not the representative can pass.
+    * representative (min id) ONLY — O(k) pairs — and the representative
+    * alone carries the bucket's corpus-index probe; members are
+    * additionally verified against every corpus doc their representative
+    * band-matched (the rep-mediated corpus verify — exact-Jaccard gated,
+    * so it adds recall, never false positives). What the cap still LOSES,
+    * precisely (ADVICE r9):
+    *  - within-bucket pair completeness: x↔y in a hot bucket is reported
+    *    only through the representative, so a false-positive bucket whose
+    *    members dup each other but not the representative can pass (and,
+    *    downstream, split a CC group);
+    *  - corpus-probe recall: a member's OWN bands never probe the corpus,
+    *    so a member duplicating a corpus doc that its representative does
+    *    NOT band-match is admitted unchecked.
     * Corpus-side buckets need no cap by induction: a gated ingest never
     * admits the duplicates that would make one hot. Default None = exact
-    * (every pair mined), the oracle-checked contract.
+    * (every pair mined, every row probes), the oracle-checked contract.
     */
   def incrementalDedup(corpus: DataFrame, delta: DataFrame, idCol: String,
       textCol: String, n: Int, k: Int, bands: Int,
@@ -289,14 +300,26 @@ object NearDup {
     // (uncapped: all a<b pairs, every row probes; capped: hot buckets
     // star through the min-id rep, which alone carries the corpus probe).
     // The smaller id survives, so __lo is the dup_of side.
-    val (batchPairs, probeD) = bandedSelfCandidates(sigD, idCol, maxDocsPerBand)
+    val (batchPairs, probeD, starD) =
+      bandedSelfCandidates(sigD, idCol, maxDocsPerBand)
     val candBatch = batchPairs
       .select(col("__hi").as("new_doc"), col("__lo").as("dup_of"))
     val candCorpus = sigC.alias("c").join(broadcast(probeD).alias("nw"),
         col("c.band") === col("nw.band") &&
           col("c.band_val") === col("nw.band_val"))
       .select(col(s"nw.$idCol").as("new_doc"), col(s"c.$idCol").as("dup_of"))
-    val cand = candCorpus.unionByName(candBatch).distinct()
+    // rep-mediated corpus verify (ADVICE r9): a hot-bucket member's own
+    // bands never probe the corpus under the cap, so route each member to
+    // the corpus docs its REPRESENTATIVE band-matched — O(star edges ×
+    // rep's corpus matches) extra candidates, all exact-verified below,
+    // so recall improves with zero false positives. The residual loss is
+    // documented on maxDocsPerBand: a member duplicating a corpus doc the
+    // rep does NOT band-match is still admitted unchecked.
+    val candMemberViaRep = candCorpus.alias("rc")
+      .join(starD.alias("st"), col("rc.new_doc") === col("st.__lo"))
+      .select(col("st.__hi").as("new_doc"), col("rc.dup_of"))
+    val cand = candCorpus.unionByName(candBatch)
+      .unionByName(candMemberViaRep).distinct()
     val candIds = cand.select(col("new_doc").as(idCol))
       .unionByName(cand.select(col("dup_of").as(idCol))).distinct()
     val universe = corpus.select(col(idCol), col(textCol))

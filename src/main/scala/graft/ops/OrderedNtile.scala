@@ -29,10 +29,21 @@ import org.apache.spark.sql.types.IntegerType
   */
 object OrderedNtile {
 
+  /** `maxKeys` caps the driver-side (tile, key) count read: the fold in
+    * step 2 holds O(#keys + nParts) rows in driver memory, which is fine
+    * for the grouping keys this op exists for (single-digit event-type
+    * domains) but unbounded for an arbitrary key. The read is capped by a
+    * plan-side LIMIT (the transfer itself is bounded, not just checked
+    * after the fact) and fails fast past the cap — callers with genuinely
+    * high-cardinality keys don't need this op at all: enough distinct
+    * keys means the plain window's one-task-per-key shape is already
+    * parallel.
+    */
   def withNtile(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
-      buckets: Int, binCol: String, nPartsOpt: Option[Int] = None)
-      : DataFrame = {
+      buckets: Int, binCol: String, nPartsOpt: Option[Int] = None,
+      maxKeys: Int = 1 << 16): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
+    require(maxKeys >= 1, "maxKeys must be >= 1")
     val spark = df.sparkSession
     val nParts = nPartsOpt.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
@@ -48,13 +59,25 @@ object OrderedNtile {
     // (CacheScope discipline: the consuming action's driver releases)
     val cached = graft.CacheScope.retain(ranged)
 
-    // O(nParts + #keys) driver read: per-(tile, key) row counts
+    // O(nParts + #keys) driver read: per-(tile, key) row counts. A key
+    // spans contiguous tiles under the range partitioner, so the result
+    // has at most #keys + nParts - 1 rows — the LIMIT bounds the driver
+    // transfer at the cap and the require turns "too many keys" into a
+    // fail-fast instead of a silent driver-memory blowup.
+    val maxRows = maxKeys.toLong + nParts
     val counts = cached
       .groupBy((col("__pid") +: keyCols.map(col)): _*)
       .agg(count(lit(1)).as("__c"))
+      .limit((maxRows + 1).min(Int.MaxValue).toInt)
       .collect()
       .map(r => (r.getInt(0), keyIdx.indices.map(i => r.get(1 + i)).toList,
         r.getLong(1 + keyIdx.length)))
+    require(counts.length <= maxRows,
+      s"OrderedNtile: key cardinality exceeds maxKeys=$maxKeys — this op " +
+        "trades a bounded driver read for tile-parallel sorting and only " +
+        "makes sense for low-cardinality keys; with this many distinct " +
+        "keys the plain ntile window is already parallel (or raise " +
+        "maxKeys if driver memory allows)")
     val totals: Map[List[Any], Long] =
       counts.groupBy(_._2).map { case (k, rs) => k -> rs.map(_._3).sum }
     // rank offset of (tile, key) = rows of that key in earlier tiles

@@ -38,15 +38,18 @@ object OrderedRolling {
     * "frame_array".
     *
     * `frame_array` collects the frame's non-null x values as
-    * array<double> in scan order (`collect_list` semantics), skipping
-    * the `skip` rows nearest the current row — `skip = 0` starts at the
-    * current row. Combined with a DESCENDING order this expresses
-    * FORWARD-looking collect frames: sorting (ts desc) makes "the
-    * previous `skip+frame` scanned rows" be the rows at ascending-time
-    * offsets 0..skip+frame-1 from the current row, and emitting them in
-    * newest-scanned-first ring order reproduces the ascending-time
-    * collect_list order exactly (the serving sliding-window shape:
-    * x = frame 288 skip 0, y = frame 36 skip 288).
+    * array<double> in SCAN order — oldest-scanned first, exactly
+    * `collect_list` over the trailing window under the SAME ordering,
+    * whatever that ordering is (ADVICE r9: the previous emit walked the
+    * ring newest-scanned-first, which silently reversed arrays for ASC
+    * callers). `skip` drops the rows nearest the current row — `skip = 0`
+    * ends at the current row. Combined with a DESCENDING order this
+    * expresses FORWARD-looking collect frames: sorting (ts desc) makes
+    * "the previous `skip+frame` scanned rows" be the rows at
+    * ascending-time offsets 0..skip+frame-1 from the current row, emitted
+    * in DESCENDING time — callers wanting ascending-time arrays reverse()
+    * the result (the serving sliding-window shape: x = frame 288 skip 0,
+    * y = frame 36 skip 288, both reversed in [[graft.serve.Serving]]).
     */
   final case class Roll(name: String, func: String, frame: Int,
       x: String, y: String = null, skip: Int = 0) {
@@ -172,16 +175,17 @@ object OrderedRolling {
               // collect_list semantics over offsets skip..skip+frame-1
               // from the current row (offset 0 = current), bounded by the
               // same-key run; nulls skipped, empty frame -> empty array
-              // (collect_list is never null)
+              // (collect_list is never null). Offsets walk DESCENDING so
+              // the array comes out oldest-scanned-first — collect_list's
+              // order under the same sort, for ASC and DESC callers alike.
               val buf = new scala.collection.mutable.ArrayBuffer[Any](
                 roll.frame)
-              var off = roll.skip
-              val maxOff = math.min(roll.skip + roll.frame - 1, same)
-              while (off <= maxOff) {
+              var off = math.min(roll.skip + roll.frame - 1, same)
+              while (off >= roll.skip) {
                 val v = if (off == 0) cur(xp)
                   else ring(ring.size - off)._2(xp)
                 if (v != null) buf += v
-                off += 1
+                off -= 1
               }
               buf.toSeq
             case "covar_samp" =>

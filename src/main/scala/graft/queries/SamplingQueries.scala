@@ -217,6 +217,13 @@ object SamplingQueries extends QueryPack {
             min("h").as("content_anchor"),
             (sum(col("kh").cast(DecimalType(38, 0))) % lit(P))
               .cast("long").as("id_checksum"))
+          // limit(N) is the shard-count contract made VISIBLE TO THE
+          // PLAN: shard = pmod(kh, N) can produce at most N groups, so
+          // the limit is a no-op on data — but it puts a row-bounding
+          // node under the whole-frame balance window, so PlanShapeSpec's
+          // global-window sweep proves the bound instead of allowlisting
+          // it (r9 verdict item 5).
+          .limit(N)
           .withColumn("balance",
             round(col("n_docs") * N * 1.0 / sum("n_docs").over(wAll), 4)
               + lit(0.0))

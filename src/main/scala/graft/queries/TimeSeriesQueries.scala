@@ -664,7 +664,14 @@ object TimeSeriesQueries extends QueryPack {
           .where(col("pred").isNotNull)
         val q6 = floor(abs(col("value") - col("pred")) * 1e6 + 0.5)
           .cast("long")
+        // n counts exactly the rows q6 sums: a null `value` under a
+        // non-null pred makes q6 null — the oracle's `WHERE q6 IS NOT
+        // NULL` excludes it, so count(lit(1)) over the pred-filtered
+        // frame alone would diverge on any corpus with null values
+        // (ADVICE r9). Filter on q6 itself so both engines count the
+        // same rows.
         pred.select(col("event_type"), dow(col("ts")).as("dow"), q6.as("q6"))
+          .where(col("q6").isNotNull)
           .groupBy(col("event_type"), col("dow"))
           .agg(sum(col("q6")).as("__s6"), count(lit(1)).as("n"))
           .select(col("event_type"), col("dow"),

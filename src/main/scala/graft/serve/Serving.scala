@@ -28,9 +28,9 @@ object Serving {
     // Executed via OrderedRolling's frame_array (descending order turns
     // the forward collect frames into trailing ring slices — offsets
     // 0..seqLen-1 for x, seqLen..seqLen+predLen-1 for y — emitted in
-    // ascending-time order, collect_list semantics exactly;
-    // OrderedRollingSpec pins equality with the window formulation,
-    // PropertySpec the per-key count identity). The
+    // scan order = descending time, then reverse()d to the ascending-time
+    // training shape; OrderedRollingSpec pins equality with the window
+    // formulation, PropertySpec the per-key count identity). The
     // window form ran every key's sort + 324-value transient array
     // builds on #keys tasks: 57 s at the 100x probe scale on the
     // 5-event-type corpus.
@@ -40,6 +40,11 @@ object Serving {
         Seq(OrderedRolling.Roll("x", "frame_array", seqLen, featureCol),
           OrderedRolling.Roll("y", "frame_array", predLen, labelCol,
             skip = seqLen)))
+      // frame_array emits in scan order = DESCENDING time under the desc
+      // sort; the training contract wants ascending-time sequences, so
+      // reverse here (array reversal of doubles is exact)
+      .withColumn("x", reverse(col("x")))
+      .withColumn("y", reverse(col("y")))
       .where(size(col("x")) === seqLen && size(col("y")) === predLen)
   }
 

@@ -138,6 +138,7 @@ object StreamIngest {
     val spark = batch.sparkSession
     val fs = new Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwaps(fs, statePath)
     val state = new Path(statePath)
     val existing =
       if (fs.exists(state)) Some(spark.read.parquet(statePath)) else None
@@ -149,8 +150,23 @@ object StreamIngest {
       .drop("__rn")
     val tmp = new Path(statePath + s"__tmp_$batchId")
     next.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(state)) fs.delete(state, true)
-    fs.rename(tmp, state)
+    // retire-then-replace, never delete-then-rename (ADVICE r9): the old
+    // state moves ASIDE (checked rename), the new state moves IN, and
+    // only then does the retired copy drop — a crash or false rename at
+    // any point leaves either the old or the new state recoverable
+    // ([[recoverSwaps]] above restores a retired dir whose replacement
+    // never landed).
+    if (fs.exists(state)) {
+      val retired = new Path(statePath + s"__retireall_$batchId")
+      require(fs.rename(state, retired),
+        s"state swap: rename $state -> $retired returned false")
+      require(fs.rename(tmp, state),
+        s"state swap: rename $tmp -> $state returned false")
+      fs.delete(retired, true)
+    } else {
+      require(fs.rename(tmp, state),
+        s"state swap: rename $tmp -> $state returned false")
+    }
   }
 
   /** The at-scale body for the same `foreachBatch` contract as
@@ -173,6 +189,7 @@ object StreamIngest {
     val spark = batch.sparkSession
     val fs = new Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwaps(fs, statePath)
     val bucketOf = pmod(hash(keyCols.map(col): _*), lit(nBuckets))
     val bucketed = batch.withColumn("__bucket", bucketOf)
     // O(nBuckets) driver list — bounded by config, not by data (J3 posture)
@@ -196,7 +213,7 @@ object StreamIngest {
   }
 
   /** Stage `staged` (bucket-partitioned) to a sibling temp dir, then
-    * rename each listed bucket dir into place and drop the staging dir.
+    * swap each listed bucket dir into place and drop the staging dir.
     *
     * Why not a dynamic partition overwrite into `statePath` directly: the
     * merged plan READS the current state files, and the overwrite commit
@@ -204,10 +221,22 @@ object StreamIngest {
     * failure, eviction), recomputation re-reads parquet the commit is
     * concurrently deleting: lost or corrupt state (ADVICE r8). Staging
     * fully materializes the merge BEFORE any old file is touched, so the
-    * write never depends on files it replaces. Per-bucket atomicity is
-    * the FileSystem rename contract — a crash between renames leaves some
-    * buckets new and some old, exactly the partial-commit window the
-    * rollup fence (and LWW's idempotence) already heals on replay.
+    * write never depends on files it replaces.
+    *
+    * The swap itself never deletes state before its replacement is in
+    * place (ADVICE r9 — the old delete-then-rename had a third outcome:
+    * a crash, or a false-returning rename per the Hadoop FileSystem
+    * contract, between the delete and the rename silently lost the
+    * bucket's entire prior rows, which no replay can heal). Protocol, per
+    * bucket: rename(dst → retire/__bucket=N), rename(staged → dst), and
+    * only after every bucket landed, delete the retire dir. Every rename
+    * result is CHECKED — false throws, so the batch fails visibly and
+    * replays. A crash mid-protocol leaves each bucket in exactly one of:
+    * old-in-place, old-in-retire (dst missing), or new-in-place —
+    * [[recoverSwaps]] at the next writer entry restores retired buckets
+    * whose replacement never landed, after which the batch replay
+    * re-merges (LWW idempotence / the rollup fence absorb both the
+    * restored-old and the already-new cases).
     */
   private def stageAndSwapBuckets(fs: org.apache.hadoop.fs.FileSystem,
       statePath: String, staged: DataFrame, buckets: Seq[Int],
@@ -217,15 +246,69 @@ object StreamIngest {
       .parquet(tmp.toString)
     val root = new Path(statePath)
     fs.mkdirs(root)
+    val retire = new Path(statePath + s"__retire_$batchId")
+    var anyRetired = false
     buckets.foreach { b =>
       val src = new Path(tmp, s"__bucket=$b")
       val dst = new Path(root, s"__bucket=$b")
       if (fs.exists(src)) {
-        if (fs.exists(dst)) fs.delete(dst, true)
-        fs.rename(src, dst)
+        if (fs.exists(dst)) {
+          if (!anyRetired) { fs.mkdirs(retire); anyRetired = true }
+          val old = new Path(retire, s"__bucket=$b")
+          require(fs.rename(dst, old),
+            s"bucket swap: rename $dst -> $old returned false")
+        }
+        require(fs.rename(src, dst),
+          s"bucket swap: rename $src -> $dst returned false")
       }
     }
+    if (anyRetired) fs.delete(retire, true)
     fs.delete(tmp, true)
+  }
+
+  /** Crash recovery for the sibling-dir swap protocols, run at every
+    * writer entry BEFORE the state is read (the upsert/rollup merge reads
+    * state, so a bucket left in a retire dir by a mid-swap crash must be
+    * restored first or the replayed merge would silently drop its rows):
+    *  - `__retire_<batch>/__bucket=N` whose live bucket is MISSING →
+    *    restored (the crash hit between the two renames); whose live
+    *    bucket exists → obsolete copy, dropped;
+    *  - `__retireall_<batch>` (whole-state swap, [[lwwUpsert]]) →
+    *    restored if the state dir is missing, dropped otherwise;
+    *  - orphaned `__stage_`/`__tmp_` dirs → dropped (their batch replays
+    *    wholesale; the partial staging output is garbage).
+    * Readers ([[readLwwState]]/[[readRollupState]]) stay read-only: a
+    * read during the crash window sees the documented some-buckets-old
+    * partial-commit state, which the writer's replay heals.
+    */
+  private[graft] def recoverSwaps(fs: org.apache.hadoop.fs.FileSystem,
+      statePath: String): Unit = {
+    val state = new Path(statePath)
+    val parent = state.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val base = state.getName
+    fs.listStatus(parent).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith(base + "__retire_")) {
+        fs.listStatus(st.getPath).foreach { b =>
+          val dst = new Path(state, b.getPath.getName)
+          if (!fs.exists(dst)) {
+            fs.mkdirs(state)
+            require(fs.rename(b.getPath, dst),
+              s"swap recovery: rename ${b.getPath} -> $dst returned false")
+          }
+        }
+        fs.delete(st.getPath, true)
+      } else if (nm.startsWith(base + "__retireall_")) {
+        if (!fs.exists(state))
+          require(fs.rename(st.getPath, state),
+            s"swap recovery: rename ${st.getPath} -> $state returned false")
+        else fs.delete(st.getPath, true)
+      } else if (nm.startsWith(base + "__stage_") ||
+          nm.startsWith(base + "__tmp_")) {
+        fs.delete(st.getPath, true)
+      }
+    }
   }
 
   /** Read the logical state written by [[lwwUpsertPartitioned]] (drops the
@@ -280,6 +363,7 @@ object StreamIngest {
     val spark = batch.sparkSession
     val fs = new Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwaps(fs, statePath)
     val bucketOf = pmod(hash(keyCols.map(col): _*), lit(nBuckets))
     // integer cents: exact, order-free, schema-stable across merges
     // (DECIMAL sums widen per merge level; LongType does not). The

@@ -174,14 +174,20 @@ class DedupSpec extends AnyFunSuite {
     // template replica is caught, the novel doc is not
     assert(capped.map(_._1) == exact.map(_._1))
     assert(capped.map(_._1) == Set(20L, 21L, 22L, 23L, 24L))
-    // within the hot bucket, non-rep members pair ONLY with the rep (20);
-    // the rep alone carries the corpus probe (20, 0)
+    // within the hot bucket, non-rep members pair with the rep (20) AND
+    // — rep-mediated corpus verify (ADVICE r9) — with every corpus doc
+    // the rep band-matched: their own bands never probe the corpus under
+    // the cap, but the rep's match (20, 0) routes them to doc 0 too
     assert((21L to 24L).forall(x => capped.contains((x, 20L))))
-    assert(capped.filter(_._1 >= 21L).forall(_._2 == 20L))
+    assert((21L to 24L).forall(x => capped.contains((x, 0L))))
     assert(capped.contains((20L, 0L)))
     // exact mode mines all k(k-1)/2 = 10 within-batch pairs + 5 corpus
-    // probes; capped mode is 4 star pairs + 1 corpus probe
-    assert(exact.size == 15 && capped.size == 5)
+    // probes; capped mode is 4 star pairs + 1 rep corpus probe + 4
+    // rep-mediated member↔corpus pairs
+    assert(exact.size == 15 && capped.size == 9)
+    // the rep-mediated path adds recall, never pairs exact mode would
+    // not have found (everything is exact-Jaccard verified)
+    assert(capped.subsetOf(exact))
   }
 
   test("connectedComponents: transitive chains collapse into one group") {

@@ -50,4 +50,26 @@ class OrderedNtileSpec extends AnyFunSuite {
     compare(n = 200, nKeys = 1, buckets = 1, nParts = 8)
     compare(n = 200, nKeys = 4, buckets = 3, nParts = 1)
   }
+
+  test("maxKeys cap fails fast on high-cardinality keys instead of an " +
+      "unbounded driver read (ADVICE r9)") {
+    // 300 distinct keys against maxKeys=64: the plan-side LIMIT bounds
+    // the transfer and the require turns it into a visible error
+    val df = (0 until 900).map(i => (s"k${i % 300}", i.toLong, i * 0.5))
+      .toDF("key", "seq", "value")
+    val e = intercept[IllegalArgumentException] {
+      OrderedNtile.withNtile(df, Seq("key"), Seq(col("value"), col("seq")),
+        buckets = 4, binCol = "bin", nPartsOpt = Some(8), maxKeys = 64)
+    }
+    CacheScope.release(spark)
+    assert(e.getMessage.contains("maxKeys"))
+    // and a cap at exactly the cardinality still passes (boundary)
+    val small = (0 until 100).map(i => (s"k${i % 10}", i.toLong, i * 0.5))
+      .toDF("key", "seq", "value")
+    val ok = OrderedNtile.withNtile(small, Seq("key"),
+      Seq(col("value"), col("seq")), buckets = 4, binCol = "bin",
+      nPartsOpt = Some(8), maxKeys = 10)
+    assert(ok.count() == 100)
+    CacheScope.release(spark)
+  }
 }

@@ -96,8 +96,9 @@ class OrderedRollingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("frame_array over DESC order equals the forward collect_list " +
-    "window — the sliding-training-window shape (x + skipped y)") {
+  test("frame_array over DESC order + reverse equals the forward " +
+    "collect_list window — the sliding-training-window shape (x + " +
+    "skipped y)") {
     val rnd = new scala.util.Random(4242)
     val rows = (0 until 900).map { i =>
       val v = if (rnd.nextInt(7) == 0) None else Some(rnd.nextDouble() * 9)
@@ -117,7 +118,32 @@ class OrderedRollingSpec extends AnyFunSuite {
         Seq(Roll("x", "frame_array", seqLen, "f"),
           Roll("y", "frame_array", predLen, "l", skip = seqLen)),
         nPartsOpt = Some(16))
+      .withColumn("x", reverse(col("x")))
+      .withColumn("y", reverse(col("y")))
       .orderBy("key", "ts").collect().toSeq
+    CacheScope.release(spark)
+    assert(got == expected)
+  }
+
+  test("frame_array over ASC order equals the trailing collect_list " +
+    "window DIRECTLY — scan order is collect_list order for any " +
+    "ordering (ADVICE r9: no silent reversal for ASC callers)") {
+    val rnd = new scala.util.Random(777)
+    val rows = (0 until 700).map { i =>
+      val v = if (rnd.nextInt(6) == 0) None else Some(rnd.nextDouble() * 5)
+      (s"k${rnd.nextInt(3)}", i.toLong, v)
+    }
+    val df = rows.toDF("key", "seq", "f")
+    val w = Window.partitionBy("key").orderBy(col("seq"))
+    val expected = df
+      .withColumn("x", collect_list(col("f")).over(w.rowsBetween(-6, 0)))
+      .withColumn("z", collect_list(col("f")).over(w.rowsBetween(-8, -4)))
+      .orderBy("key", "seq").collect().toSeq
+    val got = OrderedRolling.withRollups(df, Seq("key"), Seq(col("seq")),
+        Seq(Roll("x", "frame_array", 7, "f"),
+          Roll("z", "frame_array", 5, "f", skip = 4)),
+        nPartsOpt = Some(16))
+      .orderBy("key", "seq").collect().toSeq
     CacheScope.release(spark)
     assert(got == expected)
   }

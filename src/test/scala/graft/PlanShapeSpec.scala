@@ -241,15 +241,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // Ships-unbounded-global-window ⇒ fails here by name. This sweep is
     // what surfaced q_a_abc_pareto's O(#customers) single-partition
     // cumsum — now the distributed ops/PrefixSum.
-    val globalWindowAllowed: Map[String, String] = Map(
-      "q_a_attribution" -> ("share window over the ≤#event-type-domain " +
-        "channel aggregate — a handful of rows by data contract"),
-      "q_sql_attribution" -> "SQL twin of the same ≤#channels frame",
-      "q_s_shard_manifest" -> ("balance window over the 8-row shard " +
-        "aggregate (shard count fixed in-query)"),
-      "q_sql_abc_pareto" -> ("SQL-text parity twin: Spark SQL text cannot " +
-        "express ops/PrefixSum — the DataFrame query q_a_abc_pareto is " +
-        "the declared scale path"))
+    // EMPTY as of r10, and the point is that it stays that way: every
+    // domain-bounded frame now carries its bound IN THE PLAN (an explicit
+    // limit over the tiny aggregate — q_a_attribution, q_sql_attribution,
+    // q_s_shard_manifest), and q_sql_abc_pareto's text carries the
+    // two-phase prefix-sum shape itself (value-range buckets + a
+    // LIMIT-bounded offset window). A new entry here needs a reason the
+    // bound genuinely cannot be expressed in the plan.
+    val globalWindowAllowed: Map[String, String] = Map.empty
     import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -337,6 +337,133 @@ object ScaleProbe {
       else println(f"$n%-34s ${t10(n) / t1(n)}%5.1f x")
     }
 
+    // Opt-in (args contain "accuracy_probe"): sketch-twin error bounds AT
+    // SCALE (r9 verdict item 3). AccuracySpec pins the 7 declared
+    // no-oracle approx queries at fixture scale only; this leg re-asserts
+    // the same relative-error/rank-error disciplines against the exact
+    // twins on the replicated corpus — run with PROBE_FACTOR 10 and 100
+    // so a sketch whose error compounds with input size (or whose
+    // partial-merge path degrades under many-partition merges) fails
+    // loudly instead of drifting silently past the fixture. Assertions
+    // THROW: an accuracy violation is a finding the sweep must not bury.
+    if (args.nonEmpty && args(0).split(",").contains("accuracy_probe")) {
+      println(s"== sketch-twin accuracy at ${factor}x ==")
+      def q(name: String) = SparkEntry.queries(name)(spark, big)
+      def chk(name: String)(body: => String): Unit = {
+        val msg = body
+        CacheScope.release(spark)
+        println(f"$name%-28s $msg")
+      }
+      // A2: HLL(rsd=0.01) distinct users per event_type vs exact
+      // countDistinct — the AccuracySpec 5% envelope (5 sigma of rsd)
+      chk("distinct_approx") {
+        val approx = q("q_a2_distinct_approx")
+          .select("event_type", "approx_users")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val exact = Tables(spark, big, "events")
+          .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(approx.keySet == exact.keySet)
+        val worst = exact.keys.map(k =>
+          math.abs(approx(k) - exact(k)).toDouble / exact(k)).max
+        assert(worst <= 0.05, f"HLL rel err $worst%.4f > 0.05")
+        f"max rel err $worst%.4f (bound 0.05)"
+      }
+      // A4/A5: GK quantiles vs exact percentiles — rank error n/Accuracy
+      // translates to tiny value error on the continuous value column;
+      // assert the 2% relative envelope per cell (center/scale likewise,
+      // scale at 5%: an IQR difference amplifies relative error)
+      def relCells(nm: String, exactQ: String, bounds: Map[String, Double])
+          : String = {
+        val keyCol = "event_type"
+        val a = q(nm).collect()
+          .map(r => r.getString(0) -> r).toMap
+        val e = q(exactQ).collect()
+          .map(r => r.getString(0) -> r).toMap
+        assert(a.keySet == e.keySet)
+        val worst = (for (k <- a.keySet.toSeq; (c, b) <- bounds) yield {
+          val av = a(k).getAs[Double](c); val ev = e(k).getAs[Double](c)
+          val rel = math.abs(av - ev) / math.max(math.abs(ev), 1e-9)
+          assert(rel <= b, f"$nm $k.$c rel err $rel%.4f > $b (exact=$ev approx=$av)")
+          rel
+        }).max
+        f"max rel err $worst%.4f"
+      }
+      chk("quantiles_approx")(relCells("q_a4_quantiles_approx",
+        "q_a4_quantiles",
+        Map("q25" -> 0.02, "q50" -> 0.02, "q75" -> 0.02)))
+      chk("robust_scaler_approx")(relCells("q_a5_robust_scaler_approx",
+        "q_a5_robust_scaler_params",
+        Map("center" -> 0.02, "scale" -> 0.05)))
+      // active users: per-day HLL DAU/WAU within max(5%, 3) of exact
+      chk("active_users_approx") {
+        val a = q("q_a_active_users_approx")
+          .collect().map(r => r.get(0).toString ->
+            (r.getLong(1), r.getLong(2))).toMap
+        val e = q("q_a_active_users")
+          .collect().map(r => r.get(0).toString ->
+            (r.getLong(1), r.getLong(2))).toMap
+        assert(a.keySet == e.keySet, "twin must cover the same days")
+        val worst = e.keys.map { d =>
+          val (dau, wau) = e(d); val (da, wa) = a(d)
+          assert(math.abs(da - dau) <= math.max(0.05 * dau, 3),
+            s"day $d dau exact=$dau approx=$da")
+          assert(math.abs(wa - wau) <= math.max(0.05 * wau, 3),
+            s"day $d wau exact=$wau approx=$wa")
+          math.max(math.abs(da - dau).toDouble / math.max(dau, 1),
+            math.abs(wa - wau).toDouble / math.max(wau, 1))
+        }.max
+        f"max rel err $worst%.4f (bound 0.05)"
+      }
+      // P9: winsorize — identical row set; rows whose CLIP differs are
+      // confined to the rank-error band around each cut: assert <=0.5%
+      chk("winsorize_approx") {
+        val a = q("q_p9_winsorize_approx")
+          .select(col("event_type"), col("event_id"),
+            col("value_clipped").as("va"))
+        val e = q("q_p9_winsorize")
+          .select(col("event_type"), col("event_id"),
+            col("value_clipped").as("ve"))
+        val j = a.join(e, Seq("event_type", "event_id"), "full")
+          .agg(count(lit(1)).as("n"),
+            sum((col("va") =!= col("ve") || col("va").isNull ||
+              col("ve").isNull).cast("long")).as("diff"))
+          .head()
+        val frac = j.getLong(1).toDouble / j.getLong(0)
+        assert(frac <= 0.005, f"winsorize differing-row frac $frac%.5f > 0.005")
+        f"differing-row frac $frac%.5f (bound 0.005)"
+      }
+      // MAD gate: flagged fraction within 0.005 of the exact gate
+      chk("outlier_mad_approx") {
+        val a = q("q_p_outlier_mad_approx").select("event_type", "out_frac")
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val e = q("q_p_outlier_mad").select("event_type", "out_frac")
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(a.keySet == e.keySet)
+        val worst = e.keys.map(k => math.abs(a(k) - e(k))).max
+        assert(worst <= 0.005, f"MAD out_frac delta $worst%.5f > 0.005")
+        f"max out_frac delta $worst%.5f (bound 0.005)"
+      }
+      // curriculum phases: partition identity + per-phase rank-error
+      chk("curriculum_phases_approx") {
+        val a = q("q_s_curriculum_phases_approx").select("phase", "n_docs")
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val e = q("q_s_curriculum_phases").select("phase", "n_docs")
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val total = e.values.sum
+        assert(a.values.sum == total, "phases must partition the corpus")
+        val tol = math.max(
+          total / graft.queries.ApproxQueries.Accuracy + 1, 16)
+        val worst = (1 to 3).map { ph =>
+          val d = math.abs(e(ph) - a.getOrElse(ph, 0L))
+          assert(d <= tol, s"phase $ph exact=${e(ph)} approx=${a.getOrElse(ph, 0L)} tol=$tol")
+          d
+        }.max
+        s"max phase delta $worst (tol $tol, total $total)"
+      }
+      println(s"== sketch-twin accuracy at ${factor}x: ALL BOUNDS HELD ==")
+    }
+
     // Opt-in (args contain "rollup_upsert_probe"): per-batch cost of the
     // streaming rollup maintainer vs STANDING STATE SIZE. The claim under
     // test is O(batch + touched buckets' key rows) per batch, never

@@ -127,6 +127,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(dirs.nonEmpty && dirs.length <= 8)
   }
 
+  test("swap recovery: a bucket stranded in a retire dir by a mid-swap " +
+      "crash is restored before the replayed batch reads state") {
+    import org.apache.hadoop.fs.Path
+    val state = tmpDir("lww-recover") + "/t"
+    val up = StreamIngest.lwwUpsertPartitioned(state,
+      Seq("k"), "seq", nBuckets = 4) _
+    up(Seq(("a", 1.0, 1L), ("b", 2.0, 2L), ("c", 3.0, 3L))
+      .toDF("k", "v", "seq"), 0L)
+    val fs = new Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window between rename(dst -> retire) and
+    // rename(staged -> dst): every live bucket sits in the retire dir,
+    // none in place — the worst case of the old code's silent-loss window
+    val retire = new Path(state + "__retire_1")
+    fs.mkdirs(retire)
+    new java.io.File(state).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("__bucket=")).foreach { b =>
+        assert(fs.rename(new Path(state + "/" + b), new Path(retire, b)))
+      }
+    // plus the crashed batch's orphaned staging dir
+    val stage = new Path(state + "__stage_1")
+    fs.mkdirs(new Path(stage, "__bucket=0"))
+    // the replayed batch must restore the retired buckets FIRST — else
+    // its merge reads empty state and "b"/"c" vanish
+    up(Seq(("a", 1.5, 4L)).toDF("k", "v", "seq"), 1L)
+    val got = StreamIngest.readLwwState(spark, state)
+      .select("k", "v").as[(String, Double)].collect().toSet
+    assert(got == Set(("a", 1.5), ("b", 2.0), ("c", 3.0)))
+    assert(!fs.exists(retire) && !fs.exists(stage))
+  }
+
+  test("swap recovery: whole-state lwwUpsert restores a retired state " +
+      "dir and drops the orphaned tmp") {
+    import org.apache.hadoop.fs.Path
+    val state = tmpDir("lww-recover-all") + "/t"
+    val up = StreamIngest.lwwUpsert(state, Seq("k"), "seq") _
+    up(Seq(("a", 1.0, 1L), ("b", 2.0, 2L)).toDF("k", "v", "seq"), 0L)
+    val fs = new Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash window between rename(state -> retireall) and rename(tmp ->
+    // state): the whole state dir is aside, a stale tmp lingers
+    assert(fs.rename(new Path(state), new Path(state + "__retireall_1")))
+    fs.mkdirs(new Path(state + "__tmp_1"))
+    up(Seq(("b", 9.0, 3L)).toDF("k", "v", "seq"), 1L)
+    val got = spark.read.parquet(state)
+      .select("k", "v").as[(String, Double)].collect().toSet
+    assert(got == Set(("a", 1.0), ("b", 9.0)))
+    assert(!fs.exists(new Path(state + "__retireall_1")) &&
+      !fs.exists(new Path(state + "__tmp_1")))
+  }
+
   test("partitioned rollup upsert: stream-maintained aggregates equal the " +
       "batch fold, replayed batches are fenced, touched buckets only") {
     val state = tmpDir("rollup-part") + "/t"
