@@ -26,9 +26,16 @@ object ContentionProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sites = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        val cs = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .getOrElse("?")
+        sites.add(s"${js.stageInfos.size}st $cs")
+      }
     })
 
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,6 +50,12 @@ object ContentionProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)
       println(f"$name%-28s pass$pass ${secs}%7.2f s  jobs=${jobs.get}%3d  rows=$n")
+      if (sys.env.contains("GRAFT_PROBE_SITES")) {
+        import scala.jdk.CollectionConverters._
+        sites.asScala.groupBy(identity).toSeq.sortBy(-_._2.size)
+          .foreach { case (s, xs) => println(f"    ${xs.size}%3d x $s") }
+      }
+      sites.clear()
       CacheScope.release(spark)
     }
     spark.stop()

@@ -31,10 +31,18 @@ object ScaleProbe {
       else s"/tmp/graft_probe_${factor}x_synth"
 
     // ---- build the replicated tables once ----
-    // guard on the LAST table the build writes (an interrupted build
-    // leaves earlier tables on disk — keying the guard off the first one
-    // turned a killed build into a permanently half-empty corpus)
-    if (!new java.io.File(big + "/part.parquet/_SUCCESS").exists()) {
+    // PER-TABLE _SUCCESS guards (r10): a killed build resumes exactly
+    // where it stopped, and SPARK_GRAFT_PROBE_TABLES="documents,embeddings"
+    // scopes a top-decade leg to the tables its ops actually read — the
+    // 1000x dedup/ANN sweep needs 5 M docs + 2 M vectors, not the 600 M
+    // lineitem rows the warehouse decade replicates.
+    val wanted: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
+      .map(s => (t: String) => s.contains(t))
+      .getOrElse(_ => true)
+    def needs(t: String): Boolean = wanted(t) &&
+      !new java.io.File(s"$big/$t.parquet/_SUCCESS").exists()
+    if (needs("events")) {
       val ev = Tables(spark, base, "events")
       ev.crossJoin(spark.range(factor).toDF("rep"))
         .withColumn("event_id", col("event_id") * factor + col("rep"))
@@ -46,6 +54,8 @@ object ScaleProbe {
         .drop("rep")
         .repartition(32)
         .write.mode("overwrite").parquet(big + "/events.parquet")
+    }
+    if (needs("documents")) {
       val docs = Tables(spark, base, "documents")
       docs.crossJoin(spark.range(factor).toDF("rep"))
         .withColumn("doc_id", col("doc_id") * factor + col("rep"))
@@ -54,33 +64,37 @@ object ScaleProbe {
         .drop("rep")
         .repartition(32)
         .write.mode("overwrite").parquet(big + "/documents.parquet")
+    }
+    if (needs("embeddings")) {
       val emb = Tables(spark, base, "embeddings")
       emb.crossJoin(spark.range(factor).toDF("rep"))
         .withColumn("vec_id", col("vec_id") * factor + col("rep"))
         .drop("rep")
         .repartition(32)
         .write.mode("overwrite").parquet(big + "/embeddings.parquet")
-      // orders/lineitem are FACTS for abc_pareto / fk_audit — replicate
-      // them key-consistently (same o_orderkey*f+rep formula on both
-      // sides keeps the lineitem->orders FK bijective per replica, and
-      // o_custkey untouched keeps orders->customer valid) so those two
-      // ops measure real scaling. Before this they read 1x data at every
-      // factor: their old "1.4x/1.7x" table rows were noise, not scaling.
+    }
+    // orders/lineitem are FACTS for abc_pareto / fk_audit — replicate
+    // them key-consistently (same o_orderkey*f+rep formula on both
+    // sides keeps the lineitem->orders FK bijective per replica, and
+    // o_custkey untouched keeps orders->customer valid) so those two
+    // ops measure real scaling. Before this they read 1x data at every
+    // factor: their old "1.4x/1.7x" table rows were noise, not scaling.
+    if (needs("orders"))
       Tables(spark, base, "orders")
         .crossJoin(spark.range(factor).toDF("rep"))
         .withColumn("o_orderkey", col("o_orderkey") * factor + col("rep"))
         .drop("rep").repartition(32)
         .write.mode("overwrite").parquet(s"$big/orders.parquet")
+    if (needs("lineitem"))
       Tables(spark, base, "lineitem")
         .crossJoin(spark.range(factor).toDF("rep"))
         .withColumn("l_orderkey", col("l_orderkey") * factor + col("rep"))
         .drop("rep").repartition(32)
         .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
-      // true dimensions: copy as-is (they stay small at any corpus scale)
-      Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
-        Tables(spark, base, t).write.mode("overwrite")
-          .parquet(s"$big/$t.parquet")
-      }
+    // true dimensions: copy as-is (they stay small at any corpus scale)
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      if (needs(t)) Tables(spark, base, t).write.mode("overwrite")
+        .parquet(s"$big/$t.parquet")
     }
 
     def time(name: String)(f: => Long): Double = {
