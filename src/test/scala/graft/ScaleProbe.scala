@@ -272,6 +272,40 @@ object ScaleProbe {
       "jaccard_capped64" -> (dir => graft.dedup.NearDup.exactJaccardPairs(
         Tables(spark, dir, "documents"), "doc_id", "text", 3, 0.5,
         maxDocsPerShingle = Some(64))),
+      // FIXED-DELTA gate variants (r10, the 1000x lesson): the SparkEntry
+      // gates hard-code their split at id 400, so at high replica factors
+      // the "delta" IS the corpus and the within-batch self-join measures
+      // a replica-clique quadratic, not the gate (the 1000x semdedup run
+      // was killed ~30 min in with ~1e9 intra-delta candidates
+      // outstanding: 2M exact-copy vectors = 1000-cliques in every cell).
+      // The claim these gates make at 100 TB is O(delta) PER BATCH
+      // against an arbitrarily LARGE corpus — so the top-decade leg holds
+      // the batch fixed (ids below 2000 / 200) and scales only the
+      // corpus side, which is exactly the production ingest shape.
+      "winnow_incr_delta" -> { dir =>
+        val d = Tables(spark, dir, "documents")
+        graft.dedup.NearDup.incrementalWinnow(
+          d.where(col("doc_id") >= 2000), d.where(col("doc_id") < 2000),
+          "doc_id", "text", k = 16, w = 8, minShared = 3, stopDf = 64)
+      },
+      "minhash_incr_delta" -> { dir =>
+        val d = Tables(spark, dir, "documents")
+        graft.dedup.NearDup.incrementalDedup(
+          d.where(col("doc_id") >= 2000), d.where(col("doc_id") < 2000),
+          "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5,
+          maxDocsPerBand = Some(64))
+      },
+      "semdedup_incr_delta" -> { dir =>
+        val e = Tables(spark, dir, "embeddings")
+        // seeds come from the FULL table (ids 0..15 — seedCentroids'
+        // convention); in production the quantizer is maintained by
+        // StreamingCentroids, independent of any batch split
+        val cents = graft.vector.VectorSearch.seedCentroids(
+          e, "vec_id", "embedding", 16)
+        graft.vector.VectorSearch.incrementalSemDedup(
+          e.where(col("vec_id") >= 200), e.where(col("vec_id") < 200),
+          "vec_id", "embedding", cents, threshold = 0.35)
+      },
       // r9 second sweep: the remaining DISTINCT physical plan classes
       // measured only at 1x so far (SQL twins / approx twins of probed
       // plans stay out — identical plans carry no new scaling signal).
