@@ -1720,6 +1720,14 @@ object VectorQueries extends QueryPack {
         // build); everything after is O(k²) regardless of corpus size.
         // All cosines and MMR scores are ROUND(…,6)+0.0, ties by doc_id,
         // so both engines replay the identical greedy path.
+        // IterScope (r10, the r9-item-4 program): the unrolled greedy
+        // rounds are ≤380-row frames, but AQE materialized every round's
+        // stages as separate jobs — 55 serial driver walls for a 5-row
+        // result (ContentionProbe). The whole cascade runs with AQE off
+        // and materializes once here; 9 jobs after. The one corpus-sized
+        // step (the shortlist's cosine pass + heaps) is a single scan
+        // with no runtime re-planning decisions to lose.
+        graft.ops.IterScope.noAqe(s) {
         val q = broadcast(queryVec(s, dir).select(col("embedding").as("qv")))
         val short = graft.CacheScope.retain(
           emb(s, dir).where(col("vec_id") =!= 0).crossJoin(q)
@@ -1752,7 +1760,10 @@ object VectorQueries extends QueryPack {
             .withColumn("pick_order", lit(i))
           sel = graft.CacheScope.retain(sel.union(pick))
         }
-        sel.orderBy("pick_order")
+        val res = graft.CacheScope.retain(sel.orderBy("pick_order"))
+        res.count()
+        res
+        }
       },
       Some {
         val rounds = (2 to 5).map { i =>
