@@ -1430,6 +1430,12 @@ object VectorQueries extends QueryPack {
         // passes total (mean, 3 iterations, variance), each a map-only
         // dot against a broadcast 64-double vector + an O(dim)-key or
         // 1-row aggregate — no shuffle ever carries more than dim keys.
+        // IterScope (r10 wall census: 34 jobs for a 64-row result) — the
+        // 5 corpus passes are map + dim-key/1-row aggregates with nothing
+        // for runtime re-planning to decide; AQE only split the unrolled
+        // rounds into serial stage-materialization walls. Materialized
+        // once here; plan-identical retains serve rebuilds from cache.
+        graft.ops.IterScope.noAqe(s) {
         val e = emb(s, dir).select(col("embedding").cast("array<double>").as("emb"))
         // retain the 1-row/64-double fit frames (see q_e_abtt_topk note:
         // without this every later round re-runs the earlier rounds'
@@ -1468,7 +1474,7 @@ object VectorQueries extends QueryPack {
               "CAST(0 AS DOUBLE), (a, v) -> a + v)").as("n2"))
           .agg(sum(col("dot") * col("dot")).cast("float").cast("double").as("num"),
             sum("n2").cast("float").cast("double").as("den"))
-        muF.crossJoin(xF).crossJoin(st)
+        val out = muF.crossJoin(xF).crossJoin(st)
           .select(posexplode(expr("arrays_zip(mu, x)")).as(Seq("dim", "z")),
             col("num"), col("den"))
           .select(col("dim").cast("int").as("dim"),
@@ -1476,6 +1482,10 @@ object VectorQueries extends QueryPack {
             (col("z.x") + lit(0.0)).as("loading"),
             (round(col("num") / col("den"), 6) + lit(0.0)).as("var_frac"))
           .orderBy("dim")
+        val res = graft.CacheScope.retain(out)
+        res.count()
+        res
+        }
       },
       Some {
         def xiter(i: Int): String = {
@@ -1532,6 +1542,11 @@ object VectorQueries extends QueryPack {
         // the removal itself is a map-only transform against two
         // broadcast 64-double vectors, so the postprocessing adds ZERO
         // shuffles to the retrieval path.
+        // IterScope (r10 wall census: 35 jobs for a 10-row result) — same
+        // rationale as q_e_top_component: the fit passes are map +
+        // dim-key aggregates, the retrieval is one scan + heaps; AQE
+        // only added serial walls. Materialized once here.
+        graft.ops.IterScope.noAqe(s) {
         val e = emb(s, dir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         // mu and every iterate are 1-row/64-double frames: retaining them
@@ -1576,11 +1591,15 @@ object VectorQueries extends QueryPack {
         // never by re-deriving the corpus-wide processed frame
         val q = broadcast(process(e.where(col("vec_id") === 0))
           .select(col("p").as("qp")))
-        process(e.where(col("vec_id") =!= 0)).crossJoin(q)
-          .select(col("vec_id"),
-            (round(cosine_sim(col("p"), col("qp")), 6) + lit(0.0)).as("sim"))
-          .orderBy(col("sim").desc, col("vec_id"))
-          .limit(10)
+        val res = graft.CacheScope.retain(
+          process(e.where(col("vec_id") =!= 0)).crossJoin(q)
+            .select(col("vec_id"),
+              (round(cosine_sim(col("p"), col("qp")), 6) + lit(0.0)).as("sim"))
+            .orderBy(col("sim").desc, col("vec_id"))
+            .limit(10))
+        res.count()
+        res
+        }
       },
       Some {
         def xiter(i: Int): String = {

@@ -39,16 +39,26 @@ object ContentionProbe {
     })
 
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val names = if (args.nonEmpty) args.toSeq
+    // "--all": one-pass wall CENSUS over the whole surface, jobs-desc —
+    // the serial-wall equivalent of the bench's slowest-queries list.
+    val census = args.headOption.contains("--all")
+    val names =
+      if (census) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
       else Seq("q_d_pagerank_canonical", "q_d_winnow_incremental")
+    val passes = if (census) 1 to 1 else 1 to 2
+    val walls = scala.collection.mutable.LinkedHashMap[String, (Int, Double)]()
     Tables(spark, dir, "documents").count() // warm the scan path
-    for (name <- names; pass <- 1 to 2) {
-      Thread.sleep(300) // let listener drain
+    for (name <- names; pass <- passes) {
+      Thread.sleep(if (census) 50 else 300) // let listener drain
       jobs.set(0)
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, dir).count()
+      val n = try SparkEntry.queries(name)(spark, dir).count()
+        catch { case e: Throwable =>
+          println(s"$name FAIL ${e.getClass.getSimpleName}"); -1L }
       val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
+      Thread.sleep(if (census) 50 else 300)
+      walls(name) = (jobs.get, secs)
       println(f"$name%-28s pass$pass ${secs}%7.2f s  jobs=${jobs.get}%3d  rows=$n")
       if (sys.env.contains("GRAFT_PROBE_SITES")) {
         import scala.jdk.CollectionConverters._
@@ -57,6 +67,13 @@ object ContentionProbe {
       }
       sites.clear()
       CacheScope.release(spark)
+    }
+    if (census) {
+      println("== wall census (jobs desc, top 25) ==")
+      walls.toSeq.sortBy { case (_, (j, _)) => -j }.take(25)
+        .foreach { case (nm, (j, s)) =>
+        println(f"$nm%-32s jobs=$j%3d  ${s}%6.2f s")
+      }
     }
     spark.stop()
   }
