@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the r10 wall-cut machinery: IterScope must never leak
+  * its conf override (the SQL conf is session-global, so a leak would
+  * silently de-AQE every later query), and the memoized query results
+  * (pagerank canonical, MMR) must not serve a stale unpersisted frame
+  * after CacheScope.release — the eviction callback is the only thing
+  * standing between the memo and a use-after-unpersist.
+  */
+class IterScopeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  private val dir = "/root/testdata/sf0.001"
+
+  test("withConf restores prior values on normal exit and on exception") {
+    val k = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.get(k)
+    graft.ops.IterScope.noAqe(spark) {
+      assert(spark.conf.get(k) == "false")
+    }
+    assert(spark.conf.get(k) == prior, "normal exit must restore")
+    intercept[RuntimeException] {
+      graft.ops.IterScope.noAqe(spark) {
+        assert(spark.conf.get(k) == "false")
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get(k) == prior, "exception exit must restore")
+    // a key that was UNSET before must be unset again after
+    val custom = "graft.test.iterscope.unset"
+    assert(spark.conf.getOption(custom).isEmpty)
+    graft.ops.IterScope.withConf(spark, custom -> "on") {
+      assert(spark.conf.get(custom) == "on")
+    }
+    assert(spark.conf.getOption(custom).isEmpty,
+      "previously-unset keys must be unset on restore, not set to a value")
+  }
+
+  test("memoized query results survive a release cycle: rebuild serves " +
+      "fresh usable frames, not a stale unpersisted cache entry") {
+    for (q <- Seq("q_d_pagerank_canonical", "q_e_mmr_topk")) {
+      val first = SparkEntry.queries(q)(spark, dir)
+      val rows1 = first.collect().map(_.toString).sorted.toSeq
+      assert(rows1.nonEmpty, s"$q must produce rows")
+      CacheScope.release(spark)
+      // after release the memo entry is evicted (onRelease) — a rebuild
+      // must re-materialize and agree, and must be consumable even
+      // though the first frame's cache blocks are gone
+      val second = SparkEntry.queries(q)(spark, dir)
+      val rows2 = second.collect().map(_.toString).sorted.toSeq
+      assert(rows1 == rows2, s"$q rebuild after release must agree")
+      CacheScope.release(spark)
+    }
+  }
+}
