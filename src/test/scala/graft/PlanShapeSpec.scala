@@ -286,6 +286,15 @@ class PlanShapeSpec extends AnyFunSuite {
             offenders += s"$name: unbounded zero-partition WindowGroupLimit"
         case _ => ()
       }
+      // IterScope leak guard (r10): several builders scope AQE off around
+      // their iterative sections and some EXECUTE at build time — a
+      // builder that forgets the scope (or escapes it abnormally) would
+      // silently de-adaptive every query built after it in this
+      // session-global conf. Assert after EVERY build, inside the sweep
+      // that already touches the whole surface.
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+        s"$name left spark.sql.adaptive.enabled=false behind — an " +
+          "IterScope override leaked out of its builder")
       CacheScope.release(spark)
     }
     assert(offenders.isEmpty,
