@@ -72,6 +72,21 @@ def main() -> None:
     if len(dq) != detail["n_ok"]:
         fail(f"detail map has {len(dq)} queries but n_ok={detail['n_ok']}")
 
+    # r11: the detail file also records each query's FIRST (cold-path) run
+    # so memoized cascades' cold builds are diffable round-over-round.
+    # Contract: same keyset as the min map, and first >= min (first is one
+    # of the two runs the min was taken over).
+    fq = detail.get("queries_first")
+    if fq is None:
+        fail("detail is missing queries_first (first-run timings, r11)")
+    if set(fq) != set(dq):
+        fail(f"queries_first keyset differs from queries: "
+             f"only-first={sorted(set(fq)-set(dq))[:5]}, "
+             f"only-min={sorted(set(dq)-set(fq))[:5]}")
+    bad = {q: (fq[q], dq[q]) for q in dq if fq[q] < dq[q] - 1e-9}
+    if bad:
+        fail(f"first-run timing below the min (impossible): {bad}")
+
     print(f"bench artifacts consistent: total={detail['value']:.3f}s, "
           f"{detail['n_ok']} ok, {detail['n_err']} err, "
           f"{len(cq)} listed + {compact.get('q_omitted', 0)} omitted")

@@ -62,6 +62,12 @@ object Bench {
     }
 
     val timed = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // First-run (cold-path) timing per query (VERDICT r10 #3): min-of-two
+    // makes memoized cascades report cache-read time, so a regression in
+    // the COLD build path was invisible to round-over-round diffs of the
+    // min. The detail artifact now carries both; the compact stdout line
+    // (and the `queries` min map — the driver contract) are unchanged.
+    val firstRun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_e_hybrid_rrf runs only
     // queries whose name matches a listed entry exactly or by prefix.
@@ -77,6 +83,7 @@ object Bench {
         val a = runOnce(fn)
         val b = runOnce(fn)
         timed += name -> math.min(a, b)
+        firstRun += name -> a
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -101,7 +108,9 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     val qsFull = timed.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"n_ok":${timed.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+    val qsFirst = firstRun.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_first":$qsFirst,"errors":$errs,"n_ok":${timed.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(fullLine) finally w.close()

@@ -482,7 +482,13 @@ object NearDup {
     // Materialize the edge cache under AQE FIRST: the upstream pair MINER
     // is a one-shot analytic plan that genuinely benefits from runtime
     // coalescing (measured: folding it into the loop's first non-AQE
-    // action cost q_d_dedup_groups +35% on the same host). THEN run the
+    // action cost q_d_dedup_groups +35% on the same host). That guarantee
+    // holds for callers OUTSIDE an enclosing IterScope (q_d_dedup_groups,
+    // q_d_group_stats, ...); when this runs inside q_d_pagerank_canonical's
+    // outer IterScope.noAqe the count below executes with AQE already off —
+    // deliberate there (BENCH_NOTES r10a: the whole cascade trades AQE for
+    // one pipelined job chain), not a contradiction of this comment
+    // (ADVICE r10). THEN run the
     // loop's convergence checks with AQE off (IterScope): adaptive
     // execution would split each tiny round into 3-6 stage-
     // materialization jobs, i.e. serial driver walls that pay the

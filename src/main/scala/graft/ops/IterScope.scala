@@ -20,19 +20,46 @@ import org.apache.spark.sql.SparkSession
   * flip the trade — the scope is per-call-site, not global, precisely so
   * that decision stays local and documented.
   *
-  * NOT thread-safe across concurrently-built queries (SQL conf is
-  * session-global): Bench/Verify/tests build queries sequentially by
-  * contract, and the scope restores priors even on exception.
+  * The override mutates SESSION-GLOBAL SQL conf, so the sequential-build
+  * contract (Bench/Verify/tests drive queries one at a time) is ENFORCED
+  * at runtime (ADVICE r10, medium): entering a scope on a session that
+  * another thread currently holds throws immediately — two interleaved
+  * set/restore sequences could each capture the other's transient "false"
+  * as its prior and leave AQE disabled session-wide, which fail-fast beats.
+  * Same-thread nesting is reentrant (the cascades nest scopes through
+  * connectedComponents). A concurrent-query service should give each
+  * builder its own `spark.newSession()` (shared cache, isolated SQLConf);
+  * this guard is what turns that guidance from prose into an exception.
   */
 object IterScope {
+  /** Session → thread currently holding an open scope. Entries exist only
+    * while a scope is open (outermost exit removes), so the map is empty
+    * at rest and never pins a stopped session.
+    */
+  private val owners =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Thread]()
+
   def withConf[T](spark: SparkSession, kv: (String, String)*)(body: => T): T = {
+    val me = Thread.currentThread()
+    val prev = owners.putIfAbsent(spark, me)
+    if (prev != null && (prev ne me))
+      throw new IllegalStateException(
+        s"IterScope already held by thread '${prev.getName}' on this " +
+          "session: concurrent iterative scopes would interleave " +
+          "session-global SQL-conf set/restore. Run concurrent builders " +
+          "on separate sessions (spark.newSession() shares the cache " +
+          "with an isolated SQLConf).")
+    val nested = prev ne null
     val conf = spark.conf
     val prior = kv.map { case (k, _) => k -> conf.getOption(k) }
     kv.foreach { case (k, v) => conf.set(k, v) }
     try body
-    finally prior.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None)    => conf.unset(k)
+    finally {
+      prior.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None)    => conf.unset(k)
+      }
+      if (!nested) owners.remove(spark, me)
     }
   }
 

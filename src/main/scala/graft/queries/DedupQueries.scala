@@ -28,6 +28,18 @@ object DedupQueries extends QueryPack {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
       org.apache.spark.sql.DataFrame]
 
+  /** Memoized q_d_winnow_incremental verdict frame per (session, dir) —
+    * same pattern as [[prCanonicalCache]] (ADVICE r10, low): the builder
+    * eagerly materializes its retained frame so consumers read cache, but
+    * WITHOUT memoization every rebuild inside one release scope re-retained
+    * and re-counted a new plan-identical frame, appending duplicate
+    * CacheScope registry entries and re-running the gate. Evicted via
+    * onRelease at the scope boundary.
+    */
+  private val winnowIncrCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
   // ---- shared oracle SQL fragments -------------------------------------
   /** Tokens of trim(text), empty strings dropped (matches the byte-scan
     * tokenizer in [[graft.functions.TextHashes]]).
@@ -593,18 +605,20 @@ object DedupQueries extends QueryPack {
         // read the 19k-row result from cache. Semantics unchanged — the
         // gate's per-batch production posture is exactly "materialize the
         // verdict frame once, then serve it".
-        graft.ops.IterScope.noAqe(s) {
-          val res = graft.CacheScope.retain(
-            NearDup.incrementalWinnow(
-              d.where(col("doc_id") < 400), d.where(col("doc_id") >= 400),
-              "doc_id", "text", k = 16, w = 8, minShared = 3, stopDf = 64)
-              .withColumn("origin",
-                when(col("dup_of") < 400, lit("corpus"))
-                  .otherwise(lit("batch")))
-              .orderBy("new_doc", "dup_of"))
-          res.count()
-          res
-        }
+        winnowIncrCache.getOrElseUpdate((s, dir),
+          graft.ops.IterScope.noAqe(s) {
+            val res = graft.CacheScope.retain(
+              NearDup.incrementalWinnow(
+                d.where(col("doc_id") < 400), d.where(col("doc_id") >= 400),
+                "doc_id", "text", k = 16, w = 8, minShared = 3, stopDf = 64)
+                .withColumn("origin",
+                  when(col("dup_of") < 400, lit("corpus"))
+                    .otherwise(lit("batch")))
+                .orderBy("new_doc", "dup_of"),
+              onRelease = () => winnowIncrCache.remove((s, dir)))
+            res.count()
+            res
+          })
       },
       Some("""WITH h AS (SELECT doc_id,
              |    CASE WHEN length(text) < 16 THEN CAST([] AS BIGINT[])

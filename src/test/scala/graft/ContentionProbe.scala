@@ -38,6 +38,21 @@ object ContentionProbe {
       }
     })
 
+    // Deterministic listener drain (ADVICE r10): SparkListener events ride
+    // an async bus that can lag well past a fixed sleep after heavy
+    // queries, so jobs.set(0)/sites.clear() raced late events in census
+    // mode (50 ms) and could misattribute job counts between adjacent
+    // queries. LiveListenerBus.waitUntilEmpty blocks until every posted
+    // event is delivered; it is private[spark] (public in bytecode), so
+    // reflection reaches it — with the old 300 ms sleep as the fallback if
+    // a Spark upgrade renames it.
+    def drainListenerBus(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(300) }
+
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // "--all": one-pass wall CENSUS over the whole surface, jobs-desc —
     // the serial-wall equivalent of the bench's slowest-queries list.
@@ -50,14 +65,14 @@ object ContentionProbe {
     val walls = scala.collection.mutable.LinkedHashMap[String, (Int, Double)]()
     Tables(spark, dir, "documents").count() // warm the scan path
     for (name <- names; pass <- passes) {
-      Thread.sleep(if (census) 50 else 300) // let listener drain
+      drainListenerBus()
       jobs.set(0)
       val t0 = System.nanoTime()
       val n = try SparkEntry.queries(name)(spark, dir).count()
         catch { case e: Throwable =>
           println(s"$name FAIL ${e.getClass.getSimpleName}"); -1L }
       val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(if (census) 50 else 300)
+      drainListenerBus()
       walls(name) = (jobs.get, secs)
       println(f"$name%-28s pass$pass ${secs}%7.2f s  jobs=${jobs.get}%3d  rows=$n")
       if (sys.env.contains("GRAFT_PROBE_SITES")) {

@@ -37,6 +37,53 @@ class IterScopeSpec extends AnyFunSuite {
       "previously-unset keys must be unset on restore, not set to a value")
   }
 
+  test("concurrent entry on one session fails fast; same-thread nesting " +
+      "is reentrant; the scope frees after the holder exits") {
+    val k = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.get(k)
+    // same-thread nesting (the pagerank cascade nests scopes through
+    // connectedComponents) must remain legal and restore once, at the
+    // outermost exit
+    graft.ops.IterScope.noAqe(spark) {
+      graft.ops.IterScope.withConf(spark, k -> "false") {
+        assert(spark.conf.get(k) == "false")
+      }
+      assert(spark.conf.get(k) == "false", "inner exit must not restore early")
+    }
+    assert(spark.conf.get(k) == prior)
+
+    // two-thread interleave (ADVICE r10, medium): while thread A holds the
+    // scope, thread B's entry must THROW instead of interleaving
+    // session-global set/restore (B could capture A's transient "false" as
+    // its prior and leave AQE off session-wide)
+    val aEntered = new java.util.concurrent.CountDownLatch(1)
+    val aRelease = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      graft.ops.IterScope.noAqe(spark) {
+        aEntered.countDown()
+        aRelease.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      }, "iterscope-holder")
+    holder.start()
+    assert(aEntered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    val denied = intercept[IllegalStateException] {
+      graft.ops.IterScope.noAqe(spark) { () }
+    }
+    assert(denied.getMessage.contains("iterscope-holder"),
+      "the error must name the holding thread")
+    assert(spark.conf.get(k) == "false",
+      "the denied entry must not have touched the holder's override")
+    aRelease.countDown()
+    holder.join(30000)
+    assert(!holder.isAlive)
+    assert(spark.conf.get(k) == prior, "holder exit must restore")
+    // and the session is re-enterable once free
+    graft.ops.IterScope.noAqe(spark) {
+      assert(spark.conf.get(k) == "false")
+    }
+    assert(spark.conf.get(k) == prior)
+  }
+
   test("memoized query results survive a release cycle: rebuild serves " +
       "fresh usable frames, not a stale unpersisted cache entry") {
     for (q <- Seq("q_d_pagerank_canonical", "q_e_mmr_topk")) {
