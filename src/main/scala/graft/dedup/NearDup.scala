@@ -399,6 +399,78 @@ object NearDup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Per-batch winnow-gate suppression metrics (VERDICT r10 #2): what the
+    * stop list did to THIS batch. `stopFrac` is the fraction of the
+    * batch's fingerprint occurrences that crossed the total-df stop list —
+    * the recall-collapse signal: at ≥100 replicas EVERY fingerprint
+    * crosses (r10b: mined rows 18 744 → 0), which is the gate's designed
+    * template-text behavior but must alert, not pass silently.
+    */
+  final case class WinnowGateMetrics(fpSeen: Long, fpStopped: Long,
+      stopFrac: Double, pairsMined: Long)
+
+  /** [[incrementalWinnow]] with suppression metrics — the observable form
+    * a production foreachBatch ingest loop runs (VERDICT r10 #2). Same
+    * pipeline, same output rows (StreamingSpec pins gated == ungated);
+    * additionally returns [[WinnowGateMetrics]] for the batch.
+    *
+    * Why a computed 1-row report instead of a `Dataset.observe` node on
+    * the output plan: the suppression signal counts fingerprints the stop
+    * list REMOVES from the plan — a CollectMetrics node over the flowing
+    * output can never see them. The report still costs no extra corpus
+    * scan: it reads only the batch's fingerprints and the stop list, both
+    * materialized here once (fpD is O(delta) by the gate's batch
+    * contract; the stop list is the hot-template set, small by
+    * construction) and dropped before returning — unlike the
+    * corpus-sized frames the ungated form deliberately leaves to
+    * ReusedExchange. The verdict frame is eagerly materialized and
+    * retained (the per-batch production posture the winnow query already
+    * uses); CacheScope.release at the caller's batch boundary frees it.
+    */
+  def incrementalWinnowGated(corpus: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, k: Int, w: Int, minShared: Long,
+      stopDf: Long): (DataFrame, WinnowGateMetrics) = {
+    import graft.functions.TextHashes.winnow_fingerprints
+    import org.apache.spark.storage.StorageLevel
+    def fps(df: DataFrame) = df.select(col(idCol),
+      explode(winnow_fingerprints(col(textCol), k, w)).as("fp"))
+    val fpC = fps(corpus)
+    val fpD = fps(delta).persist(StorageLevel.MEMORY_AND_DISK)
+    val hot = fpC.unionByName(fpD).groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > stopDf).select("fp")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val coldC = fpC.join(broadcast(hot), Seq("fp"), "left_anti")
+      val coldD = fpD.join(broadcast(hot), Seq("fp"), "left_anti")
+      val candCorpus = coldC.alias("c")
+        .join(broadcast(coldD).alias("nw"), col("c.fp") === col("nw.fp"))
+        .select(col(s"nw.$idCol").as("new_doc"),
+          col(s"c.$idCol").as("dup_of"))
+      val candBatch = coldD.alias("a").join(coldD.alias("b"),
+          col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"b.$idCol").as("new_doc"), col(s"a.$idCol").as("dup_of"))
+      val out = graft.CacheScope.retain(
+        candCorpus.unionByName(candBatch)
+          .groupBy("new_doc", "dup_of")
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= minShared))
+      val pairsMined = out.count()
+      val r = fpD
+        .join(broadcast(hot.withColumn("__stop", lit(1L))), Seq("fp"), "left")
+        .agg(count(lit(1)).as("seen"),
+          coalesce(sum(col("__stop")), lit(0L)).as("stopped"))
+        .head()
+      val seen = r.getLong(0); val stopped = r.getLong(1)
+      val frac = if (seen == 0L) 0.0
+        else math.round(stopped.toDouble / seen * 1e6) / 1e6
+      (out, WinnowGateMetrics(seen, stopped, frac, pairsMined))
+    } finally {
+      fpD.unpersist()
+      hot.unpersist()
+    }
+  }
+
   /** Containment near-dup pairs: |A∩B|/|A| and |A∩B|/|B| per candidate
     * pair, kept when EITHER direction ≥ threshold. Containment catches
     * what symmetric Jaccard misses — a document embedded inside a larger

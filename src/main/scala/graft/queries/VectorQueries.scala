@@ -756,7 +756,6 @@ object VectorQueries extends QueryPack {
     Query(
       "q_e_semdedup_groups",
       (s, dir) => {
-        import graft.functions.VectorExpressions.cosine_sim
         // SemDeDup (cluster-scoped semantic dedup): k-means-assign every
         // embedding to a coarse cell, compare pairs ONLY within a cell,
         // collapse the >= 0.45 pairs transitively. The published recipe's
@@ -764,23 +763,19 @@ object VectorQueries extends QueryPack {
         // ∝ corpus (constant expected cell size), vs the LSH-banded
         // variant (q_e_embed_dedup_groups) whose candidate volume depends
         // on the hash family — two independent candidate generators over
-        // the same collapse operator. Assignment is the codegen'd
-        // BestCell map pass; the self-join shuffles once on cell; the
-        // assigned frame is retained so the self-join's two sides don't
-        // re-evaluate the assignment (the r3 CC 203× lesson).
+        // the same collapse operator. Pair mining lives in
+        // VectorSearch.semDedupPairs (assignment = codegen'd BestCell map
+        // pass; ONE shuffle on cell; the assigned frame retained so the
+        // self-join's sides don't re-evaluate — the r3 CC 203× lesson).
+        // This query runs the exact uncapped contract the oracle replays;
+        // the maxPerCell star cap (r11) is the adversarial-input posture
+        // ScaleProbe's semdedup_capped64 measures — the "constant cell
+        // size" premise breaks on replica-heavy corpora, where the
+        // uncapped self-join is output-quadratic (r10b: killed at 1000×).
         val cents = VectorSearch.seedCentroids(
           emb(s, dir), "vec_id", "embedding", 16)
-        val asg = graft.CacheScope.retain(
-          emb(s, dir).withColumn("cell",
-            graft.functions.VectorExpressions.best_cell(
-              col("embedding"), cents.map(_._2), cents.map(_._1))))
-        val pairs = asg.alias("a").join(asg.alias("b"),
-            col("a.cell") === col("b.cell") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            (round(cosine_sim(col("a.embedding"), col("b.embedding")), 6)
-              + lit(0.0)).as("sim"))
-          .where(col("sim") >= 0.45)
+        val pairs = VectorSearch.semDedupPairs(
+          emb(s, dir), "vec_id", "embedding", cents, threshold = 0.45)
         graft.dedup.NearDup.connectedComponents(pairs, "vec_a", "vec_b")
           .select(col("node").as("vec_id"), col("group_id"),
             (col("node") === col("group_id")).as("keep"))
@@ -820,7 +815,11 @@ object VectorQueries extends QueryPack {
         // fresh by StreamingCentroids). The corpus is only probed with
         // the broadcast delta — never self-joined — so the semantic gate
         // has the same O(delta) per-batch cost as the MinHash/winnow
-        // gates. Same seeded quantizer as q_e_semdedup_groups.
+        // gates. Same seeded quantizer as q_e_semdedup_groups. Runs the
+        // exact uncapped contract the oracle replays; the maxPerCell
+        // star cap (r11) is the dup-heavy-batch posture ScaleProbe's
+        // semdedup_incr_capped64 measures at the 1000× delta≈corpus
+        // stress that killed the uncapped form (r10b).
         val e = emb(s, dir)
         val cents = VectorSearch.seedCentroids(
           e.where(col("vec_id") < 400), "vec_id", "embedding", 16)

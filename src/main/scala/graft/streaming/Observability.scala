@@ -98,6 +98,45 @@ object Observability {
         when(col("corrupt_rows") === 0 && col("late_ratio") < 0.5,
           lit("healthy")).otherwise(lit("degraded")))
 
+  /** Schema of the dedup-gate metrics table (one row per gated
+    * micro-batch — see [[graft.dedup.NearDup.incrementalWinnowGated]]).
+    */
+  val gateMetricsSchema: StructType = new StructType()
+    .add("batch_id", "long").add("fp_seen", "long")
+    .add("fp_stopped", "long").add("stop_frac", "double")
+    .add("pairs_mined", "long")
+
+  /** Per-batch gate metrics → the gate-metrics table. */
+  def gateMetricsFrame(spark: SparkSession,
+      rows: Seq[(Long, graft.dedup.NearDup.WinnowGateMetrics)]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (b, m) =>
+        Row(b, m.fpSeen, m.fpStopped, m.stopFrac, m.pairsMined) }: _*),
+      gateMetricsSchema)
+
+  /** Fold gate metrics into the 1-row suppression health report (VERDICT
+    * r10 #2): a corpus whose near-dup recall collapses to zero — every
+    * fingerprint crossing the total-df stop list, the designed
+    * template-text behavior at ≥100 replicas (r10b: mined rows
+    * 18 744 → 0) — reports `suppressed` instead of passing silently.
+    * The verdict is on the stop FRACTION, not on pairs mined: zero pairs
+    * from a clean batch is healthy; zero pairs because the stop list
+    * swallowed the batch is not.
+    */
+  def gateHealthReport(metrics: DataFrame): DataFrame =
+    metrics.agg(
+      sum("fp_seen").as("fp_seen"),
+      sum("fp_stopped").as("fp_stopped"),
+      sum("pairs_mined").as("pairs_mined"),
+      max("stop_frac").as("max_batch_stop_frac"))
+      .select(col("fp_seen"), col("fp_stopped"), col("pairs_mined"),
+        (round(col("fp_stopped") / greatest(col("fp_seen"), lit(1L)), 6)
+          + lit(0.0)).as("stop_frac"),
+        col("max_batch_stop_frac"))
+      .withColumn("status",
+        when(col("stop_frac") > 0.5, lit("suppressed"))
+          .otherwise(lit("healthy")))
+
   /** Captures each micro-batch's observed ingest metrics — the listener a
     * deployment points at its metrics sink. Thread-safe; `snapshot` turns
     * the captured rows into the metrics table [[healthReport]] folds.

@@ -321,6 +321,80 @@ object VectorSearch extends Serializable {
     cosineTopK(cand, query, idCol, vecCol, k)
   }
 
+  /** Cell assignment shared by the SemDeDup paths: one stateless codegen'd
+    * BestCell map pass (centroids ride in as a literal reference array —
+    * the corpus is never joined against the centroid table).
+    */
+  private def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Long, Array[Float])]): DataFrame =
+    df.select(col(idCol), col(vecCol),
+      graft.functions.VectorExpressions.best_cell(
+        col(vecCol), centroids.map(_._2), centroids.map(_._1)).as("cell"))
+
+  /** Within-corpus SemDeDup pair mining: k-means-assign every embedding to
+    * a coarse cell, exact-cosine pairs ONLY within a cell (O(Σ_c n_c²)
+    * with nCells sized ∝ corpus — never corpus², the published recipe's
+    * scale contract). Output: (vec_a, vec_b, sim) with vec_a < vec_b and
+    * sim ≥ threshold — feeds [[graft.dedup.NearDup.connectedComponents]].
+    *
+    * `maxPerCell` is the HOT-CELL star cap (VERDICT r10 #1) — the exact
+    * analog of `NearDup.maxDocsPerBand`, and like it NOT optional at scale
+    * on replica-heavy input: the "constant expected cell size" premise
+    * breaks adversarially (2 M exact-copy vectors collapse into 1000-
+    * cliques per cell; the uncapped self-join holds ~1e9 true candidates —
+    * killed at ~30 min in the r10b 1000× stress, output-quadratic). With
+    * the cap, cells over `cap` members pair each member against the cell
+    * REPRESENTATIVE (min id) only — O(n_c) star pairs, all exact-cosine
+    * verified, so zero false positives. What the cap LOSES, precisely:
+    * within-cell pair completeness — x↔y in a hot cell is reported only
+    * through the representative, so two members that dup each other but
+    * NOT the representative lose their pair (and, downstream, can split a
+    * CC group). That is the same documented trade the MinHash star cap
+    * makes; exact upstream dedup (q_d_exact_dedup's hash-groupBy) removes
+    * the identical-vector cliques that make a cell hot in the first
+    * place. Default None = every pair, the oracle-replayed contract.
+    */
+  def semDedupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Long, Array[Float])], threshold: Double,
+      maxPerCell: Option[Int] = None): DataFrame = {
+    // retained: the self-join's two sides must not re-evaluate the
+    // assignment pass (the r3 CC 203× lesson)
+    val asg = graft.CacheScope.retain(
+      assignCells(vecs, idCol, vecCol, centroids))
+    def pairOf(a: String, b: String) = Seq(
+      col(s"$a.$idCol").as("vec_a"), col(s"$b.$idCol").as("vec_b"),
+      (round(cosine_sim(col(s"$a.$vecCol"), col(s"$b.$vecCol")), 6)
+        + lit(0.0)).as("sim"))
+    val pairs = maxPerCell match {
+      case None =>
+        asg.alias("a").join(asg.alias("b"),
+            col("a.cell") === col("b.cell") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(pairOf("a", "b"): _*)
+      case Some(c) =>
+        val stats = asg.groupBy("cell")
+          .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__rep"))
+        val tagged = asg.join(broadcast(stats), Seq("cell"))
+        val cold = tagged.where(col("__n") <= c)
+        val full = cold.alias("a").join(cold.alias("b"),
+            col("a.cell") === col("b.cell") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(pairOf("a", "b"): _*)
+        val hot = tagged.where(col("__n") > c)
+        // rep = min id of the cell, so vec_a = rep < member always holds
+        val reps = hot.where(col(idCol) === col("__rep"))
+          .select(col("cell"), col(idCol).as("__repid"),
+            col(vecCol).as("__repvec"))
+        val star = hot.where(col(idCol) =!= col("__rep")).alias("m")
+          .join(broadcast(reps), Seq("cell"))
+          .select(col("__repid").as("vec_a"), col(s"m.$idCol").as("vec_b"),
+            (round(cosine_sim(col("__repvec"), col(s"m.$vecCol")), 6)
+              + lit(0.0)).as("sim"))
+        full.unionByName(star)
+    }
+    pairs.where(col("sim") >= threshold)
+  }
+
   /** INCREMENTAL SemDeDup — the embedding twin of the MinHash/winnow
     * ingest gates (`NearDup.incrementalDedup`/`incrementalWinnow`): a
     * batch of arriving embeddings is checked against the existing
@@ -338,27 +412,114 @@ object VectorSearch extends Serializable {
     * O(Σ n_c·δ_c) contract, with δ the (small) batch. Output:
     * (new_vec, dup_of, sim) for every within-cell pair at `sim ≥
     * threshold`, `new_vec` always from the delta.
+    *
+    * `maxPerCell` is the within-batch HOT-CELL star cap (VERDICT r10 #1,
+    * the [[semDedupPairs]] knob applied to the DELTA side) — NOT optional
+    * at scale on dup-heavy batches: a template embedding arriving 100k×
+    * in one batch lands its copies in ONE cell, and the uncapped a<b
+    * delta self-join emits k(k−1)/2 true candidates (the r10b 1000×
+    * delta≈corpus stress was killed at ~30 min with ~1e9 outstanding).
+    * With the cap, a delta cell over `cap` members:
+    *  - pairs each member against the cell representative (min id) ONLY
+    *    — O(δ_c) star pairs, exact-cosine verified;
+    *  - the representative ALONE probes the corpus for the cell (cold
+    *    cells keep every-member probes);
+    *  - members additionally verify — exact cosine, so recall is added
+    *    with zero false positives — against the representative's BEST
+    *    corpus match (top-1 by sim desc, id asc among its ≥ threshold
+    *    matches). Bounding the mediation at top-1 is what keeps the
+    *    output O(δ + corpus matches) when the corpus itself is
+    *    replica-heavy: routing members to ALL of the rep's matches (the
+    *    MinHash discipline) is output-quadratic again on exact-copy
+    *    corpora, the exact kill r10b measured.
+    * What the cap still LOSES, precisely: (a) within-batch pairs between
+    * two hot-cell members that dup each other but not the rep; (b) a
+    * member duplicating a corpus vector that is NOT its rep's best match
+    * is admitted with only its star/top-1 attributions. Corpus-side cells
+    * need no cap by induction: a gated ingest never admits the
+    * duplicates that would make one hot. Default None = exact (every
+    * pair mined, every row probes), the oracle-checked contract.
     */
   def incrementalSemDedup(corpus: DataFrame, delta: DataFrame,
       idCol: String, vecCol: String,
-      centroids: Array[(Long, Array[Float])], threshold: Double): DataFrame = {
-    def assign(df: DataFrame) = df.select(col(idCol), col(vecCol),
-      graft.functions.VectorExpressions.best_cell(
-        col(vecCol), centroids.map(_._2), centroids.map(_._1)).as("cell"))
-    val asgC = assign(corpus)
-    val asgD = assign(delta)
-    val candCorpus = asgC.alias("c")
-      .join(broadcast(asgD).alias("nw"), col("c.cell") === col("nw.cell"))
+      centroids: Array[(Long, Array[Float])], threshold: Double,
+      maxPerCell: Option[Int] = None): DataFrame = {
+    val asgC = assignCells(corpus, idCol, vecCol, centroids)
+    def probe(probeD: DataFrame): DataFrame = asgC.alias("c")
+      .join(broadcast(probeD).alias("nw"), col("c.cell") === col("nw.cell"))
       .select(col(s"nw.$idCol").as("new_vec"), col(s"c.$idCol").as("dup_of"),
         (round(cosine_sim(col(s"nw.$vecCol"), col(s"c.$vecCol")), 6)
           + lit(0.0)).as("sim"))
-    val candBatch = asgD.alias("a").join(asgD.alias("b"),
-        col("a.cell") === col("b.cell") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"b.$idCol").as("new_vec"), col(s"a.$idCol").as("dup_of"),
-        (round(cosine_sim(col(s"b.$vecCol"), col(s"a.$vecCol")), 6)
-          + lit(0.0)).as("sim"))
-    candCorpus.unionByName(candBatch).where(col("sim") >= threshold)
+    val cand = maxPerCell match {
+      case None =>
+        val asgD = assignCells(delta, idCol, vecCol, centroids)
+        val candBatch = asgD.alias("a").join(asgD.alias("b"),
+            col("a.cell") === col("b.cell") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"b.$idCol").as("new_vec"),
+            col(s"a.$idCol").as("dup_of"),
+            (round(cosine_sim(col(s"b.$vecCol"), col(s"a.$vecCol")), 6)
+              + lit(0.0)).as("sim"))
+        probe(asgD).unionByName(candBatch)
+      case Some(c) =>
+        // the delta is referenced by the stats agg, both self-join sides,
+        // and the probe legs — retain it once (O(delta) by the gate's
+        // batch contract, unlike the corpus-sized frames the winnow gate
+        // deliberately leaves to ReusedExchange)
+        val asgD = graft.CacheScope.retain(
+          assignCells(delta, idCol, vecCol, centroids))
+        val stats = asgD.groupBy("cell")
+          .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__rep"))
+        val tagged = asgD.join(broadcast(stats), Seq("cell"))
+        val coldD = tagged.where(col("__n") <= c)
+          .select(col(idCol), col(vecCol), col("cell"))
+        val hotD = tagged.where(col("__n") > c)
+        val repsD = hotD.where(col(idCol) === col("__rep"))
+        val membersD = hotD.where(col(idCol) =!= col("__rep"))
+        // within-batch: cold cells all-pairs, hot cells star through rep
+        val candBatchCold = coldD.alias("a").join(coldD.alias("b"),
+            col("a.cell") === col("b.cell") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"b.$idCol").as("new_vec"),
+            col(s"a.$idCol").as("dup_of"),
+            (round(cosine_sim(col(s"b.$vecCol"), col(s"a.$vecCol")), 6)
+              + lit(0.0)).as("sim"))
+        val repVecs = repsD
+          .select(col("cell"), col(idCol).as("__repid"),
+            col(vecCol).as("__repvec"))
+        val candStar = membersD.alias("m")
+          .join(broadcast(repVecs), Seq("cell"))
+          .select(col(s"m.$idCol").as("new_vec"),
+            col("__repid").as("dup_of"),
+            (round(cosine_sim(col(s"m.$vecCol"), col("__repvec")), 6)
+              + lit(0.0)).as("sim"))
+        // corpus probe: every cold member + each hot cell's rep
+        val candCorpusCold = probe(coldD)
+        val candCorpusRep = probe(
+          repsD.select(col(idCol), col(vecCol), col("cell")))
+        // rep-mediated member attribution, bounded at the rep's top-1
+        // verified match (see the scaladoc for why top-1, not all)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("new_vec").orderBy(col("sim").desc, col("dup_of"))
+        val repBest = candCorpusRep.where(col("sim") >= threshold)
+          .withColumn("__rk", row_number().over(w))
+          .where(col("__rk") === 1)
+          .select(col("new_vec").as("__bestrep"),
+            col("dup_of").as("__best_dup"))
+        val memberCand = membersD.alias("m")
+          .join(broadcast(repBest), col("m.__rep") === col("__bestrep"))
+          .select(col(s"m.$idCol").as("__mid"), col(s"m.$vecCol").as("__mvec"),
+            col("__best_dup"))
+        val candViaRep = asgC.alias("c")
+          .join(memberCand, col("__best_dup") === col(s"c.$idCol"))
+          .select(col("__mid").as("new_vec"), col("__best_dup").as("dup_of"),
+            (round(cosine_sim(col("__mvec"), col(s"c.$vecCol")), 6)
+              + lit(0.0)).as("sim"))
+        candCorpusCold.unionByName(candCorpusRep)
+          .unionByName(candViaRep)
+          .unionByName(candBatchCold).unionByName(candStar)
+    }
+    cand.where(col("sim") >= threshold)
   }
 
   // ---- IVF-PQ (coarse cells + residual product codes) --------------------

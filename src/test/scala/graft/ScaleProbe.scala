@@ -306,6 +306,32 @@ object ScaleProbe {
           e.where(col("vec_id") >= 200), e.where(col("vec_id") < 200),
           "vec_id", "embedding", cents, threshold = 0.35)
       },
+      // r11 (VERDICT r10 #1): the STAR-CAPPED semdedup shapes — the
+      // adversarial-input posture for the one structure that was still
+      // output-quadratic on replica-heavy input. The uncapped
+      // delta≈corpus stress was KILLED at 1000× (~1e9 within-cell
+      // candidates, r10b); these rows are the same shapes with
+      // maxPerCell=64 — hot cells star through the min-id rep, the rep
+      // alone probes the corpus, members verify via the rep's top-1
+      // match — and must COMPLETE the same decade.
+      "semdedup_capped64" -> { dir =>
+        val e = Tables(spark, dir, "embeddings")
+        val cents = graft.vector.VectorSearch.seedCentroids(
+          e, "vec_id", "embedding", 16)
+        val pairs = graft.vector.VectorSearch.semDedupPairs(
+          e, "vec_id", "embedding", cents, threshold = 0.45,
+          maxPerCell = Some(64))
+        graft.dedup.NearDup.connectedComponents(pairs, "vec_a", "vec_b")
+      },
+      "semdedup_incr_capped64" -> { dir =>
+        val e = Tables(spark, dir, "embeddings")
+        val cents = graft.vector.VectorSearch.seedCentroids(
+          e.where(col("vec_id") < 400), "vec_id", "embedding", 16)
+        graft.vector.VectorSearch.incrementalSemDedup(
+          e.where(col("vec_id") < 400), e.where(col("vec_id") >= 400),
+          "vec_id", "embedding", cents, threshold = 0.35,
+          maxPerCell = Some(64))
+      },
       // r9 second sweep: the remaining DISTINCT physical plan classes
       // measured only at 1x so far (SQL twins / approx twins of probed
       // plans stay out — identical plans carry no new scaling signal).

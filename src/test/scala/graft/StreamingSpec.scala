@@ -431,6 +431,91 @@ class StreamingSpec extends AnyFunSuite {
       s"corpus after two winnow-gated batches: $ids")
   }
 
+  test("streaming ingest gate: winnow suppression metrics alert when the " +
+    "stop list swallows a replica-heavy batch (batch == stream pinned)") {
+    // VERDICT r10 #2: at ≥100 replicas every fingerprint crosses the
+    // total-df stop list and the gate mines ZERO pairs — designed
+    // template-text behavior, but recall collapse must alert, not pass
+    // silently. The gated form returns per-batch metrics; the health
+    // report's verdict is on the stop FRACTION (zero pairs from a clean
+    // batch stays healthy).
+    import graft.dedup.NearDup
+    import graft.streaming.Observability
+    implicit val ctx = spark.sqlContext
+    val t0 = "the quick brown fox jumps over the lazy dog while the " +
+      "river flows quietly past the old mill and the miller sleeps"
+    val passage = "an entirely original passage about the economics of " +
+      "medieval grain milling along the upper river valley"
+    val t1 = s"some preamble text first. $passage. and a closing remark"
+    val template = "identical template boilerplate text repeated across " +
+      "every page of the mirrored site with nothing else in the body"
+    var corpus = Seq((0L, t0)).toDF("doc_id", "text").localCheckpoint()
+    val gateLog =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, NearDup.WinnowGateMetrics)]
+    val flaggedLog = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val (flagged, m) = NearDup.incrementalWinnowGated(corpus, batch,
+          "doc_id", "text", k = 16, w = 8, minShared = 3, stopDf = 8)
+        gateLog += ((id, m))
+        flaggedLog(id) = flagged.select("new_doc", "dup_of")
+          .as[(Long, Long)].collect().toSet
+        val admitted = batch.join(
+          flagged.select("new_doc").distinct(),
+          batch("doc_id") === col("new_doc"), "left_anti")
+        corpus = corpus.unionByName(admitted).localCheckpoint()
+        CacheScope.release(spark) // batch boundary frees the verdict frame
+        ()
+      }
+      .start()
+    // batch 0: healthy — one passage thief, one novel doc
+    ms.addData((10L, t1), (11L, s"fresh framing yet $passage. stolen"))
+    q.processAllAvailable()
+    // batch 1: adversarial — 12 copies of one template (> stopDf=8), so
+    // every template fingerprint crosses the TOTAL-df stop list
+    ms.addData((20L to 31L).map(i => (i, template)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val Seq((_, healthy), (_, suppressed)) = gateLog.toSeq
+    assert(healthy.pairsMined >= 1, "the passage thief must be mined")
+    assert(healthy.stopFrac <= 0.5, s"healthy batch stopFrac: $healthy")
+    assert(suppressed.pairsMined == 0,
+      s"the stop list must swallow the replica batch: $suppressed")
+    assert(suppressed.stopFrac > 0.9 && suppressed.fpStopped > 0,
+      s"suppression must be visible in the metrics: $suppressed")
+
+    // batch == stream: re-running each micro-batch as a direct batch call
+    // over the same (corpus, delta) yields identical flags AND metrics
+    val corpus0 = Seq((0L, t0)).toDF("doc_id", "text")
+    val b0 = Seq((10L, t1), (11L, s"fresh framing yet $passage. stolen"))
+      .toDF("doc_id", "text")
+    val (f0, m0) = NearDup.incrementalWinnowGated(corpus0, b0,
+      "doc_id", "text", 16, 8, 3, 8)
+    assert(m0 == healthy)
+    assert(f0.select("new_doc", "dup_of").as[(Long, Long)].collect().toSet
+      == flaggedLog(0L))
+    // and gated == ungated on the output rows (semantics unchanged)
+    val ungated = NearDup.incrementalWinnow(corpus0, b0,
+        "doc_id", "text", 16, 8, 3, 8)
+      .select("new_doc", "dup_of").as[(Long, Long)].collect().toSet
+    assert(f0.select("new_doc", "dup_of").as[(Long, Long)].collect().toSet
+      == ungated)
+    CacheScope.release(spark)
+
+    // the health-report row: the metrics table folds to 'suppressed'
+    // because one batch collapsed, and a healthy-only table stays healthy
+    val mf = Observability.gateMetricsFrame(spark, gateLog.toSeq)
+    val rep = Observability.gateHealthReport(mf).collect().head
+    assert(rep.getAs[String]("status") == "suppressed")
+    assert(rep.getAs[Long]("pairs_mined") == healthy.pairsMined)
+    val repH = Observability.gateHealthReport(
+      Observability.gateMetricsFrame(spark, gateLog.toSeq.take(1)))
+      .collect().head
+    assert(repH.getAs[String]("status") == "healthy")
+  }
+
   test("streaming ingest gate: incrementalSemDedup flags within-cell " +
     "cosine dups against retained state") {
     // The embedding twin of the MinHash/winnow gates: arriving vectors

@@ -263,6 +263,119 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedupPairs maxPerCell: identical to uncapped when no cell " +
+      "exceeds the cap; hot cells star through the min-id rep") {
+    // (a) no-op contract on the real fixture: a cap above every cell's
+    // population must reproduce the exact uncapped pair set
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = VectorSearch.seedCentroids(e, "vec_id", "embedding", 16)
+    def pairSet(cap: Option[Int]) =
+      VectorSearch.semDedupPairs(e, "vec_id", "embedding", cents, 0.45, cap)
+        .as[(Long, Long, Double)].collect().toSet
+    val un = pairSet(None)
+    assert(un.nonEmpty)
+    assert(pairSet(Some(1000000)) == un,
+      "cap above every cell population must be a no-op")
+    CacheScope.release(spark)
+
+    // (b) star contract on a planted hot cell: 5 near-identical vectors in
+    // cell 0 (cap 2 → hot), 2 in cell 1 (cold, exact pairs preserved)
+    val cents2 = Array((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+    val df = Seq(
+      (10L, Array(1f, 0.010f, 0f)), (11L, Array(1f, 0.011f, 0f)),
+      (12L, Array(1f, 0.012f, 0f)), (13L, Array(1f, 0.013f, 0f)),
+      (14L, Array(1f, 0.014f, 0f)),
+      (20L, Array(0f, 1f, 0.01f)), (21L, Array(0f, 1f, 0.02f)))
+      .toDF("vec_id", "embedding")
+    val capped = VectorSearch
+      .semDedupPairs(df, "vec_id", "embedding", cents2, 0.9, Some(2))
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // hot cell 0: ONLY (rep=10, member) star pairs — the documented loss
+    // is member↔member pairs like (11,12); cold cell 1 keeps its pair
+    assert(capped == Set((10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L),
+      (20L, 21L)))
+    val uncapped2 = VectorSearch
+      .semDedupPairs(df, "vec_id", "embedding", cents2, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(uncapped2.size == 11, "5-clique (10) + cold pair (1)")
+    assert(capped.subsetOf(uncapped2), "the cap never invents pairs")
+    // CC connectivity is preserved through the star (the property the
+    // group-collapse consumer needs): both reach the same groups
+    val gC = graft.dedup.NearDup.connectedComponents(
+      VectorSearch.semDedupPairs(df, "vec_id", "embedding", cents2, 0.9,
+        Some(2)), "vec_a", "vec_b")
+      .as[(Long, Long)].collect().toMap
+    val gU = graft.dedup.NearDup.connectedComponents(
+      VectorSearch.semDedupPairs(df, "vec_id", "embedding", cents2, 0.9),
+      "vec_a", "vec_b").as[(Long, Long)].collect().toMap
+    assert(gC == gU, "star edges must preserve the duplicate groups here")
+    CacheScope.release(spark)
+  }
+
+  test("incrementalSemDedup maxPerCell: cold cells exact, hot cells " +
+      "star + rep-mediated top-1 corpus attribution (residual pinned)") {
+    // quantizer: cell 0 = x-axis, cell 1 = y-axis
+    val cents = Array((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+    // corpus: ids 0,1 in cell 0 (0 is the rep's BEST match by design:
+    // exactly the rep's direction); id 2 in cell 1
+    val corpus = Seq(
+      (0L, Array(1f, 0.015f, 0f)), (1L, Array(1f, 0.200f, 0f)),
+      (2L, Array(0f, 1f, 0.01f))).toDF("vec_id", "embedding")
+    // delta: hot cell 0 (ids 100..103 > cap 2, rep = 100), cold cell 1
+    val delta = Seq(
+      (100L, Array(1f, 0.010f, 0f)), (101L, Array(1f, 0.011f, 0f)),
+      (102L, Array(1f, 0.012f, 0f)), (103L, Array(1f, 0.190f, 0f)),
+      (200L, Array(0f, 1f, 0.02f)), (201L, Array(0f, 1f, 0.03f)))
+      .toDF("vec_id", "embedding")
+    val thr = 0.99
+    val capped = VectorSearch.incrementalSemDedup(
+        corpus, delta, "vec_id", "embedding", cents, thr, Some(2))
+      .select("new_vec", "dup_of").as[(Long, Long)].collect().toSet
+    CacheScope.release(spark)
+    // cold cell 1 keeps the exact gate: both members probe the corpus,
+    // within-batch pair intact
+    assert(capped.contains((200L, 2L)) && capped.contains((201L, 2L)))
+    assert(capped.contains((201L, 200L)))
+    // hot cell: members flag through the rep (star), rep probes corpus
+    assert(capped.contains((100L, 0L)), "rep probes the corpus")
+    assert(capped.contains((101L, 100L)) && capped.contains((102L, 100L)),
+      "members star through the rep")
+    assert(!capped.contains((103L, 100L)),
+      "103's tilt puts it under the star threshold vs the rep")
+    // rep-mediated top-1 attribution: members inherit the rep's BEST
+    // corpus match (id 0) and exact-verify against it
+    assert(capped.contains((101L, 0L)) && capped.contains((102L, 0L)))
+    // the DOCUMENTED residuals: (a) member↔member hot pairs are absent
+    assert(!capped.contains((102L, 101L)))
+    // (b) member 103 dups corpus 1 (both ~0.19/0.20 tilt) but corpus 1 is
+    // NOT the rep's best match → that attribution is lost under the cap
+    // (103 also fails the star to the rep at this threshold)...
+    assert(!capped.contains((103L, 1L)))
+    // ...while the UNCAPPED gate reports it — the loss is real, bounded,
+    // and exactly what the scaladoc declares
+    val uncapped = VectorSearch.incrementalSemDedup(
+        corpus, delta, "vec_id", "embedding", cents, thr)
+      .select("new_vec", "dup_of").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((103L, 1L)))
+    assert(capped.subsetOf(uncapped), "the cap never invents matches")
+    CacheScope.release(spark)
+
+    // no-op contract on the real fixture split (the q_e_semdedup_
+    // incremental shape): a cap above every delta cell population must
+    // reproduce the exact uncapped result
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents16 = VectorSearch.seedCentroids(
+      e.where($"vec_id" < 400), "vec_id", "embedding", 16)
+    def gate(cap: Option[Int]) = VectorSearch.incrementalSemDedup(
+        e.where($"vec_id" < 400), e.where($"vec_id" >= 400),
+        "vec_id", "embedding", cents16, 0.35, cap)
+      .as[(Long, Long, Double)].collect().toSet
+    val base = gate(None)
+    assert(base.nonEmpty)
+    assert(gate(Some(1000000)) == base)
+    CacheScope.release(spark)
+  }
+
   test("ann recall eval: agrees with independently computed overlap") {
     val dir = "/root/testdata/sf0.001"
     val Seq((k, hits, recall)) = SparkEntry.queries("q_e_ann_recall")(spark, dir)
