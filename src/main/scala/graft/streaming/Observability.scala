@@ -137,6 +137,47 @@ object Observability {
         when(col("stop_frac") > 0.5, lit("suppressed"))
           .otherwise(lit("healthy")))
 
+  /** Schema of the semantic-gate cap-engagement table (one row per gated
+    * micro-batch — see
+    * [[graft.vector.VectorSearch.incrementalSemDedupGated]]).
+    */
+  val semGateMetricsSchema: StructType = new StructType()
+    .add("batch_id", "long").add("delta_rows", "long")
+    .add("hot_cells", "long").add("starred_members", "long")
+    .add("star_frac", "double").add("pairs_flagged", "long")
+
+  /** Per-batch semantic-gate metrics → the metrics table. */
+  def semGateMetricsFrame(spark: SparkSession,
+      rows: Seq[(Long, graft.vector.VectorSearch.SemGateMetrics)]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (b, m) =>
+        Row(b, m.deltaRows, m.hotCells, m.starredMembers, m.starFrac,
+          m.pairsFlagged) }: _*), semGateMetricsSchema)
+
+  /** 1-row cap-engagement report for the semantic gate: `star_capped`
+    * when most of the traffic routed through representatives instead of
+    * probing the corpus itself (output stays exact-verified but
+    * pair-incomplete — the r11 star-cap residuals), `healthy` otherwise.
+    * The same alert-on-silent-degradation contract as
+    * [[gateHealthReport]]: the verdict is on the star fraction, never on
+    * the pair count.
+    */
+  def semGateHealthReport(metrics: DataFrame): DataFrame =
+    metrics.agg(
+      sum("delta_rows").as("delta_rows"),
+      sum("hot_cells").as("hot_cells"),
+      sum("starred_members").as("starred_members"),
+      sum("pairs_flagged").as("pairs_flagged"),
+      max("star_frac").as("max_batch_star_frac"))
+      .select(col("delta_rows"), col("hot_cells"), col("starred_members"),
+        col("pairs_flagged"),
+        (round(col("starred_members") / greatest(col("delta_rows"), lit(1L)),
+          6) + lit(0.0)).as("star_frac"),
+        col("max_batch_star_frac"))
+      .withColumn("status",
+        when(col("star_frac") > 0.5, lit("star_capped"))
+          .otherwise(lit("healthy")))
+
   /** Captures each micro-batch's observed ingest metrics — the listener a
     * deployment points at its metrics sink. Thread-safe; `snapshot` turns
     * the captured rows into the metrics table [[healthReport]] folds.

@@ -522,6 +522,50 @@ object VectorSearch extends Serializable {
     cand.where(col("sim") >= threshold)
   }
 
+  /** Per-batch cap-engagement metrics for the semantic ingest gate (the
+    * [[graft.dedup.NearDup.WinnowGateMetrics]] discipline applied to the
+    * r11 star cap): `starFrac` is the fraction of the batch routed
+    * through a representative instead of probing the corpus itself —
+    * the recall-degradation signal. Star-capped output is still
+    * exact-cosine verified (zero false positives), but pair-incomplete
+    * per the [[incrementalSemDedup]] residuals, and a batch that is
+    * mostly starred must say so in a metric, not in prose.
+    */
+  final case class SemGateMetrics(deltaRows: Long, hotCells: Long,
+      starredMembers: Long, starFrac: Double, pairsFlagged: Long)
+
+  /** [[incrementalSemDedup]] with cap-engagement metrics — the observable
+    * form a production foreachBatch embedding-ingest loop runs. Same
+    * output rows (StreamingSpec pins gated == ungated); the verdict frame
+    * is eagerly materialized and retained (the per-batch posture);
+    * CacheScope.release at the caller's batch boundary frees it. The
+    * metrics pass re-assigns the DELTA only — one O(delta) codegen map +
+    * a per-cell count, negligible by the gate's batch contract.
+    */
+  def incrementalSemDedupGated(corpus: DataFrame, delta: DataFrame,
+      idCol: String, vecCol: String,
+      centroids: Array[(Long, Array[Float])], threshold: Double,
+      maxPerCell: Option[Int]): (DataFrame, SemGateMetrics) = {
+    val out = graft.CacheScope.retain(
+      incrementalSemDedup(corpus, delta, idCol, vecCol, centroids,
+        threshold, maxPerCell))
+    val pairsFlagged = out.count()
+    val capV = maxPerCell.map(_.toLong).getOrElse(Long.MaxValue)
+    val r = assignCells(delta, idCol, vecCol, centroids)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(
+        coalesce(sum(col("n")), lit(0L)).as("delta_rows"),
+        coalesce(sum(when(col("n") > capV, 1L).otherwise(0L)), lit(0L))
+          .as("hot_cells"),
+        coalesce(sum(when(col("n") > capV, col("n") - 1L).otherwise(0L)),
+          lit(0L)).as("starred"))
+      .head()
+    val dr = r.getLong(0); val starred = r.getLong(2)
+    val frac = if (dr == 0L) 0.0
+      else math.round(starred.toDouble / dr * 1e6) / 1e6
+    (out, SemGateMetrics(dr, r.getLong(1), starred, frac, pairsFlagged))
+  }
+
   // ---- IVF-PQ (coarse cells + residual product codes) --------------------
 
   /** IVF-PQ with RESIDUAL encoding — the composition production ANN

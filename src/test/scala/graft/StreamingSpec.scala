@@ -568,6 +568,92 @@ class StreamingSpec extends AnyFunSuite {
       s"stream flags $flaggedAcc vs batch flags $oneShot")
   }
 
+  test("streaming ingest gate: semdedup cap engagement is observable — a " +
+    "replica-heavy batch reports star_capped (batch == stream pinned)") {
+    // The r11 star cap's twin of the winnow suppression test: a batch
+    // whose cells overflow the cap is still gated (exact-verified star +
+    // top-1 rep mediation) but pair-INCOMPLETE — that engagement must be
+    // a metric, not prose.
+    import graft.vector.VectorSearch
+    import graft.streaming.Observability
+    implicit val ctx = spark.sqlContext
+    val cents: Array[(Long, Array[Float])] = Array(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+    val corpus0 = Seq((0L, Seq(1f, 0.01f, 0f)), (1L, Seq(0f, 1f, 0.01f)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    var corpus = corpus0
+    val gateLog = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, VectorSearch.SemGateMetrics)]
+    val flaggedLog = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val (flagged, m) = VectorSearch.incrementalSemDedupGated(corpus,
+          batch, "vec_id", "embedding", cents, threshold = 0.99,
+          maxPerCell = Some(2))
+        gateLog += ((id, m))
+        flaggedLog(id) = flagged.select("new_vec", "dup_of")
+          .as[(Long, Long)].collect().toSet
+        val admitted = batch.join(
+          flagged.select("new_vec").distinct(),
+          batch("vec_id") === col("new_vec"), "left_anti")
+        corpus = corpus.unionByName(admitted).localCheckpoint()
+        CacheScope.release(spark)
+        ()
+      }
+      .start()
+    // batch 0: healthy — one vector per cell, both under the cap
+    ms.addData((10L, Seq(1f, 0.011f, 0f)), (11L, Seq(0f, 1f, 0.5f)))
+    q.processAllAvailable()
+    // batch 1: adversarial — 12 near-copies land in ONE cell (> cap 2)
+    ms.addData((20L to 31L).map(i =>
+      (i, Seq(1f, 0.01f + (i - 20) * 0.0001f, 0f))): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val Seq((_, healthy), (_, capped)) = gateLog.toSeq
+    assert(healthy.hotCells == 0 && healthy.starFrac == 0.0,
+      s"under-cap batch must not engage the star: $healthy")
+    assert(healthy.pairsFlagged >= 1, "vector 10 dups corpus 0")
+    assert(capped.hotCells == 1 && capped.starredMembers == 11 &&
+      capped.starFrac > 0.9,
+      s"replica batch must report its star engagement: $capped")
+
+    // batch == stream: a direct gated batch call over the same inputs
+    // yields identical flags AND metrics
+    val b1 = (20L to 31L).map(i =>
+      (i, Seq(1f, 0.01f + (i - 20) * 0.0001f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus1 = corpus0.unionByName(
+      Seq((10L, Seq(1f, 0.011f, 0f)), (11L, Seq(0f, 1f, 0.5f)))
+        .toDF("vec_id", "embedding")
+        .where(col("vec_id") === 11L)) // 10 was flagged, only 11 admitted
+    val (f1, m1) = VectorSearch.incrementalSemDedupGated(corpus1, b1,
+      "vec_id", "embedding", cents, 0.99, Some(2))
+    assert(m1 == capped)
+    assert(f1.select("new_vec", "dup_of").as[(Long, Long)].collect().toSet
+      == flaggedLog(1L))
+    // and gated == ungated on the output rows at the same cap
+    val plain = VectorSearch.incrementalSemDedup(corpus1, b1,
+        "vec_id", "embedding", cents, 0.99, Some(2))
+      .select("new_vec", "dup_of").as[(Long, Long)].collect().toSet
+    assert(f1.select("new_vec", "dup_of").as[(Long, Long)].collect().toSet
+      == plain)
+    CacheScope.release(spark)
+
+    // health-report rows: the full table reports star_capped; the
+    // healthy-only prefix stays healthy
+    val rep = Observability.semGateHealthReport(
+      Observability.semGateMetricsFrame(spark, gateLog.toSeq))
+      .collect().head
+    assert(rep.getAs[String]("status") == "star_capped")
+    assert(rep.getAs[Long]("starred_members") == 11)
+    val repH = Observability.semGateHealthReport(
+      Observability.semGateMetricsFrame(spark, gateLog.toSeq.take(1)))
+      .collect().head
+    assert(repH.getAs[String]("status") == "healthy")
+  }
+
   test("streaming centroid maintenance equals batch means under any split") {
     import graft.streaming.StreamingCentroids
     import graft.streaming.StreamingCentroids.VecIn

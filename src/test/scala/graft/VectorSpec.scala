@@ -376,6 +376,25 @@ class VectorSpec extends AnyFunSuite {
     CacheScope.release(spark)
   }
 
+  test("capped semdedup plans: no cartesian/BNLJ, corpus probed not " +
+      "self-joined (the shapes ScaleProbe runs at 1000x)") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = VectorSearch.seedCentroids(
+      e.where($"vec_id" < 400), "vec_id", "embedding", 16)
+    val gate = VectorSearch.incrementalSemDedup(
+      e.where($"vec_id" < 400), e.where($"vec_id" >= 400),
+      "vec_id", "embedding", cents, 0.35, Some(64))
+    val pairs = VectorSearch.semDedupPairs(
+      e, "vec_id", "embedding", cents, 0.45, Some(64))
+    for ((nm, df) <- Seq("incremental" -> gate, "pairs" -> pairs)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$nm plan has a cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$nm plan has a nested-loop join")
+    }
+    CacheScope.release(spark)
+  }
+
   test("ann recall eval: agrees with independently computed overlap") {
     val dir = "/root/testdata/sf0.001"
     val Seq((k, hits, recall)) = SparkEntry.queries("q_e_ann_recall")(spark, dir)
