@@ -493,10 +493,15 @@ object VectorSearch extends Serializable {
             col("__repid").as("dup_of"),
             (round(cosine_sim(col(s"m.$vecCol"), col("__repvec")), 6)
               + lit(0.0)).as("sim"))
-        // corpus probe: every cold member + each hot cell's rep
+        // corpus probe: every cold member + each hot cell's rep. The rep
+        // probe feeds BOTH the output union and repBest below — retained
+        // so the corpus slice is probed once per batch, not twice (the
+        // two consumers share no exchange for ReusedExchange to dedup:
+        // the probe is a broadcast join). Rows = O(hot cells' corpus
+        // populations), the slice the gate touches anyway.
         val candCorpusCold = probe(coldD)
-        val candCorpusRep = probe(
-          repsD.select(col(idCol), col(vecCol), col("cell")))
+        val candCorpusRep = graft.CacheScope.retain(probe(
+          repsD.select(col(idCol), col(vecCol), col("cell"))))
         // rep-mediated member attribution, bounded at the rep's top-1
         // verified match (see the scaladoc for why top-1, not all)
         val w = org.apache.spark.sql.expressions.Window
