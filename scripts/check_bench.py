@@ -76,16 +76,21 @@ def main() -> None:
     # so memoized cascades' cold builds are diffable round-over-round.
     # Contract: same keyset as the min map, and first >= min (first is one
     # of the two runs the min was taken over).
+    # Pre-r11 archived artifacts lack the column; warn and skip these
+    # checks so round-over-round validation against old rounds keeps
+    # working (ADVICE r11, low). Current-round artifacts always carry it.
     fq = detail.get("queries_first")
     if fq is None:
-        fail("detail is missing queries_first (first-run timings, r11)")
-    if set(fq) != set(dq):
-        fail(f"queries_first keyset differs from queries: "
-             f"only-first={sorted(set(fq)-set(dq))[:5]}, "
-             f"only-min={sorted(set(dq)-set(fq))[:5]}")
-    bad = {q: (fq[q], dq[q]) for q in dq if fq[q] < dq[q] - 1e-9}
-    if bad:
-        fail(f"first-run timing below the min (impossible): {bad}")
+        print("WARN: detail has no queries_first (pre-r11 artifact) — "
+              "skipping cold-run checks")
+    else:
+        if set(fq) != set(dq):
+            fail(f"queries_first keyset differs from queries: "
+                 f"only-first={sorted(set(fq)-set(dq))[:5]}, "
+                 f"only-min={sorted(set(dq)-set(fq))[:5]}")
+        bad = {q: (fq[q], dq[q]) for q in dq if fq[q] < dq[q] - 1e-9}
+        if bad:
+            fail(f"first-run timing below the min (impossible): {bad}")
 
     print(f"bench artifacts consistent: total={detail['value']:.3f}s, "
           f"{detail['n_ok']} ok, {detail['n_err']} err, "

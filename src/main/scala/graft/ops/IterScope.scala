@@ -51,11 +51,23 @@ object IterScope {
           "with an isolated SQLConf).")
     val nested = prev ne null
     val conf = spark.conf
-    val prior = kv.map { case (k, _) => k -> conf.getOption(k) }
-    kv.foreach { case (k, v) => conf.set(k, v) }
-    try body
-    finally {
-      prior.foreach {
+    // Capture-then-set happens INSIDE the try (ADVICE r11, low): if a
+    // conf.set throws (e.g. a non-modifiable static key), the finally
+    // still restores every key that was actually changed and releases
+    // the owner entry — a leaked entry would permanently lock the
+    // session out of IterScope for other threads. A key whose set threw
+    // was never changed (per-key set is all-or-nothing), so only keys
+    // appended AFTER a successful set need restoring.
+    val applied = scala.collection.mutable.ArrayBuffer.empty[(String, Option[String])]
+    try {
+      kv.foreach { case (k, v) =>
+        val p = conf.getOption(k)
+        conf.set(k, v)
+        applied += (k -> p)
+      }
+      body
+    } finally {
+      applied.reverseIterator.foreach {
         case (k, Some(v)) => conf.set(k, v)
         case (k, None)    => conf.unset(k)
       }

@@ -121,7 +121,10 @@ object Observability {
     * 18 744 → 0) — reports `suppressed` instead of passing silently.
     * The verdict is on the stop FRACTION, not on pairs mined: zero pairs
     * from a clean batch is healthy; zero pairs because the stop list
-    * swallowed the batch is not.
+    * swallowed the batch is not. It trips on EITHER the aggregate
+    * fraction or the per-batch max (ADVICE r11, medium): a single
+    * fully-suppressed batch diluted by many healthy ones is exactly the
+    * silent-degradation case this report exists to catch.
     */
   def gateHealthReport(metrics: DataFrame): DataFrame =
     metrics.agg(
@@ -134,7 +137,8 @@ object Observability {
           + lit(0.0)).as("stop_frac"),
         col("max_batch_stop_frac"))
       .withColumn("status",
-        when(col("stop_frac") > 0.5, lit("suppressed"))
+        when(col("stop_frac") > 0.5 || col("max_batch_stop_frac") > 0.5,
+          lit("suppressed"))
           .otherwise(lit("healthy")))
 
   /** Schema of the semantic-gate cap-engagement table (one row per gated
@@ -160,7 +164,9 @@ object Observability {
     * pair-incomplete — the r11 star-cap residuals), `healthy` otherwise.
     * The same alert-on-silent-degradation contract as
     * [[gateHealthReport]]: the verdict is on the star fraction, never on
-    * the pair count.
+    * the pair count — and, like there, it trips on either the aggregate
+    * fraction or the per-batch max so one fully-starred batch cannot
+    * hide behind many healthy ones (ADVICE r11, medium).
     */
   def semGateHealthReport(metrics: DataFrame): DataFrame =
     metrics.agg(
@@ -175,7 +181,8 @@ object Observability {
           6) + lit(0.0)).as("star_frac"),
         col("max_batch_star_frac"))
       .withColumn("status",
-        when(col("star_frac") > 0.5, lit("star_capped"))
+        when(col("star_frac") > 0.5 || col("max_batch_star_frac") > 0.5,
+          lit("star_capped"))
           .otherwise(lit("healthy")))
 
   /** Captures each micro-batch's observed ingest metrics — the listener a

@@ -84,6 +84,30 @@ class IterScopeSpec extends AnyFunSuite {
     assert(spark.conf.get(k) == prior)
   }
 
+  test("a conf.set failure mid-application restores the applied keys and " +
+      "releases the owner entry (ADVICE r11)") {
+    val good = "graft.test.iterscope.partial"
+    val static = "spark.sql.warehouse.dir" // non-modifiable at runtime
+    assert(spark.conf.getOption(good).isEmpty)
+    // sanity: the second key really does refuse runtime modification
+    intercept[Exception] { spark.conf.set(static, "/tmp/graft-iterscope-x") }
+    intercept[Exception] {
+      graft.ops.IterScope.withConf(spark,
+        good -> "on", static -> "/tmp/graft-iterscope-x") { () }
+    }
+    assert(spark.conf.getOption(good).isEmpty,
+      "the key applied before the failing set must be restored (unset)")
+    // the owner entry must be gone — a leaked entry would permanently
+    // lock the session out of IterScope for every other thread
+    @volatile var entered = false
+    val t = new Thread(() =>
+      graft.ops.IterScope.noAqe(spark) { entered = true },
+      "iterscope-after-fail")
+    t.start(); t.join(30000)
+    assert(entered,
+      "a failed entry must not leave the session locked for other threads")
+  }
+
   test("memoized query results survive a release cycle: rebuild serves " +
       "fresh usable frames, not a stale unpersisted cache entry") {
     for (q <- Seq("q_d_pagerank_canonical", "q_e_mmr_topk")) {

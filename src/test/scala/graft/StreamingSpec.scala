@@ -654,6 +654,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(repH.getAs[String]("status") == "healthy")
   }
 
+  test("gate health reports trip on a single bad batch diluted by many " +
+    "healthy ones (ADVICE r11)") {
+    // One fully-suppressed/starred batch among 20 healthy ones keeps the
+    // AGGREGATE fraction well under 0.5 — the exact silent-degradation
+    // shape the reports exist to catch. The verdict must come from the
+    // per-batch max, not the diluted aggregate.
+    import graft.dedup.NearDup.WinnowGateMetrics
+    import graft.streaming.Observability
+    import graft.vector.VectorSearch.SemGateMetrics
+    val winRows: Seq[(Long, WinnowGateMetrics)] =
+      (0L until 20L).map(b => b -> WinnowGateMetrics(1000L, 10L, 0.01, 50L)) :+
+        (20L -> WinnowGateMetrics(1000L, 1000L, 1.0, 0L))
+    val rep = Observability.gateHealthReport(
+      Observability.gateMetricsFrame(spark, winRows)).collect().head
+    assert(rep.getAs[Double]("stop_frac") < 0.5) // diluted aggregate...
+    assert(rep.getAs[Double]("max_batch_stop_frac") == 1.0)
+    assert(rep.getAs[String]("status") == "suppressed") // ...still alerts
+
+    val semRows: Seq[(Long, SemGateMetrics)] =
+      (0L until 20L).map(b => b -> SemGateMetrics(1000L, 1L, 5L, 0.005, 3L)) :+
+        (20L -> SemGateMetrics(1000L, 4L, 900L, 0.9, 1L))
+    val srep = Observability.semGateHealthReport(
+      Observability.semGateMetricsFrame(spark, semRows)).collect().head
+    assert(srep.getAs[Double]("star_frac") < 0.5)
+    assert(srep.getAs[Double]("max_batch_star_frac") == 0.9)
+    assert(srep.getAs[String]("status") == "star_capped")
+  }
+
   test("streaming centroid maintenance equals batch means under any split") {
     import graft.streaming.StreamingCentroids
     import graft.streaming.StreamingCentroids.VecIn
