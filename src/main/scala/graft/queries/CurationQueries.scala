@@ -66,6 +66,30 @@ object CurationQueries extends QueryPack {
         .stripMargin)).as("p"), col("wf"))
     .groupBy(col("p.a").as("a"), col("p.b").as("b"))
     .agg(sum("wf").as("freq"))
+
+  /** [[bpeFoldExpr]] with the winning pair inlined as string LITERALS.
+    * Symbols are `[a-z]+` concatenations by construction (the training
+    * word filter), so plain single-quoting is injection-safe.
+    */
+  private def bpeFoldLit(arr: String, a: String, b: String): String =
+    bpeFoldExpr(arr, s"'$a'", s"'$b'")
+
+  /** The round's winning merge pair — max frequency, ties lexicographic —
+    * as a BOUNDED 1-row driver read (the codebook-collect discipline:
+    * production BPE trainers hold the merge table driver-side; reading
+    * one winner per round is O(rounds), never corpus-sized). Inlining
+    * the winner as literals is what keeps each round map-only over the
+    * cached vocab instead of a broadcast-exchange cascade — the r11
+    * driver bench showed those serial stage walls amplifying 30-37x
+    * under host contention (BENCH_NOTES r12).
+    */
+  private def bpeTopPair(w: org.apache.spark.sql.DataFrame)
+      : Option[(String, String, Long)] =
+    bpePairCounts(w)
+      .orderBy(col("freq").desc, col("a"), col("b")).limit(1)
+      .collect().headOption
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("freq")))
   private val numRe = "[0-9]{4,}"
 
   override def queries: Seq[Query] = Seq(
@@ -316,33 +340,39 @@ object CurationQueries extends QueryPack {
         // TWO full BPE training rounds, not just the pair count: pick the
         // most frequent adjacent symbol pair (ties lexicographic), merge
         // it corpus-wide with the greedy leftmost-first fold the published
-        // algorithm specifies, recount, pick again. The data-dependent
-        // recursion is unrolled in-plan (the Lloyd-round discipline).
-        // Scale shape: the corpus is collapsed ONCE to the distinct-word
-        // frequency table (the only corpus-sized shuffle); every round
-        // after that is O(|vocab|) — pair counts shuffle on the pair
-        // vocabulary, the winning pair broadcasts back, and the merge
-        // fold is map-only over distinct words. This is how production
-        // BPE trainers scale: rounds never touch the corpus again.
-        val words = graft.CacheScope.retain(
-          docs(s, dir)
-            .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-            .where(col("tok").rlike("^[a-z]+$"))
-            .groupBy("tok").agg(count(lit(1)).as("wf"))
-            .select(expr(
-              "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
-              .as("syms"), col("wf")))
-        val top1 = bpePairCounts(words)
-          .orderBy(col("freq").desc, col("a"), col("b")).limit(1)
-        val merged = words.crossJoin(broadcast(top1))
-          .select(expr(bpeFoldExpr("syms", "a", "b")).as("syms"), col("wf"))
-        val top2 = bpePairCounts(merged)
-          .orderBy(col("freq").desc, col("a"), col("b")).limit(1)
-        top1.select(lit(1).as("round"), col("a"), col("b"),
-          concat(col("a"), col("b")).as("merged"), col("freq"))
-          .union(top2.select(lit(2).as("round"), col("a"), col("b"),
-            concat(col("a"), col("b")).as("merged"), col("freq")))
-          .orderBy("round")
+        // algorithm specifies, recount, pick again. Scale shape: the
+        // corpus is collapsed ONCE to the distinct-word frequency table
+        // (the only corpus-sized shuffle); every round after that is
+        // O(|vocab|) — and each round's winner is a 1-ROW bounded driver
+        // read inlined as literals (r12; production trainers hold the
+        // merge table driver-side), so a round is one job over the cached
+        // vocab instead of a broadcast-exchange cascade of serial AQE
+        // stage walls (11 jobs -> ~4; the r11 driver bench measured those
+        // walls amplifying 37x under host contention). The rounds run
+        // under IterScope.noAqe — fixed 32-key vocab shapes, nothing for
+        // runtime re-planning to decide (the Lloyd-round discipline).
+        graft.ops.IterScope.noAqe(s) {
+          val words = graft.CacheScope.retain(
+            docs(s, dir)
+              .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+              .where(col("tok").rlike("^[a-z]+$"))
+              .groupBy("tok").agg(count(lit(1)).as("wf"))
+              .select(expr(
+                "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
+                .as("syms"), col("wf")))
+          val rows = bpeTopPair(words) match {
+            case None => Seq.empty[(Int, String, String, String, Long)]
+            case Some((a1, b1, f1)) =>
+              val merged = words.select(
+                expr(bpeFoldLit("syms", a1, b1)).as("syms"), col("wf"))
+              (1, a1, b1, a1 + b1, f1) +: bpeTopPair(merged).toSeq
+                .map { case (a2, b2, f2) => (2, a2, b2, a2 + b2, f2) }
+          }
+          // the merge table IS the training output — driver-resident by
+          // nature (O(rounds) rows), returned as a local frame
+          import s.implicits._
+          rows.toDF("round", "a", "b", "merged", "freq").orderBy("round")
+        }
       },
       Some(s"""WITH tk AS (SELECT unnest(list_filter(
               |         string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS tok
@@ -361,11 +391,12 @@ object CurationQueries extends QueryPack {
               |t2 AS (SELECT a, b, freq FROM p2 ORDER BY freq DESC, a, b LIMIT 1)
               |SELECT 1 AS round, a, b, a || b AS merged, freq FROM t1
               |UNION ALL SELECT 2, a, b, a || b, freq FROM t2 ORDER BY round""".stripMargin),
-      doc = "BPE training, two full rounds unrolled in-plan: max-frequency " +
-        "pair (ties lexicographic) -> greedy leftmost-first corpus-wide " +
-        "merge (aggregate-HOF fold) -> recount; the corpus collapses once " +
-        "to the distinct-word frequency table and every round after is " +
-        "O(|vocab|) — the shape production BPE trainers scale with; the " +
+      doc = "BPE training, two full rounds: max-frequency pair (ties " +
+        "lexicographic) -> greedy leftmost-first corpus-wide merge " +
+        "(aggregate-HOF fold) -> recount; the corpus collapses once to " +
+        "the distinct-word frequency table, every round after is " +
+        "O(|vocab|) with the winner a 1-row driver read inlined as " +
+        "literals — the shape production BPE trainers scale with; the " +
         "oracle replays both rounds including the merge fold"),
 
     Query(
@@ -377,40 +408,55 @@ object CurationQueries extends QueryPack {
         // tokenizer save on each feed" audit that decides whether a
         // vocab is worth shipping. Scale shape: the fit reuses the
         // distinct-word collapse (per-(source, word) counts, the only
-        // corpus-sized shuffle); the learned pairs broadcast as 1-row
-        // frames and BOTH merge folds are map-only over distinct
-        // (source, word) rows — the corpus text is never re-scanned.
+        // corpus-sized shuffle); the learned pairs are 1-row bounded
+        // driver reads inlined as literals and BOTH merge folds are
+        // map-only over distinct (source, word) rows — the corpus text
+        // is never re-scanned.
         val symsOfTok =
           "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"
-        val wordsSrc = graft.CacheScope.retain(
-          docs(s, dir)
-            .select(col("source"),
-              explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-            .where(col("tok").rlike("^[a-z]+$"))
-            .groupBy("source", "tok").agg(count(lit(1)).as("wf")))
-        val words = wordsSrc.groupBy("tok")
-          .agg(sum("wf").as("wf"))
-          .select(expr(symsOfTok).as("syms"), col("wf"))
-        val top1 = bpePairCounts(words)
-          .orderBy(col("freq").desc, col("a"), col("b")).limit(1)
-          .select(col("a").as("a1"), col("b").as("b1"))
-        val merged = words.crossJoin(broadcast(top1))
-          .select(expr(bpeFoldExpr("syms", "a1", "b1")).as("syms"), col("wf"))
-        val top2 = bpePairCounts(merged)
-          .orderBy(col("freq").desc, col("a"), col("b")).limit(1)
-          .select(col("a").as("a2"), col("b").as("b2"))
-        wordsSrc.crossJoin(broadcast(top1)).crossJoin(broadcast(top2))
-          .select(col("source"), col("wf"),
-            length(col("tok")).as("chars"),
-            size(expr(bpeFoldExpr(
-              bpeFoldExpr(symsOfTok, "a1", "b1"), "a2", "b2"))).as("nsym"))
-          .groupBy("source")
-          .agg(sum("wf").as("n_words"),
-            sum(col("chars") * col("wf")).as("n_chars"),
-            sum(col("nsym") * col("wf")).as("n_symbols"),
-            (round(sum(col("chars") * col("wf")) * 1.0
-              / sum(col("nsym") * col("wf")), 4) + lit(0.0)).as("compression"))
-          .orderBy("source")
+        graft.ops.IterScope.noAqe(s) {
+          val wordsSrc = graft.CacheScope.retain(
+            docs(s, dir)
+              .select(col("source"),
+                explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+              .where(col("tok").rlike("^[a-z]+$"))
+              .groupBy("source", "tok").agg(count(lit(1)).as("wf")))
+          val words = wordsSrc.groupBy("tok")
+            .agg(sum("wf").as("wf"))
+            .select(expr(symsOfTok).as("syms"), col("wf"))
+          // fit: each round's winner is a 1-row bounded driver read
+          // inlined as literals (r12, see q_t_bpe_train) — the returned
+          // audit plan is cached-vocab scan -> map-only double fold ->
+          // one groupBy(source), not a broadcast cascade (19 jobs -> ~5)
+          val fitted = bpeTopPair(words).flatMap { case (a1, b1, _) =>
+            val merged = words.select(
+              expr(bpeFoldLit("syms", a1, b1)).as("syms"), col("wf"))
+            bpeTopPair(merged).map { case (a2, b2, _) => (a1, b1, a2, b2) }
+          }
+          fitted match {
+            case None =>
+              // no minable pair in round 1 or 2: the pre-r12 plan
+              // (crossJoin with an EMPTY broadcast winner) returned an
+              // empty frame — keep that contract, schema-stable
+              s.range(0).select(lit("").as("source"), lit(0L).as("n_words"),
+                lit(0L).as("n_chars"), lit(0L).as("n_symbols"),
+                lit(0.0).as("compression"))
+            case Some((a1, b1, a2, b2)) =>
+              wordsSrc
+                .select(col("source"), col("wf"),
+                  length(col("tok")).as("chars"),
+                  size(expr(bpeFoldLit(
+                    bpeFoldLit(symsOfTok, a1, b1), a2, b2))).as("nsym"))
+                .groupBy("source")
+                .agg(sum("wf").as("n_words"),
+                  sum(col("chars") * col("wf")).as("n_chars"),
+                  sum(col("nsym") * col("wf")).as("n_symbols"),
+                  (round(sum(col("chars") * col("wf")) * 1.0
+                    / sum(col("nsym") * col("wf")), 4) + lit(0.0))
+                    .as("compression"))
+                .orderBy("source")
+          }
+        }
       },
       Some {
         val symsOfTok =
@@ -442,9 +488,10 @@ object CurationQueries extends QueryPack {
       },
       doc = "BPE apply (the fit/apply pairing): every word re-tokenized " +
         "with the 2 learned merges, per-source symbol compression report " +
-        "— fit reuses the distinct-word collapse, learned pairs broadcast, " +
-        "both merge folds map-only over distinct (source, word) rows; the " +
-        "corpus text is scanned exactly once"),
+        "— fit reuses the distinct-word collapse, learned pairs are 1-row " +
+        "driver reads inlined as literals, both merge folds map-only over " +
+        "distinct (source, word) rows; the corpus text is scanned exactly " +
+        "once"),
 
     Query(
       "q_t_entropy_gate",

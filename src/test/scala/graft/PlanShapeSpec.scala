@@ -137,15 +137,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("BPE train: the distinct-word collapse is retained and reused by " +
-      "every round (cache hit, not corpus re-scan)") {
-    val p = plan("q_t_bpe_train")
-    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
-      s"both rounds must read the cached word table:\n$p")
-    assert(p.contains("BroadcastExchange") ||
-      p.contains("BroadcastNestedLoopJoin"),
-      s"winning pair must broadcast back for the merge fold:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
+  test("BPE train/apply: winners are driver-resident literals (r12) — " +
+      "the returned plans never re-touch the corpus scan") {
+    // Each round's winning pair is a 1-row bounded driver read inlined
+    // as a literal, so the RETURNED plan is: bpe_train = the local merge
+    // table itself (0 jobs at execution); bpe_apply = ONE cached
+    // (source, word) scan -> map-only double fold -> one groupBy. A
+    // FileScan or broadcast-exchange cascade reappearing here is the
+    // 19-serial-job wall the r11 driver bench measured amplifying 30x
+    // under contention.
+    val pt = plan("q_t_bpe_train")
+    assert(pt.contains("LocalTableScan") && !pt.contains("FileScan") &&
+      !pt.contains("BroadcastExchange"),
+      s"train output must be the driver-resident merge table:\n$pt")
+    val pa = plan("q_t_bpe_apply")
+    assert(pa.linesIterator.count(_.contains("InMemoryTableScan")) == 1 &&
+      !pa.contains("BroadcastExchange"),
+      s"apply tail must be one cached-vocab scan, no broadcast cascade:\n$pa")
+    // the only corpus FileScan is INSIDE the InMemoryRelation's cache-build
+    // rendering — the executed tail reads the cache, never the corpus
+    val lines = pa.linesIterator.toSeq
+    val cacheAt = lines.indexWhere(_.contains("InMemoryRelation"))
+    assert(cacheAt >= 0 &&
+      lines.take(cacheAt).forall(!_.contains("FileScan")),
+      s"a FileScan outside the cache subtree re-scans the corpus:\n$pa")
+    assert(!pa.contains("CartesianProduct"), pa)
   }
 
   test("PageRank canonical: no cartesian; the final join reads the " +
@@ -169,8 +185,6 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_e_context_pack" -> "fused ≤20-row shortlist, non-equi doc probe",
     "q_e_hybrid_rrf" -> "≤100-row fused rank frames",
     "q_e_fusion_gain" -> "≤10-row leg overlaps",
-    "q_t_bpe_train" -> "1-row winning-pair broadcast per merge round",
-    "q_t_bpe_apply" -> "learned pair vocabulary broadcast",
     "q_t_bpe_merge_pairs" -> "1-row winning-pair broadcast",
     "q_s_curriculum_phases" -> "1-row phase-cut aggregate",
     "q_s_curriculum_phases_approx" -> "1-row sketch-cut aggregate",
