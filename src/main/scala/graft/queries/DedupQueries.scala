@@ -40,6 +40,50 @@ object DedupQueries extends QueryPack {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
       org.apache.spark.sql.DataFrame]
 
+  /** The shared first stage of the whole group-collapse family: the
+    * capped exact-Jaccard pair miner (n=3, tau=0.5, stop-shingle cap 64)
+    * over the full documents table, and its CC group collapse. Nine
+    * queries across three packs start from exactly this stage
+    * (dedup_groups, group_stats, group_split, the SQL dedup view,
+    * pagerank canonical, corpus_filter/corpus_prep, index_prep, the
+    * contrastive export) and were each paying its AQE stage walls
+    * independently — the r11 census leaders (40/33/32 serial jobs) were
+    * precisely these queries (VERDICT r10 #6). Built ONCE per (session,
+    * dir) under IterScope.noAqe (fixed 32-key shapes; pipelined, no
+    * per-stage driver re-plan pauses), eagerly materialized, retained;
+    * every consumer reads the SAME frame; evicted via CacheScope.release
+    * at the scope boundary (rebuild-after-release pinned in
+    * IterScopeSpec for this pattern). PAIRS and GROUPS memoize
+    * separately: pagerank needs the edge list, most consumers only the
+    * group assignment.
+    */
+  private val minedPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+  private[queries] def minedPairs(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    minedPairsCache.getOrElseUpdate((s, dir), graft.ops.IterScope.noAqe(s) {
+      val p = graft.CacheScope.retain(
+        NearDup.exactJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5,
+          maxDocsPerShingle = Some(64)),
+        onRelease = () => minedPairsCache.remove((s, dir)))
+      p.count()
+      p
+    })
+
+  private val minedGroupsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+  private[queries] def minedGroups(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    minedGroupsCache.getOrElseUpdate((s, dir), graft.ops.IterScope.noAqe(s) {
+      val g = graft.CacheScope.retain(
+        NearDup.connectedComponents(minedPairs(s, dir), "doc_a", "doc_b"),
+        onRelease = () => minedGroupsCache.remove((s, dir)))
+      g.count()
+      g
+    })
+
   // ---- shared oracle SQL fragments -------------------------------------
   /** Tokens of trim(text), empty strings dropped (matches the byte-scan
     * tokenizer in [[graft.functions.TextHashes]]).
@@ -179,9 +223,9 @@ object DedupQueries extends QueryPack {
     Query(
       "q_d_dedup_groups",
       (s, dir) => {
-        val pairs = NearDup.exactJaccardPairs(docs(s, dir), "doc_id", "text",
-          3, 0.5, maxDocsPerShingle = Some(64))
-        NearDup.connectedComponents(pairs, "doc_a", "doc_b")
+        // reads the family's shared memoized miner+CC stage (r12,
+        // VERDICT r10 #6) — see minedGroups
+        minedGroups(s, dir)
           .select(col("node").as("doc_id"), col("group_id"),
             (col("node") === col("group_id")).cast("int").as("is_canonical"))
           .orderBy("doc_id")
@@ -664,11 +708,10 @@ object DedupQueries extends QueryPack {
         // much of the corpus they cover, the largest cluster (one
         // mirrored page replicated 10k× looks very different from 5k
         // honest pairs), and the token of record — the removable
-        // fraction. Same pair miner + CC collapse as q_d_dedup_groups,
+        // fraction. Same pair miner + CC collapse as q_d_dedup_groups —
+        // read from the shared memoized stage (r12, VERDICT r10 #6) —
         // then O(#groups) aggregation; the 1-row corpus count broadcasts.
-        val pairs = NearDup.exactJaccardPairs(docs(s, dir), "doc_id",
-          "text", 3, 0.5, maxDocsPerShingle = Some(64))
-        val sizes = NearDup.connectedComponents(pairs, "doc_a", "doc_b")
+        val sizes = minedGroups(s, dir)
           .groupBy("group_id").agg(count(lit(1)).as("sz"))
         val n = docs(s, dir).agg(count(lit(1)).as("n_corpus"))
         sizes
@@ -718,9 +761,7 @@ object DedupQueries extends QueryPack {
         // text — the one pillar that wasn't reachable from the Grafana-
         // style surface (CC is iterative, so the VIEW carries the
         // collapse and the text SQL is the dashboard rollup on top).
-        NearDup.connectedComponents(
-            NearDup.exactJaccardPairs(docs(s, dir), "doc_id", "text",
-              3, 0.5, maxDocsPerShingle = Some(64)), "doc_a", "doc_b")
+        minedGroups(s, dir)
           .select(col("node").as("doc_id"), col("group_id"))
           .createOrReplaceTempView("dedup_groups")
         s.sql("""SELECT group_id, COUNT(*) AS group_size,
@@ -781,16 +822,16 @@ object DedupQueries extends QueryPack {
         // runtime re-planning had nothing to decide on them.
         prCanonicalCache.getOrElseUpdate((s, dir),
           graft.ops.IterScope.noAqe(s) {
-            val pairs = graft.CacheScope.retain(
-              NearDup.exactJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5,
-                maxDocsPerShingle = Some(64)))
+            // pairs + CC come from the family's shared memoized stage
+            // (r12): built once per scope, read by nine queries
+            val pairs = minedPairs(s, dir)
             val edges = graft.CacheScope.retain(
               pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
                 .union(pairs.select(col("doc_b").as("src"),
                   col("doc_a").as("dst"))))
             val pr = graft.ops.PageRank.pagerankMicro(edges, 3)
             val res = graft.CacheScope.retain(
-              NearDup.connectedComponents(pairs, "doc_a", "doc_b")
+              minedGroups(s, dir)
                 .join(pr, "node")
                 .groupBy("group_id")
                 .agg(count(lit(1)).as("sz"),
@@ -866,9 +907,7 @@ object DedupQueries extends QueryPack {
         // (group, split) partial agg.
         val t1 = 1932735282L // floor(0.90 * (2^31-1))
         val t2 = 2040109464L // floor(0.95 * (2^31-1))
-        val pairs = NearDup.exactJaccardPairs(docs(s, dir), "doc_id", "text",
-          3, 0.5, maxDocsPerShingle = Some(64))
-        val groups = NearDup.connectedComponents(pairs, "doc_a", "doc_b")
+        val groups = minedGroups(s, dir) // shared memoized stage (r12)
         val kh = graft.functions.KeyHash.column(col("split_key"))
         val d = docs(s, dir).select(col("doc_id"))
           .join(groups, col("doc_id") === col("node"), "left")

@@ -593,9 +593,7 @@ object TextQueries extends QueryPack {
           .withColumn("lang_pred", langId("text"))
           .withColumn("__canon",
             min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-        val ndVictims = NearDup
-          .exactJaccardPairs(docs, "doc_id", "text", 3, 0.5,
-            maxDocsPerShingle = Some(64))
+        val ndVictims = DedupQueries.minedPairs(s, dir) // shared stage (r12)
           .select(col("doc_b"))
         scored
           .where(col("doc_id") === col("__canon"))
@@ -783,11 +781,9 @@ object TextQueries extends QueryPack {
           .withColumn("__canon",
             min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
         // near-dup pairs → GROUPS (transitive), keep each group's canonical;
-        // stop-shingle cap 64 = the skew knob, replayed in the oracle
-        val groups = NearDup.connectedComponents(
-          NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5,
-            maxDocsPerShingle = Some(64)),
-          "doc_a", "doc_b")
+        // stop-shingle cap 64 = the skew knob, replayed in the oracle —
+        // read from the family's shared memoized miner+CC stage (r12)
+        val groups = DedupQueries.minedGroups(s, dir)
         // deterministic per-source sample: src0 keep all, src1 half, rest 25%
         val thr = when(col("source") === "src0", lit(2147483647L))
           .when(col("source") === "src1", lit(1073741823L))

@@ -559,12 +559,10 @@ object VectorQueries extends QueryPack {
         // cell, and report the per-cell occupancy an index build ships
         // with. Every stage is the already-proven operator; this query
         // is the evidence they COMPOSE as one declarative plan.
-        import graft.dedup.NearDup
         val d = Tables(s, dir, "documents")
-        val groups = NearDup.connectedComponents(
-          NearDup.exactJaccardPairs(d, "doc_id", "text", 3, 0.5,
-            maxDocsPerShingle = Some(64)),
-          "doc_a", "doc_b")
+        // group labels ride the family's shared memoized miner+CC stage
+        // (r12, VERDICT r10 #6)
+        val groups = DedupQueries.minedGroups(s, dir)
         val canon = d.select(col("doc_id"))
           .join(groups, col("doc_id") === col("node"), "left")
           .where(col("node").isNull || col("doc_id") === col("group_id"))
@@ -1666,10 +1664,9 @@ object VectorQueries extends QueryPack {
         // their vectors; the corpus side is one map pass + per-anchor
         // WindowGroupLimit top-1; group labels ride the already-proven
         // CC collapse over the retained pair list.
-        val pairs = graft.CacheScope.retain(
-          NearDup.exactJaccardPairs(Tables(s, dir, "documents"),
-            "doc_id", "text", 3, 0.5, maxDocsPerShingle = Some(64)))
-        val groups = NearDup.connectedComponents(pairs, "doc_a", "doc_b")
+        // pairs + groups from the family's shared memoized stage (r12)
+        val pairs = DedupQueries.minedPairs(s, dir)
+        val groups = DedupQueries.minedGroups(s, dir)
         val e = emb(s, dir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         val lab = e.join(groups, e("vec_id") === groups("node"), "left")
