@@ -337,8 +337,7 @@ object DedupQueries extends QueryPack {
         // joins back to the doc table; pair keys are canonicalized
         // (least/greatest) so one shuffle on the source pair aggregates.
         val d = docs(s, dir)
-        val pairs = NearDup.exactJaccardPairs(d, "doc_id", "text", 3, 0.5,
-          maxDocsPerShingle = Some(64))
+        val pairs = minedPairs(s, dir) // shared memoized stage (r12)
         pairs
           .join(d.select(col("doc_id").as("doc_a"),
             col("source").as("src_a")), "doc_a")
@@ -445,10 +444,9 @@ object DedupQueries extends QueryPack {
         // sets are retained (each feeds a count AND the overlap join) so
         // neither miner re-evaluates.
         val d = docs(s, dir)
-        val truth = graft.CacheScope.retain(
-          NearDup.exactJaccardPairs(d, "doc_id", "text", 3, 0.5,
-              maxDocsPerShingle = Some(64))
-            .select("doc_a", "doc_b"))
+        // truth side = the family's shared memoized miner (r12); the
+        // SIGNATURE side below stays per-query (banded, not Jaccard)
+        val truth = minedPairs(s, dir).select("doc_a", "doc_b")
         val banded = graft.CacheScope.retain(
           NearDup.bandedSignatures(d, "doc_id", "text", 3, 16, 4))
         val cand = graft.CacheScope.retain(
