@@ -98,6 +98,17 @@ object ScaleProbe {
     }
 
     def time(name: String)(f: => Long): Double = {
+      // Single-JVM probe hygiene (r12): CacheScope.release unpersists
+      // blocking, but broadcast pieces and task bookkeeping from a prior
+      // op's cold cascade are only freed when ContextCleaner's weak refs
+      // are GC'd — at the top decade, three back-to-back ~150 s cascades
+      // left enough uncollected debris in the shared 8 g driver+executor
+      // heap to OOM the FOURTH op, which then passed solo (SCALE.md
+      // r12c). In production the driver and executors are separate JVMs,
+      // so cross-op accumulation is a local[32] probe artifact; force the
+      // collection OUTSIDE the timed region so each op measures its own
+      // cost from a clean heap.
+      System.gc()
       val t0 = System.nanoTime()
       val n = f
       val s = (System.nanoTime() - t0) / 1e9
