@@ -155,6 +155,48 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r == Seq("aa", "a", "b"), s"fold gave $r")
   }
 
+  test("BPE train/apply degenerate corpora: schema-stable empty and " +
+    "one-merge shapes (the r12 literal-inline fallback branches)") {
+    // The oracle can never reach these branches — the testdata always has
+    // minable pairs. A corpus with no [a-z]+ token mines nothing in round
+    // 1: train must return the 0-row merge table and apply the 0-row
+    // report, both schema-stable (the pre-r12 empty-broadcast-crossJoin
+    // contract). A corpus whose only word is "ab" mines (a,b) in round 1
+    // and nothing in round 2: train returns exactly the round-1 row;
+    // apply keeps the empty-report contract (its fit needs both rounds).
+    def writeDocs(tag: String, texts: Seq[String]): String = {
+      val dir = s"/tmp/graft_bpe_edge_$tag"
+      texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val empty = writeDocs("empty", Seq("123 456", "789 42"))
+    val tr0 = SparkEntry.queries("q_t_bpe_train")(spark, empty)
+    assert(tr0.columns.toSeq == Seq("round", "a", "b", "merged", "freq"))
+    assert(tr0.count() == 0, "no minable pair -> empty merge table")
+    val ap0 = SparkEntry.queries("q_t_bpe_apply")(spark, empty)
+    assert(ap0.columns.toSeq ==
+      Seq("source", "n_words", "n_chars", "n_symbols", "compression"))
+    assert(ap0.count() == 0, "no learned pairs -> empty report")
+    CacheScope.release(spark)
+
+    val one = writeDocs("one", Seq("ab ab", "ab"))
+    val tr1 = SparkEntry.queries("q_t_bpe_train")(spark, one)
+      .select("round", "a", "b", "merged", "freq").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(tr1.toSeq == Seq((1, "a", "b", "ab", 3L)),
+      s"single-merge corpus must yield exactly the round-1 row: ${tr1.toSeq}")
+    val ap1 = SparkEntry.queries("q_t_bpe_apply")(spark, one)
+    assert(ap1.count() == 0,
+      "round-2 winner absent -> the fit/apply report stays empty " +
+        "(the pre-r12 empty-broadcast contract)")
+    CacheScope.release(spark)
+  }
+
   test("BPE train: two rounds, distinct merges, non-increasing winner frequency") {
     val rows = SparkEntry.queries("q_t_bpe_train")(spark, dir)
       .select("round", "merged", "freq").collect()
