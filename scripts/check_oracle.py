@@ -50,7 +50,27 @@ def connect(sf_dir):
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        # driver testdata ships single parquet FILES; Spark-written tables
+        # (ScaleProbe replica corpora) are DIRECTORIES of part files —
+        # support both so the sweep also runs at probe scales
+        src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+        # mirror Tables' events-ts dispatch: ScaleProbe replica corpora
+        # store ts as raw INT64 nanos (the driver's NANOS encoding read
+        # via nanosAsLong) — convert exactly like the engine does
+        # (floor-truncate to micros) so oracle and Spark see the same
+        # instants at probe scales too
+        if name == "events":
+            t = con.execute(
+                f"SELECT typeof(ts) FROM read_parquet('{src}') LIMIT 1"
+            ).fetchone()[0]
+            if t == "BIGINT":
+                con.execute(
+                    f"CREATE VIEW {name} AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) "
+                    f"FROM read_parquet('{src}')")
+                continue
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     return con
 
 def main():
@@ -105,7 +125,13 @@ def main():
         for c in a.columns:
             av, bv = a[c], b[c]
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
-                aa, bb = av.astype(float).values, bv.astype(float).values
+                try:
+                    aa, bb = av.astype(float).values, bv.astype(float).values
+                except TypeError:
+                    # float on one side, non-numeric (e.g. datetime) on the
+                    # other: a dtype drift, not a crash of the whole sweep
+                    diffs.append(f"{c}: dtype mismatch {av.dtype} vs {bv.dtype}")
+                    continue
                 both_nan = np.isnan(aa) & np.isnan(bb)
                 neq = ~both_nan & (aa != bb)
                 if neq.any():
