@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -115,8 +115,15 @@ object VectorExpressions {
   def lsh_signature(v: Column, nBits: Int): Column =
     ColumnBridge.column(LshSignature(ColumnBridge.expression(v), nBits))
 
+  /** An EMPTY centroid table (an empty corpus slice at seed time — the
+    * degenerate-input contract, see DegenerateProbe) assigns every row a
+    * null cell: downstream cell-equi joins and IN-probe filters then
+    * match nothing, which is exactly what the ANSI oracles' scalar
+    * subqueries replay (LIMIT 1 over zero centroid rows = NULL).
+    */
   def best_cell(v: Column, cents: Array[Array[Float]], ids: Array[Long]): Column =
-    ColumnBridge.column(BestCell(ColumnBridge.expression(v), cents, ids))
+    if (cents.isEmpty) ColumnBridge.column(Literal(null, LongType))
+    else ColumnBridge.column(BestCell(ColumnBridge.expression(v), cents, ids))
 }
 
 case class CosineSim(left: Expression, right: Expression)

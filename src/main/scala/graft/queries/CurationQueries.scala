@@ -1084,10 +1084,16 @@ object CurationQueries extends QueryPack {
         least(tokenCount(col("text")).cast("double") / 100.0, lit(1.0))
           .as("r2"),
         (col("n_chars").cast("double") / ntok / 10.0).as("r3")))
+    // coalesce: min/max over a zero-row slice are null — fold to 0.0 so
+    // the fixed-point bounds row decodes (the degenerate-input contract,
+    // DegenerateProbe); never fires on a non-empty corpus
     val b = raw.agg(count(lit(1)).as("n"),
-      min("r1").as("n1"), max("r1").as("x1"),
-      min("r2").as("n2"), max("r2").as("x2"),
-      min("r3").as("n3"), max("r3").as("x3")).head()
+      coalesce(min("r1"), lit(0.0)).as("n1"),
+      coalesce(max("r1"), lit(0.0)).as("x1"),
+      coalesce(min("r2"), lit(0.0)).as("n2"),
+      coalesce(max("r2"), lit(0.0)).as("x2"),
+      coalesce(min("r3"), lit(0.0)).as("n3"),
+      coalesce(max("r3"), lit(0.0)).as("x3")).head()
     def centered(j: Int) =
       ((col(s"r$j") - lit(b.getDouble(2 * j - 1)))
         / ((lit(b.getDouble(2 * j)) - lit(b.getDouble(2 * j - 1)))
@@ -1119,9 +1125,14 @@ object CurationQueries extends QueryPack {
         floor(err * col(s"x$j") * lit(1000000.0) + lit(0.5)).cast("long")
       val g = feats.agg(sum(q(0)).as("s0"), sum(q(1)).as("s1"),
         sum(q(2)).as("s2"), sum(q(3)).as("s3")).head()
+      // zero-row slice: sums are null and n is 0 — the gradient of an
+      // empty corpus is 0, weights stay put (DegenerateProbe)
+      def longAt(r: org.apache.spark.sql.Row, j: Int): Long =
+        if (r.isNullAt(j)) 0L else r.getLong(j)
+      val nd = math.max(n, 1L).toDouble
       var j = 0
       while (j < 4) {
-        w(j) = w(j) + QfLr * ((g.getLong(j) / 1000000.0) / n.toDouble)
+        w(j) = w(j) + QfLr * ((longAt(g, j) / 1000000.0) / nd)
         j += 1
       }
       // metrics with the UPDATED weights: exact correct count +
@@ -1134,8 +1145,8 @@ object CurationQueries extends QueryPack {
         sum(((z(w) > lit(0.0)) === (col("y") === 1)).cast("long")).as("c"),
         sum(lossMicro).as("l")).head()
       (step, w(0), w(1), w(2), w(3),
-        (m.getLong(1) / 1000000.0) / n.toDouble,
-        m.getLong(0).toDouble / n.toDouble)
+        (longAt(m, 1) / 1000000.0) / nd,
+        longAt(m, 0).toDouble / nd)
     }
     (rows, w)
   }

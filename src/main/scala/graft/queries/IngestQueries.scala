@@ -186,17 +186,23 @@ object IngestQueries extends QueryPack {
       dir: String): org.apache.spark.sql.DataFrame = {
     import graft.streaming.Observability
     val ev = Tables(s, dir, "events")
-    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
-    val threshold = java.sql.Timestamp
-      .from(maxTs.toInstant.minusSeconds(24 * 3600))
+    // max(ts) is null on an empty slice: nothing can be late there, so the
+    // threshold becomes a null literal (lateCond never fires) instead of
+    // an NPE — the degenerate-input contract (DegenerateProbe)
+    val maxTs = Option(ev.agg(max(col("ts"))).collect()(0).getTimestamp(0))
+    val threshold = maxTs
+      .map(t => lit(java.sql.Timestamp.from(t.toInstant.minusSeconds(24 * 3600))))
+      .getOrElse(lit(null).cast("timestamp"))
     val obs = new org.apache.spark.sql.Observation()
     val observed = Observability.observeIngestBatch(
-      ev, obs, "value", "ts", lit(threshold))
+      ev, obs, "value", "ts", threshold)
     observed.write.format("noop").mode("overwrite").save() // the action
     val m = obs.get
+    // observe() sums are null over a zero-row action — fold to 0 counts
+    def cnt(k: String): Long =
+      m(k) match { case null => 0L; case l => l.asInstanceOf[Long] }
     val metricsRow = org.apache.spark.sql.Row(0L,
-      m("n_rows").asInstanceOf[Long], m("corrupt_rows").asInstanceOf[Long],
-      m("late_rows").asInstanceOf[Long])
+      cnt("n_rows"), cnt("corrupt_rows"), cnt("late_rows"))
     Observability.healthReport(s.createDataFrame(
       java.util.Arrays.asList(metricsRow), Observability.metricsSchema))
   }

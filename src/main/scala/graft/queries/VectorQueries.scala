@@ -1470,9 +1470,14 @@ object VectorQueries extends QueryPack {
               "transform(array_sort(collect_list(struct(j, y))), s -> s.y)")
               .as("yv"))
               .select(expr(
-                """transform(yv, v -> round(v / round(sqrt(
+                // nullif: a zero-norm iterate (single-row or all-identical
+                // corpus — the mean-centered cloud is exactly 0) yields a
+                // null direction instead of an ANSI DIVIDE_BY_ZERO; the
+                // oracle mirrors with NULLIF (DegenerateProbe)
+                """transform(yv, v -> round(v / nullif(round(sqrt(
                   |  aggregate(transform(yv, w -> w * w), CAST(0 AS DOUBLE),
-                  |    (a, b) -> a + b)), 6), 6))""".stripMargin).as("x")))
+                  |    (a, b) -> a + b)), 6), CAST(0 AS DOUBLE)), 6))"""
+                  .stripMargin).as("x")))
         }
         val st = e.crossJoin(broadcast(muF)).crossJoin(broadcast(xF))
           .select(expr(dotX).as("dot"),
@@ -1487,7 +1492,8 @@ object VectorQueries extends QueryPack {
           .select(col("dim").cast("int").as("dim"),
             (round(col("z.mu"), 6) + lit(0.0)).as("mu"),
             (col("z.x") + lit(0.0)).as("loading"),
-            (round(col("num") / col("den"), 6) + lit(0.0)).as("var_frac"))
+            (round(col("num") / nullif(col("den"), lit(0.0)), 6) + lit(0.0))
+              .as("var_frac"))
           .orderBy("dim")
         val res = graft.CacheScope.retain(out)
         res.count()
@@ -1503,9 +1509,9 @@ object VectorQueries extends QueryPack {
              |    FROM e, mu, $prev),
              |y$i AS (SELECT j, CAST(CAST(SUM(dot * (emb[j] - mu[j])) AS REAL) AS DOUBLE) AS y
              |    FROM d$i, (SELECT unnest(range(1, 65)) AS j) GROUP BY j),
-             |x$i AS (SELECT list_transform(yv, v -> ROUND(v / ROUND(sqrt(
+             |x$i AS (SELECT list_transform(yv, v -> ROUND(v / NULLIF(ROUND(sqrt(
              |      list_reduce(list_prepend(0.0, list_transform(yv, w -> w*w)),
-             |        (a,b) -> a+b)), 6), 6)) AS x
+             |        (a,b) -> a+b)), 6), 0.0), 6)) AS x
              |    FROM (SELECT list(y ORDER BY j) AS yv FROM y$i))""".stripMargin
         }
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -1527,7 +1533,7 @@ object VectorQueries extends QueryPack {
            |              CAST(CAST(SUM(n2) AS REAL) AS DOUBLE) AS den FROM fin)
            |SELECT CAST(j - 1 AS INT) AS dim, ROUND(mu.mu[j], 6) + 0.0 AS mu,
            |  x3.x[j] + 0.0 AS loading,
-           |  ROUND(st.num / st.den, 6) + 0.0 AS var_frac
+           |  ROUND(st.num / NULLIF(st.den, 0.0), 6) + 0.0 AS var_frac
            |FROM (SELECT unnest(range(1, 65)) AS j), mu, x3, st ORDER BY dim""".stripMargin
       },
       doc = "all-but-the-top step 1: dominant principal direction of the " +
@@ -1583,9 +1589,14 @@ object VectorQueries extends QueryPack {
               "transform(array_sort(collect_list(struct(j, y))), s -> s.y)")
               .as("yv"))
               .select(expr(
-                """transform(yv, v -> round(v / round(sqrt(
+                // nullif: a zero-norm iterate (single-row or all-identical
+                // corpus — the mean-centered cloud is exactly 0) yields a
+                // null direction instead of an ANSI DIVIDE_BY_ZERO; the
+                // oracle mirrors with NULLIF (DegenerateProbe)
+                """transform(yv, v -> round(v / nullif(round(sqrt(
                   |  aggregate(transform(yv, w -> w * w), CAST(0 AS DOUBLE),
-                  |    (a, b) -> a + b)), 6), 6))""".stripMargin).as("x")))
+                  |    (a, b) -> a + b)), 6), CAST(0 AS DOUBLE)), 6))"""
+                  .stripMargin).as("x")))
         }
         def process(rows: org.apache.spark.sql.DataFrame) = rows
           .crossJoin(broadcast(muF)).crossJoin(broadcast(xF))
@@ -1617,9 +1628,9 @@ object VectorQueries extends QueryPack {
              |    FROM e, mu, $prev),
              |y$i AS (SELECT j, CAST(CAST(SUM(dot * (emb[j] - mu[j])) AS REAL) AS DOUBLE) AS y
              |    FROM d$i, (SELECT unnest(range(1, 65)) AS j) GROUP BY j),
-             |x$i AS (SELECT list_transform(yv, v -> ROUND(v / ROUND(sqrt(
+             |x$i AS (SELECT list_transform(yv, v -> ROUND(v / NULLIF(ROUND(sqrt(
              |      list_reduce(list_prepend(0.0, list_transform(yv, w -> w*w)),
-             |        (a,b) -> a+b)), 6), 6)) AS x
+             |        (a,b) -> a+b)), 6), 0.0), 6)) AS x
              |    FROM (SELECT list(y ORDER BY j) AS yv FROM y$i))""".stripMargin
         }
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

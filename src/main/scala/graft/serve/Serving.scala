@@ -101,7 +101,15 @@ object Serving {
       forwardFn: Seq[Double] => Seq[Double]): DataFrame = {
     val forward = udf(forwardFn)
     latestWindow(df, key, ts, id, featureCol, seqLen)
-      .withColumn("__preds", forward(col("x")))
+      // the when-guard re-states latestWindow's __n === seqLen filter AT
+      // the UDF call site: Spark does not guarantee a Filter evaluates
+      // before a Project's UDF once stages collapse, so a short series
+      // (fewer than seqLen rows for a key) could reach the forward pass
+      // and trip its exact-window require. `when` short-circuits in
+      // codegen; posexplode drops the null rows. No-op on complete
+      // windows (DegenerateProbe).
+      .withColumn("__preds",
+        when(size(col("x")) === seqLen, forward(col("x"))))
       .select(col(key), col("last_ts"),
         posexplode(col("__preds")).as(Seq("__h0", "predicted_price")))
       .withColumn("horizon", col("__h0") + 1)

@@ -90,10 +90,13 @@ object Observability {
       sum("corrupt_rows").as("corrupt_rows"),
       sum("late_rows").as("late_rows"))
       .select(col("n_rows"), col("corrupt_rows"), col("late_rows"),
-        (round(col("corrupt_rows") / col("n_rows"), 6) + lit(0.0))
-          .as("corrupt_ratio"),
-        (round(col("late_rows") / col("n_rows"), 6) + lit(0.0))
-          .as("late_ratio"))
+        // nullif: a zero-row slice reports null ratios (and therefore
+        // 'degraded' — no data IS a health finding), never an ANSI
+        // DIVIDE_BY_ZERO (DegenerateProbe)
+        (round(col("corrupt_rows") / nullif(col("n_rows"), lit(0L)), 6)
+          + lit(0.0)).as("corrupt_ratio"),
+        (round(col("late_rows") / nullif(col("n_rows"), lit(0L)), 6)
+          + lit(0.0)).as("late_ratio"))
       .withColumn("status",
         when(col("corrupt_rows") === 0 && col("late_ratio") < 0.5,
           lit("healthy")).otherwise(lit("degraded")))

@@ -20,6 +20,34 @@ import org.apache.spark.sql.functions._
   */
 object VectorSearch extends Serializable {
 
+  // Degenerate-input contract (DegenerateProbe sweeps every query at
+  // zero-row and one-row scale): a 100 TB ingest routinely presents an
+  // empty slice — a shard whose filter matched nothing, a day with no
+  // fills — and every kernel that lifts driver-side scalars (the query
+  // vector, a codebook) must degrade to an EMPTY result with its normal
+  // output schema, never throw. That is also what the ANSI oracles
+  // replay: every scalar the driver lifts is a scalar subquery there,
+  // and a scalar subquery over zero rows is NULL, which joins/filters
+  // to an empty result.
+
+  /** First vector of `query`, or None when the frame is empty. */
+  private def headVecOpt(query: DataFrame, vecCol: String): Option[Seq[Float]] = {
+    val spark = query.sparkSession
+    import spark.implicits._
+    query.select(col(vecCol)).as[Seq[Float]].take(1).headOption
+  }
+
+  /** Empty PQ result with the [[pqTopKWith]] output schema. */
+  private def emptyPqResult(vecs: DataFrame, idCol: String): DataFrame =
+    vecs.select(col(idCol), lit(0L).as("code0"), lit(0L).as("code1"),
+      lit(0.0).as("approx_ip"), lit(0.0).as("sim")).limit(0)
+
+  /** Empty IVF-PQ result with the [[ivfPqTopK]] output schema. */
+  private def emptyIvfPqResult(vecs: DataFrame, idCol: String): DataFrame =
+    vecs.select(col(idCol), lit(0L).as("cell"), lit(0L).as("code0"),
+      lit(0L).as("code1"), lit(0.0).as("approx_ip"), lit(0.0).as("sim"))
+      .limit(0)
+
   /** Exact cosine top-k of `vecs` against the single row in `query`. */
   def cosineTopK(vecs: DataFrame, query: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
@@ -139,18 +167,20 @@ object VectorSearch extends Serializable {
   /** Deterministic quantizer seed: the `nCells` lowest-id vectors (what
     * makes the whole index build replayable in ANSI SQL). [[trainCentroids]]
     * refines these with Lloyd iterations for a production index.
+    * May be EMPTY (empty corpus slice) — every consumer then degrades to
+    * an empty result per the degenerate-input contract above; `best_cell`
+    * over zero centroids assigns null, matching the oracle's NULL scalar
+    * subquery.
     */
   def seedCentroids(vecs: DataFrame, idCol: String, vecCol: String,
       nCells: Int): Array[(Long, Array[Float])] = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val centroids = vecs
+    vecs
       .where(col(idCol) < nCells)
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])].collect().sortBy(_._1)
       .map { case (i, v) => (i, v.toArray) }
-    require(centroids.nonEmpty, "no centroid rows (idCol < nCells empty)")
-    centroids
   }
 
   /** Lloyd k-means refinement of the IVF coarse quantizer (cosine
@@ -172,6 +202,7 @@ object VectorSearch extends Serializable {
     // whose training input embeds real per-row compute (pqTopKTrained's
     // subspace slices) retain it THEMSELVES so the work runs once.
     var cents = seedCentroids(vecs, idCol, vecCol, nCells)
+    if (cents.isEmpty) return cents // empty slice: nothing to refine
     for (_ <- 0 until iters) {
       val assigned = vecs.withColumn("__cell",
         graft.functions.VectorExpressions.best_cell(
@@ -214,9 +245,10 @@ object VectorSearch extends Serializable {
     */
   def pqTopK(vecs: DataFrame, query: DataFrame, idCol: String,
       vecCol: String, k: Int, nCodes: Int, rerank: Int): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val qv0 = query.select(col(vecCol)).as[Seq[Float]].head()
+    val qv0 = headVecOpt(query, vecCol) match {
+      case Some(v) => v
+      case None => return emptyPqResult(vecs, idCol)
+    }
     val dim0 = qv0.length
     require(dim0 % 2 == 0, s"PQ with 2 subspaces needs an even dim, got $dim0")
     val h0 = dim0 / 2
@@ -236,9 +268,10 @@ object VectorSearch extends Serializable {
   def pqTopKTrained(vecs: DataFrame, query: DataFrame, idCol: String,
       vecCol: String, k: Int, nCodes: Int, rerank: Int,
       iters: Int): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val qv = query.select(col(vecCol)).as[Seq[Float]].head()
+    val qv = headVecOpt(query, vecCol) match {
+      case Some(v) => v
+      case None => return emptyPqResult(vecs, idCol)
+    }
     val dim = qv.length
     require(dim % 2 == 0, s"PQ with 2 subspaces needs an even dim, got $dim")
     val half = dim / 2
@@ -264,9 +297,10 @@ object VectorSearch extends Serializable {
   def pqTopKWith(vecs: DataFrame, query: DataFrame, idCol: String,
       vecCol: String, k: Int, rerank: Int, ids: Array[Long],
       cb0: Array[Array[Float]], cb1: Array[Array[Float]]): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val qv = query.select(col(vecCol)).as[Seq[Float]].head()
+    val qv = headVecOpt(query, vecCol) match {
+      case Some(v) if ids.nonEmpty => v
+      case _ => return emptyPqResult(vecs, idCol) // empty query or codebook
+    }
     val dim = qv.length
     require(dim % 2 == 0, s"PQ with 2 subspaces needs an even dim, got $dim")
     val half = dim / 2
@@ -305,12 +339,15 @@ object VectorSearch extends Serializable {
   def ivfTopKWith(vecs: DataFrame, query: DataFrame, idCol: String,
       vecCol: String, k: Int, nProbe: Int,
       centroids: Array[(Long, Array[Float])]): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
     val cents = centroids.map(_._2)
     val ids = centroids.map(_._1)
 
-    val qv = query.select(col(vecCol)).as[Seq[Float]].head()
+    val qv = headVecOpt(query, vecCol) match {
+      case Some(v) if centroids.nonEmpty => v
+      // empty query or empty quantizer: no probeable cells, empty top-k
+      case _ => return cosineTopK(vecs.limit(0), query.limit(0),
+        idCol, vecCol, k)
+    }
     val probed = centroids.map { case (cid, c) => (cid, cosSeq(qv, c.toSeq)) }
       .sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
 
@@ -604,11 +641,14 @@ object VectorSearch extends Serializable {
       rerank: Int): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val qv = query.select(col(vecCol)).as[Seq[Float]].head()
+    val coarse = seedCentroids(vecs, idCol, vecCol, nCells)
+    val qv = headVecOpt(query, vecCol) match {
+      case Some(v) if coarse.nonEmpty => v
+      case _ => return emptyIvfPqResult(vecs, idCol)
+    }
     val dim = qv.length
     require(dim % 2 == 0, s"IVF-PQ with 2 subspaces needs an even dim, got $dim")
     val half = dim / 2
-    val coarse = seedCentroids(vecs, idCol, vecCol, nCells)
     val cIds = coarse.map(_._1)
     val cVecs = coarse.map(_._2)
     // driver-side probe pick: the same ascending double-fold cosine the
@@ -636,7 +676,10 @@ object VectorSearch extends Serializable {
       .where(col(idCol) >= nCodes && col(idCol) < 2 * nCodes)
       .select(col(idCol).cast("long"), col("__res"))
       .as[(Long, Seq[Float])].collect().sortBy(_._1)
-    require(cbRows.nonEmpty, "no residual codebook rows")
+    // no residual codebook rows (ids [nCodes, 2*nCodes) absent from the
+    // slice): the oracle's NULL-code scalar subqueries produce no scored
+    // candidates — degrade to the empty result, don't throw
+    if (cbRows.isEmpty) return emptyIvfPqResult(vecs, idCol)
     val ids = cbRows.map(_._1)
     val cb0 = cbRows.map(_._2.slice(0, half).toArray)
     val cb1 = cbRows.map(_._2.slice(half, dim).toArray)

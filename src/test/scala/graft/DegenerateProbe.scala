@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Whole-surface degenerate-input sweep (Test scope, not shipped).
+  *
+  * A 100 TB ingest routinely presents empty slices — a day with no fills,
+  * a symbol with one row, a shard whose filter matched nothing. Every
+  * declared query must degrade to an empty (or tiny) result, never throw.
+  * The scale probes (ScaleProbe) bound the big end; this probe bounds the
+  * small end: it materializes zero-row and one-row versions of every
+  * testdata table (schema-preserving `limit(n)` rewrite) and runs the FULL
+  * `SparkEntry.queries` surface against each, reporting any query that
+  * throws.
+  *
+  * Run: SPARK_GRAFT_CPUS=8 sbt "Test/runMain graft.DegenerateProbe"
+  * Exit code 1 if any query throws, so it can gate.
+  */
+object DegenerateProbe {
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val root = "/tmp/graft-degenerate"
+    val shapes = Seq("empty" -> 0, "one" -> 1)
+    for ((shape, n) <- shapes) {
+      val dir = s"$root/$shape"
+      for (t <- tables)
+        Tables(spark, src, t).limit(n)
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+
+    var failures = List.empty[(String, String, String)]
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    for ((shape, _) <- shapes; name <- names) {
+      val t0 = System.nanoTime()
+      try {
+        val rows = SparkEntry.queries(name)(spark, s"$root/$shape").count()
+        println(f"OK    $shape%-5s $name%-44s rows=$rows%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString
+          failures ::= (shape, name, msg)
+          println(f"FAIL  $shape%-5s $name%-44s $msg")
+      } finally CacheScope.release(spark)
+    }
+
+    println(s"\n=== ${failures.size} failures / ${2 * names.size} runs ===")
+    failures.reverse.foreach { case (s, n, m) => println(s"  [$s] $n: $m") }
+    spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
+  }
+}
