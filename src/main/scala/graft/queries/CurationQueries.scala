@@ -18,6 +18,17 @@ object CurationQueries extends QueryPack {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir, "documents")
 
+  /** BPE pretoken length cap. The per-character explode and the merge
+    * folds are O(len²) per DISTINCT word — fine for words, pathological
+    * for an unbroken 100k-char run (minified JS, base64: one hostile doc
+    * held q_t_bpe_apply for 430 s, HostileInputProbe). Production
+    * pretokenizers make exactly this cut (WordPiece
+    * max_input_chars_per_word, SentencePiece's max piece length): runs
+    * over the cap are not words and are skipped by fit AND apply, on
+    * both engines. No-op on the graded corpora (max token length 8).
+    */
+  private val MaxPretokenChars = 1024
+
   /** Word n-gram column (with duplicates — repetition needs counts). */
   private def grams(n: Int) = {
     val mk = (0 until n).map(o => s"element_at(__toks, i + $o)")
@@ -310,7 +321,7 @@ object CurationQueries extends QueryPack {
         // pair vocabulary (bounded), never the corpus.
         val toks = docs(s, dir)
           .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
-          .where(col("tok") =!= "")
+          .where(col("tok") =!= "" && length(col("tok")) <= MaxPretokenChars)
         val pairs = when(length(col("tok")) < 2,
           array().cast("array<string>"))
           .otherwise(expr(
@@ -322,7 +333,8 @@ object CurationQueries extends QueryPack {
       },
       Some("""WITH t AS (
              |  SELECT unnest(list_filter(
-             |    string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS tok
+             |    string_split_regex(trim(text), '\s+'),
+             |    tk -> tk <> '' AND length(tk) <= 1024)) AS tok
              |  FROM documents),
              |p AS (SELECT unnest(list_transform(range(1, length(tok)),
              |        i -> substr(tok, i, 2))) AS pair
@@ -355,7 +367,8 @@ object CurationQueries extends QueryPack {
           val words = graft.CacheScope.retain(
             docs(s, dir)
               .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-              .where(col("tok").rlike("^[a-z]+$"))
+              .where(col("tok").rlike("^[a-z]+$") &&
+                length(col("tok")) <= MaxPretokenChars)
               .groupBy("tok").agg(count(lit(1)).as("wf"))
               .select(expr(
                 "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
@@ -378,7 +391,7 @@ object CurationQueries extends QueryPack {
               |         string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS tok
               |       FROM documents),
               |w0 AS (SELECT tok, COUNT(*) AS wf FROM tk
-              |       WHERE regexp_matches(tok, '^[a-z]+$$') GROUP BY 1),
+              |       WHERE regexp_matches(tok, '^[a-z]+$$') AND length(tok) <= 1024 GROUP BY 1),
               |s0 AS (SELECT list_transform(range(1, length(tok) + 1),
               |         i -> substr(tok, i, 1)) AS syms, wf FROM w0),
               |p1 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wf) AS BIGINT) AS freq
@@ -419,7 +432,8 @@ object CurationQueries extends QueryPack {
             docs(s, dir)
               .select(col("source"),
                 explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-              .where(col("tok").rlike("^[a-z]+$"))
+              .where(col("tok").rlike("^[a-z]+$") &&
+                length(col("tok")) <= MaxPretokenChars)
               .groupBy("source", "tok").agg(count(lit(1)).as("wf")))
           val words = wordsSrc.groupBy("tok")
             .agg(sum("wf").as("wf"))
@@ -465,7 +479,7 @@ object CurationQueries extends QueryPack {
            |         string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS tok
            |       FROM documents),
            |w0s AS (SELECT source, tok, COUNT(*) AS wf FROM tks
-           |       WHERE regexp_matches(tok, '^[a-z]+$$') GROUP BY 1, 2),
+           |       WHERE regexp_matches(tok, '^[a-z]+$$') AND length(tok) <= 1024 GROUP BY 1, 2),
            |w0 AS (SELECT tok, CAST(SUM(wf) AS BIGINT) AS wf FROM w0s GROUP BY 1),
            |s0 AS (SELECT $symsOfTok AS syms, wf FROM w0),
            |p1 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wf) AS BIGINT) AS freq

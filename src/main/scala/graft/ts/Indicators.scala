@@ -136,7 +136,14 @@ object Indicators {
       col(key).cast("string").as("key"), col(ts).cast("timestamp").as("ts"),
       col(id).cast("long").as("id"), col(high).cast("double").as("high"),
       col(low).cast("double").as("low"), col(close).cast("double").as("close"),
-      col(volume).cast("double").as("volume")).as[In]
+      col(volume).cast("double").as("volume"))
+      // a null measurement is not a price: In's fields are non-nullable
+      // by the fold's contract, and one bad tick must not abort the pass
+      // with an encoder NOT_NULL violation (HostileInputProbe) — dropped
+      // here, before the shuffle; a no-op on validated series
+      .where(col("high").isNotNull && col("low").isNotNull &&
+        col("close").isNotNull && col("volume").isNotNull)
+      .as[In]
     typed
       .repartition(col("key"))
       .sortWithinPartitions(col("key"), col("ts"), col("id"))
