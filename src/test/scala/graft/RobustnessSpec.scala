@@ -1,0 +1,165 @@
+package graft
+
+import graft.vector.VectorSearch
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the degenerate/hostile input contracts the two probe sweeps
+  * established (SCALE.md r12g/r12h) as FAST regression tests — the full
+  * sweeps (`DegenerateProbe` 428 runs, `HostileInputProbe` 214 runs)
+  * stay runMain gates; these are the per-contract unit pins.
+  */
+class RobustnessSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+
+  private val empty = vecs()
+
+  test("embeddings scan validation: null / empty / off-dim vectors are " +
+    "dropped at the scan, valid rows survive (r12h class 1)") {
+    val dim = Tables.EmbeddingDim
+    val tmp = java.nio.file.Files.createTempDirectory("robust-emb").toString
+    vecs(
+      (1L, Seq.fill(dim)(0.5f)),
+      (2L, null),
+      (3L, Seq.empty[Float]),
+      (4L, Seq.fill(dim / 4)(0.5f)),
+      (5L, Seq.fill(dim)(1.0f)))
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val kept = Tables(spark, tmp, "embeddings")
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 5L))
+  }
+
+  test("seedCentroids over an empty slice is empty; every ANN kernel " +
+    "degrades to an empty result with its normal schema (r12g class 1)") {
+    assert(VectorSearch.seedCentroids(empty, "vec_id", "embedding", 16).isEmpty)
+    assert(VectorSearch.trainCentroids(empty, "vec_id", "embedding", 16, 2).isEmpty)
+
+    val pq = VectorSearch.pqTopK(empty, empty, "vec_id", "embedding", 5, 4, 8)
+    assert(pq.columns.toSeq ==
+      Seq("vec_id", "code0", "code1", "approx_ip", "sim") && pq.count() == 0)
+
+    val ivf = VectorSearch.ivfTopK(empty, empty, "vec_id", "embedding", 5, 4, 2)
+    assert(ivf.columns.toSeq == Seq("vec_id", "sim") && ivf.count() == 0)
+
+    val ivfpq = VectorSearch.ivfPqTopK(empty, empty, "vec_id", "embedding",
+      5, 4, 2, 4, 8)
+    assert(ivfpq.columns.toSeq ==
+      Seq("vec_id", "cell", "code0", "code1", "approx_ip", "sim") &&
+      ivfpq.count() == 0)
+
+    // nonempty corpus, empty QUERY side — the one-row-table shape
+    val corpus = vecs((7L, Seq.fill(4)(1.0f)))
+    assert(VectorSearch.pqTopK(corpus, empty, "vec_id", "embedding",
+      5, 4, 8).count() == 0)
+    assert(VectorSearch.cosineTopK(corpus, empty, "vec_id", "embedding",
+      5).count() == 0)
+  }
+
+  test("best_cell over zero centroids assigns null — cell joins and " +
+    "IN-probes then match nothing, like the oracle's NULL scalar subquery") {
+    val out = vecs((1L, Seq.fill(4)(1.0f)))
+      .select(graft.functions.VectorExpressions.best_cell(
+        col("embedding"), Array.empty, Array.empty).as("cell"))
+      .collect()
+    assert(out.length == 1 && out(0).isNullAt(0))
+  }
+
+  test("semDedupPairs / incrementalSemDedup with an empty quantizer " +
+    "mine zero pairs instead of throwing (r12g class 1)") {
+    val corpus = vecs((1L, Seq.fill(4)(1.0f)), (2L, Seq.fill(4)(1.0f)))
+    assert(VectorSearch.semDedupPairs(corpus, "vec_id", "embedding",
+      Array.empty, 0.5).count() == 0)
+    assert(VectorSearch.incrementalSemDedup(corpus, corpus, "vec_id",
+      "embedding", Array.empty, 0.5).count() == 0)
+  }
+
+  test("indicator fold drops null ticks at the typed boundary instead of " +
+    "an encoder NOT_NULL violation (r12h class 2)") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+      ("A", t(1), 1L, Option(10.0)),
+      ("A", t(2), 2L, None), // the bad tick
+      ("A", t(3), 3L, Option(12.0)))
+      .toDF("k", "ts", "id", "v")
+    val out = graft.ts.Indicators.compute(df, "k", "ts", "id",
+      "v", "v", "v", "v")
+    assert(out.count() == 2) // null tick dropped, fold unbroken
+    assert(out.agg(min("close"), max("close")).as[(Double, Double)]
+      .head() == ((10.0, 12.0)))
+  }
+
+  test("sub-window series never reaches the forward pass's exact-length " +
+    "require; complete windows still predict (r12g class 5)") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val S = graft.serve.LstmForward.S
+    val short = (1 to S - 1).map(i => ("A", t(i), i.toLong, i.toDouble))
+      .toDF("k", "ts", "id", "v")
+    val outShort = serve.Serving.predictLatestWith(short, "k", "ts", "id",
+      "v", S, 300, "m", graft.serve.LstmForward.forward)
+    assert(outShort.count() == 0)
+
+    val full = (1 to S).map(i => ("A", t(i), i.toLong, i.toDouble))
+      .toDF("k", "ts", "id", "v")
+    val outFull = serve.Serving.predictLatestWith(full, "k", "ts", "id",
+      "v", S, 300, "m", graft.serve.LstmForward.forward)
+    assert(outFull.count() > 0)
+  }
+
+  private def docsDir(rows: (Long, String, String, String, Long)*): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("robust-docs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("weighted sample: a zero-weight doc (n_chars = 0) gets a null key " +
+    "and sorts behind every weighted doc — no ANSI divide-by-zero " +
+    "(r12h class 3)") {
+    val dir = docsDir(
+      (1L, "some text here", "en", "a", 14L),
+      (2L, "", "en", "a", 0L), // zero weight
+      (3L, "more words", "en", "b", 10L))
+    val rows = SparkEntry.queries("q_s_weighted_sample")(spark, dir)
+      .select("doc_id", "es_key").collect()
+    // null key = sampling probability 0: behind all k weighted docs, so
+    // it enters only when the corpus itself has fewer than k candidates
+    assert(rows.last.getLong(0) == 2L && rows.last.isNullAt(1))
+    assert(rows.init.forall(r => !r.isNullAt(1)))
+  }
+
+  test("BPE fit/apply skip pretokens over the 1024-char cap — one " +
+    "pathological run cannot hold the tokenizer pass (r12h class 4)") {
+    val giant = "z" * 5000
+    val dir = docsDir(
+      (1L, "aa ab aa ab aa", "en", "a", 14L),
+      (2L, s"aa $giant ab", "en", "b", 5006L))
+    val t0 = System.nanoTime()
+    val out = SparkEntry.queries("q_t_bpe_apply")(spark, dir).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the capped word contributes nothing; the mined merges come from the
+    // short words and both sources still report
+    assert(out.map(_.getAs[String]("source")).toSet == Set("a", "b"))
+    // n_chars counts only tokenized (kept) words: source b keeps "aa","ab"
+    val nb = out.find(_.getAs[String]("source") == "b").get
+    assert(nb.getAs[Long]("n_chars") == 4L)
+    assert(secs < 60.0, s"capped BPE apply took $secs s")
+    CacheScope.release(spark)
+  }
+
+  test("healthReport over a zero-row metrics slice reports degraded with " +
+    "null ratios, not an ANSI divide-by-zero (r12g class 3)") {
+    val m = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(0L, 0L, 0L, 0L)),
+      graft.streaming.Observability.metricsSchema)
+    val r = graft.streaming.Observability.healthReport(m).collect()(0)
+    assert(r.getAs[String]("status") == "degraded")
+    assert(r.isNullAt(r.fieldIndex("corrupt_ratio")))
+  }
+}
