@@ -43,12 +43,21 @@ object HostileInputProbe {
     val ev = Tables(spark, src, "events")
     val evMax = ev.agg(max("event_id"), max("ts")).head()
     val (evId, evTs) = (evMax.getLong(0), evMax.getTimestamp(1))
+    val epoch0 = new java.sql.Timestamp(0L)
+    val far = java.sql.Timestamp.from(java.time.Instant.parse("2200-01-01T00:00:00Z"))
     val evBad = Seq(
       (evId + 1, evTs, 1L, "trade", Double.NaN, """{"q":1}"""),
       (evId + 2, evTs, 1L, "trade", Double.PositiveInfinity, """{"q":1}"""),
       (evId + 3, evTs, 2L, "quote", Double.NegativeInfinity, """{"q":1}"""),
       (evId + 4, evTs, 2L, "quote", 0.0, null.asInstanceOf[String]),
-      (evId + 5, evTs, 3L, null.asInstanceOf[String], 1.0, """{"q":1}"""))
+      (evId + 5, evTs, 3L, null.asInstanceOf[String], 1.0, """{"q":1}"""),
+      // range extremes + broken uniqueness: a 1970 stray, a far-future
+      // stray, an overflow-scale magnitude, a negative user, and a
+      // DUPLICATE event_id (an at-least-once upstream re-delivery)
+      (evId + 6, epoch0, 1L, "trade", 5.0, """{"q":1}"""),
+      (evId + 7, far, 1L, "trade", 6.0, """{"q":1}"""),
+      (evId + 8, evTs, -9L, "trade", -1.7e308, """{"q":1}"""),
+      (evId + 1, evTs, 1L, "trade", 42.0, """{"q":1}"""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val evNullVal = Seq((evId + 6, evTs, 3L, "trade", """{"q":1}"""))
       .toDF("event_id", "ts", "user_id", "event_type", "props")
@@ -69,7 +78,10 @@ object HostileInputProbe {
       (dId + 2, "", "en", "crawl", 0L),
       (dId + 3, giant, "en", "crawl", giant.length.toLong),
       (dId + 4, soup, null.asInstanceOf[String], "crawl", soup.length.toLong),
-      (dId + 5, "short text", "en", "crawl", 999999L))
+      (dId + 5, "short text", "en", "crawl", 999999L),
+      // duplicate doc_id (a re-crawled url landing twice) + negative id
+      (dId + 3, "different body same id", "en", "crawl", 22L),
+      (-7L, "negative id doc", "en", "crawl", 15L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     d.unionByName(dBad)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -84,7 +96,10 @@ object HostileInputProbe {
       (eId + 2, Seq.fill(dim)(Float.NaN), 0),
       (eId + 3, null.asInstanceOf[Seq[Float]], 0),
       (eId + 4, Seq.empty[Float], 0),
-      (eId + 5, Seq.fill(math.max(dim / 4, 1))(0.5f), 0))
+      (eId + 5, Seq.fill(math.max(dim / 4, 1))(0.5f), 0),
+      // duplicate vec_id with a DIFFERENT vector + a negative id
+      (eId + 1, Seq.fill(dim)(0.25f), 0),
+      (-3L, Seq.fill(dim)(0.75f), 0))
       .toDF("vec_id", "embedding", "label")
       .select(col("vec_id"), col("embedding").cast("array<float>"),
         col("label"))
