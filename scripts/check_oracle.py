@@ -69,6 +69,16 @@ def connect(sf_dir):
                     f"(make_timestamp(ts // 1000) AS ts) "
                     f"FROM read_parquet('{src}')")
                 continue
+        # mirror Tables' embeddings scan validation (Tables.EmbeddingDim):
+        # malformed vectors (null/empty/off-dim) are dropped by the engine
+        # at the scan, so the oracle must read the same validated row set
+        # — on driver testdata this predicate is a no-op
+        if name == "embeddings":
+            dim = int(os.environ.get("GRAFT_EMBEDDING_DIM", "64"))
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}') "
+                f"WHERE embedding IS NOT NULL AND len(embedding) = {dim}")
+            continue
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     return con

@@ -59,16 +59,26 @@ object Tables {
       spark.read.parquet(path)
         .where(org.apache.spark.sql.functions.col("embedding").isNotNull &&
           org.apache.spark.sql.functions.size(
-            org.apache.spark.sql.functions.col("embedding")) === EmbeddingDim)
+            org.apache.spark.sql.functions.col("embedding"))
+            === embeddingDim(spark))
     } else spark.read.parquet(path)
     maybeParallelize(spark, raw, path)
   }
 
-  /** The corpus embed dimension (the testdata fixture's FLOAT[64]; a
-    * production deployment sets its model's dim). Rows failing the
-    * `embeddings` scan validation against it are dropped, not fatal.
+  /** The corpus embed dimension (the testdata fixture's FLOAT[64]).
+    * Rows failing the `embeddings` scan validation against it are
+    * dropped, not fatal. A deployment whose model embeds at a different
+    * dim sets `graft.embedding.dim` on the session — otherwise a valid
+    * 128-dim corpus would be silently filtered to zero rows. The oracle
+    * harness mirrors the same predicate on its `embeddings` view
+    * (scripts/check_oracle.py), so engine and oracle always read the
+    * same validated row set.
     */
   val EmbeddingDim = 64
+
+  def embeddingDim(spark: SparkSession): Int =
+    spark.conf.getOption("graft.embedding.dim").map(_.toInt)
+      .getOrElse(EmbeddingDim)
 
   /** The driver testdata ships ONE row group per file, so a bare scan is
     * one task no matter how many cores the session has — per-row map work

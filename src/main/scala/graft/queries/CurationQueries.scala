@@ -331,10 +331,10 @@ object CurationQueries extends QueryPack {
           .orderBy(col("n").desc, col("pair"))
           .limit(20)
       },
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
              |  SELECT unnest(list_filter(
-             |    string_split_regex(trim(text), '\s+'),
-             |    tk -> tk <> '' AND length(tk) <= 1024)) AS tok
+             |    string_split_regex(trim(text), '\\s+'),
+             |    tk -> tk <> '' AND length(tk) <= $MaxPretokenChars)) AS tok
              |  FROM documents),
              |p AS (SELECT unnest(list_transform(range(1, length(tok)),
              |        i -> substr(tok, i, 2))) AS pair
@@ -391,7 +391,7 @@ object CurationQueries extends QueryPack {
               |         string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS tok
               |       FROM documents),
               |w0 AS (SELECT tok, COUNT(*) AS wf FROM tk
-              |       WHERE regexp_matches(tok, '^[a-z]+$$') AND length(tok) <= 1024 GROUP BY 1),
+              |       WHERE regexp_matches(tok, '^[a-z]+$$') AND length(tok) <= $MaxPretokenChars GROUP BY 1),
               |s0 AS (SELECT list_transform(range(1, length(tok) + 1),
               |         i -> substr(tok, i, 1)) AS syms, wf FROM w0),
               |p1 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wf) AS BIGINT) AS freq
@@ -479,7 +479,7 @@ object CurationQueries extends QueryPack {
            |         string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS tok
            |       FROM documents),
            |w0s AS (SELECT source, tok, COUNT(*) AS wf FROM tks
-           |       WHERE regexp_matches(tok, '^[a-z]+$$') AND length(tok) <= 1024 GROUP BY 1, 2),
+           |       WHERE regexp_matches(tok, '^[a-z]+$$') AND length(tok) <= $MaxPretokenChars GROUP BY 1, 2),
            |w0 AS (SELECT tok, CAST(SUM(wf) AS BIGINT) AS wf FROM w0s GROUP BY 1),
            |s0 AS (SELECT $symsOfTok AS syms, wf FROM w0),
            |p1 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wf) AS BIGINT) AS freq
@@ -1174,30 +1174,32 @@ object CurationQueries extends QueryPack {
 
   private def qfGCte(k: Int, wFrom: String): String = {
     val sums = (0 to 3).map(j =>
-      s"SUM(CAST(FLOOR((CAST(y AS DOUBLE) - $qfPExpr) " +
-        s"* x$j * 1000000.0 + 0.5) AS BIGINT)) AS s$j").mkString(",\n    ")
+      s"COALESCE(SUM(CAST(FLOOR((CAST(y AS DOUBLE) - $qfPExpr) " +
+        s"* x$j * 1000000.0 + 0.5) AS BIGINT)), 0) AS s$j").mkString(",\n    ")
     s"g$k AS (SELECT\n    $sums\n  FROM f, $wFrom w)"
   }
 
   private def qfWCte(k: Int, wFrom: String): String = {
     val ws = (0 to 3).map(j =>
-      s"w.w$j + $QfLr * ((g.s$j / 1000000.0) / c.n) AS w$j").mkString(", ")
+      s"w.w$j + $QfLr * ((g.s$j / 1000000.0) / GREATEST(c.n, 1)) AS w$j").mkString(", ")
     s"wt$k AS (SELECT $ws FROM $wFrom w, g$k g, cnt c)"
   }
 
   private def qfMCte(k: Int): String =
     s"""a$k AS (SELECT
-       |    SUM(CASE WHEN ($qfZExpr > 0.0) = (y = 1) THEN 1 ELSE 0 END) AS c,
-       |    SUM(CAST(FLOOR(-(CAST(y AS DOUBLE) * ln($qfPExpr)
+       |    COALESCE(SUM(CASE WHEN ($qfZExpr > 0.0) = (y = 1)
+       |      THEN 1 ELSE 0 END), 0) AS c,
+       |    COALESCE(SUM(CAST(FLOOR(-(CAST(y AS DOUBLE) * ln($qfPExpr)
        |      + (1.0 - CAST(y AS DOUBLE)) * ln(1.0 - $qfPExpr))
-       |      * 1000000.0 + 0.5) AS BIGINT)) AS l
+       |      * 1000000.0 + 0.5) AS BIGINT)), 0) AS l
        |  FROM f, wt$k w)""".stripMargin
 
   private def qfStepSelect(k: Int): String =
     s"SELECT $k AS step, ROUND(w.w0, 6) + 0.0 AS w0, ROUND(w.w1, 6) + 0.0 AS w1, " +
       s"ROUND(w.w2, 6) + 0.0 AS w2, ROUND(w.w3, 6) + 0.0 AS w3, " +
-      s"ROUND((a$k.l / 1000000.0) / cnt.n, 4) + 0.0 AS log_loss, " +
-      s"ROUND(a$k.c * 1.0 / cnt.n, 4) + 0.0 AS train_acc FROM wt$k w, a$k, cnt"
+      s"ROUND((a$k.l / 1000000.0) / GREATEST(cnt.n, 1), 4) + 0.0 AS log_loss, " +
+      s"ROUND(a$k.c * 1.0 / GREATEST(cnt.n, 1), 4) + 0.0 AS train_acc " +
+      s"FROM wt$k w, a$k, cnt"
 
   private def qfCtePrefix: String = {
     val ntokSql = TextQueries.nTokSql
@@ -1207,8 +1209,10 @@ object CurationQueries extends QueryPack {
        |    LEAST($ntokSql / 100.0, 1.0) AS r2,
        |    CAST(n_chars AS DOUBLE) / GREATEST($ntokSql, 1.0) / 10.0 AS r3
        |  FROM documents),
-       |bounds AS (SELECT MIN(r1) AS n1, MAX(r1) AS x1, MIN(r2) AS n2,
-       |    MAX(r2) AS x2, MIN(r3) AS n3, MAX(r3) AS x3 FROM r),
+       |bounds AS (SELECT COALESCE(MIN(r1), 0.0) AS n1,
+       |    COALESCE(MAX(r1), 0.0) AS x1, COALESCE(MIN(r2), 0.0) AS n2,
+       |    COALESCE(MAX(r2), 0.0) AS x2, COALESCE(MIN(r3), 0.0) AS n3,
+       |    COALESCE(MAX(r3), 0.0) AS x3 FROM r),
        |f AS (SELECT doc_id, y, 1.0 AS x0,
        |    (r1 - b.n1) / ((b.x1 - b.n1) + 1e-9) - 0.5 AS x1,
        |    (r2 - b.n2) / ((b.x2 - b.n2) + 1e-9) - 0.5 AS x2,

@@ -148,17 +148,20 @@ object IngestQueries extends QueryPack {
       (s, dir) => ingestHealth(s, dir),
       Some("""WITH m AS (SELECT MAX(ts) AS mx FROM events),
              |c AS (SELECT COUNT(*) AS n_rows,
-             |        CAST(SUM(CASE WHEN value IS NULL OR isnan(value)
-             |              OR isinf(value) THEN 1 ELSE 0 END) AS BIGINT)
+             |        CAST(COALESCE(SUM(CASE WHEN value IS NULL OR isnan(value)
+             |              OR isinf(value) THEN 1 ELSE 0 END), 0) AS BIGINT)
              |          AS corrupt_rows,
-             |        CAST(SUM(CASE WHEN ts < mx - INTERVAL 24 HOUR
-             |              THEN 1 ELSE 0 END) AS BIGINT) AS late_rows
+             |        CAST(COALESCE(SUM(CASE WHEN ts < mx - INTERVAL 24 HOUR
+             |              THEN 1 ELSE 0 END), 0) AS BIGINT) AS late_rows
              |      FROM events, m)
              |SELECT n_rows, corrupt_rows, late_rows,
-             |  ROUND(corrupt_rows * 1.0 / n_rows, 6) + 0.0 AS corrupt_ratio,
-             |  ROUND(late_rows * 1.0 / n_rows, 6) + 0.0 AS late_ratio,
+             |  ROUND(corrupt_rows * 1.0 / NULLIF(n_rows, 0), 6) + 0.0
+             |    AS corrupt_ratio,
+             |  ROUND(late_rows * 1.0 / NULLIF(n_rows, 0), 6) + 0.0
+             |    AS late_ratio,
              |  CASE WHEN corrupt_rows = 0
-             |        AND ROUND(late_rows * 1.0 / n_rows, 6) + 0.0 < 0.5
+             |        AND ROUND(late_rows * 1.0 / NULLIF(n_rows, 0), 6) + 0.0
+             |          < 0.5
              |       THEN 'healthy' ELSE 'degraded' END AS status
              |FROM c""".stripMargin),
       doc = "runtime observability (the reference's /health endpoint as a " +

@@ -127,20 +127,25 @@ object SamplingQueries extends QueryPack {
         // reproducible "sample 50 docs ∝ length" a recipe pins.
         val u = (graft.functions.KeyHash.column(col("doc_id")) + 1L)
           .cast("double") / lit(2147483648.0)
-        // nullif: a zero-weight doc (n_chars = 0, e.g. empty text) has
-        // sampling probability 0 — its key is null and sorts last under
-        // DESC in both engines, so it can never enter the sample; the
-        // unguarded divide is an ANSI DIVIDE_BY_ZERO (HostileInputProbe)
+        // non-positive weight (n_chars ≤ 0: empty text, or rotten
+        // metadata) = sampling probability 0 — its key is null and sorts
+        // last under DESC in both engines, so it enters only when the
+        // corpus has fewer than k weighted docs. The unguarded divide is
+        // an ANSI DIVIDE_BY_ZERO at 0, and a NEGATIVE weight would flip
+        // ln(u) positive and deterministically WIN the sample
+        // (HostileInputProbe + review)
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"),
-            (round(log(u) / nullif(col("n_chars"), lit(0L)), 6) + lit(0.0))
-              .as("es_key"))
+            (round(log(u)
+              / nullif(greatest(col("n_chars"), lit(0L)), lit(0L)), 6)
+              + lit(0.0)).as("es_key"))
           .orderBy(col("es_key").desc, col("doc_id"))
           .limit(50)
       },
       Some(s"""SELECT doc_id, source, n_chars,
               |  ROUND(ln((${graft.functions.KeyHash.sql("doc_id")} + 1)
-              |    / 2147483648.0) / NULLIF(n_chars, 0), 6) + 0.0 AS es_key
+              |    / 2147483648.0) / NULLIF(GREATEST(n_chars, 0), 0), 6)
+              |    + 0.0 AS es_key
               |FROM documents
               |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin),
       doc = "weighted sample without replacement (Efraimidis–Spirakis): " +

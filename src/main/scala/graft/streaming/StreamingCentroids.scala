@@ -76,9 +76,14 @@ object StreamingCentroids {
       centroids: Array[(Long, Array[Float])]): Dataset[CellCentroid] = {
     val spark = df.sparkSession
     import spark.implicits._
-    attach(df.select(
+    val assigned = df.select(
       graft.functions.VectorExpressions.best_cell(
         col(vecCol), centroids.map(_._2), centroids.map(_._1)).as("cell"),
-      col(vecCol).cast("array<double>").as("vec")).as[VecIn])
+      col(vecCol).cast("array<double>").as("vec"))
+    // empty quantizer (empty corpus slice at seed time): best_cell
+    // assigns null, and VecIn's `cell: Long` is non-nullable — filter
+    // the unassignable rows instead of tripping the encoder; the
+    // degenerate-slice contract (no cells -> no centroids to maintain)
+    attach(assigned.where(col("cell").isNotNull).as[VecIn])
   }
 }

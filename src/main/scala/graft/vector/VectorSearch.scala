@@ -641,11 +641,14 @@ object VectorSearch extends Serializable {
       rerank: Int): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val coarse = seedCentroids(vecs, idCol, vecCol, nCells)
+    // query guard BEFORE the seed collect: an empty query must not pay
+    // the corpus scan the quantizer seed costs
     val qv = headVecOpt(query, vecCol) match {
-      case Some(v) if coarse.nonEmpty => v
-      case _ => return emptyIvfPqResult(vecs, idCol)
+      case Some(v) => v
+      case None => return emptyIvfPqResult(vecs, idCol)
     }
+    val coarse = seedCentroids(vecs, idCol, vecCol, nCells)
+    if (coarse.isEmpty) return emptyIvfPqResult(vecs, idCol)
     val dim = qv.length
     require(dim % 2 == 0, s"IVF-PQ with 2 subspaces needs an even dim, got $dim")
     val half = dim / 2

@@ -59,7 +59,7 @@ object HostileInputProbe {
       (evId + 8, evTs, -9L, "trade", -1.7e308, """{"q":1}"""),
       (evId + 1, evTs, 1L, "trade", 42.0, """{"q":1}"""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val evNullVal = Seq((evId + 6, evTs, 3L, "trade", """{"q":1}"""))
+    val evNullVal = Seq((evId + 9, evTs, 3L, "trade", """{"q":1}"""))
       .toDF("event_id", "ts", "user_id", "event_type", "props")
       .withColumn("value", lit(null).cast("double"))
     ev.unionByName(evBad).unionByName(evNullVal, allowMissingColumns = false)
