@@ -36,6 +36,31 @@ class RobustnessSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 5L))
   }
 
+  test("embeddings scan validation follows graft.embedding.dim — a valid " +
+    "non-64-dim corpus is NOT silently filtered to zero rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("robust-dim").toString
+    vecs((1L, Seq.fill(16)(0.5f)), (2L, Seq.fill(64)(0.5f)))
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    spark.conf.set("graft.embedding.dim", "16")
+    try {
+      val kept = Tables(spark, tmp, "embeddings")
+        .select("vec_id").as[Long].collect().toSeq
+      assert(kept == Seq(1L)) // the 16-dim row survives, the 64-dim drops
+    } finally spark.conf.unset("graft.embedding.dim")
+  }
+
+  test("weighted sample: a NEGATIVE weight (rotten n_chars metadata) is " +
+    "probability 0, not a guaranteed win via a sign-flipped key") {
+    val dir = docsDir(
+      (1L, "some text here", "en", "a", 14L),
+      (2L, "bad metadata", "en", "a", -5L),
+      (3L, "more words", "en", "b", 10L))
+    val rows = SparkEntry.queries("q_s_weighted_sample")(spark, dir)
+      .select("doc_id", "es_key").collect()
+    assert(rows.last.getLong(0) == 2L && rows.last.isNullAt(1))
+  }
+
   test("seedCentroids over an empty slice is empty; every ANN kernel " +
     "degrades to an empty result with its normal schema (r12g class 1)") {
     assert(VectorSearch.seedCentroids(empty, "vec_id", "embedding", 16).isEmpty)
