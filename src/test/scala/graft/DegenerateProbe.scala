@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Whole-surface degenerate-input sweep (Test scope, not shipped).
   *
@@ -31,12 +32,28 @@ object DegenerateProbe {
 
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val root = "/tmp/graft-degenerate"
-    val shapes = Seq("empty" -> 0, "one" -> 1)
+    val shapes = Seq("empty" -> 0, "one" -> 1, "mono" -> 500)
     for ((shape, n) <- shapes) {
       val dir = s"$root/$shape"
-      for (t <- tables)
-        Tables(spark, src, t).limit(n)
-          .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      for (t <- tables) {
+        val base = Tables(spark, src, t).limit(n)
+        // "mono": every grouping key collapses to ONE value — the skew
+        // extreme of every keyed operator (one giant group, every
+        // window/groupBy/partitionBy single-partition)
+        val df =
+          if (shape != "mono") base
+          else t match {
+            case "events" => base
+              .withColumn("event_type", lit("MONO"))
+              .withColumn("user_id", lit(1L))
+            case "documents" => base
+              .withColumn("source", lit("mono"))
+              .withColumn("lang", lit("xx"))
+            case "embeddings" => base.withColumn("label", lit(0))
+            case _ => base
+          }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
     }
 
     var failures = List.empty[(String, String, String)]
@@ -55,7 +72,7 @@ object DegenerateProbe {
       } finally CacheScope.release(spark)
     }
 
-    println(s"\n=== ${failures.size} failures / ${2 * names.size} runs ===")
+    println(s"\n=== ${failures.size} failures / ${shapes.size * names.size} runs ===")
     failures.reverse.foreach { case (s, n, m) => println(s"  [$s] $n: $m") }
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
