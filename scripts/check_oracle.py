@@ -60,9 +60,10 @@ def connect(sf_dir):
         # (floor-truncate to micros) so oracle and Spark see the same
         # instants at probe scales too
         if name == "events":
-            t = con.execute(
+            row = con.execute(
                 f"SELECT typeof(ts) FROM read_parquet('{src}') LIMIT 1"
-            ).fetchone()[0]
+            ).fetchone()
+            t = row[0] if row else None  # empty events: plain view below
             if t == "BIGINT":
                 con.execute(
                     f"CREATE VIEW {name} AS SELECT * REPLACE "

@@ -461,7 +461,10 @@ object DedupQueries extends QueryPack {
           .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
           .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
           .select(col("n_true"), col("n_cand"), col("n_hit"),
-            (round(col("n_hit") / col("n_true"), 4) + lit(0.0)).as("recall"))
+            // nullif: an empty slice has no truth pairs — recall is
+            // undefined (null), not an ANSI divide (DegenerateProbe)
+            (round(col("n_hit") / nullif(col("n_true"), lit(0L)), 4)
+              + lit(0.0)).as("recall"))
       },
       Some(s"""WITH $minhashSigCtes,
               |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -485,7 +488,7 @@ object DedupQueries extends QueryPack {
               |        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS BIGINT) AS n_hit,
               |  ROUND((SELECT COUNT(*) FROM truth t JOIN cand c
               |         ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1.0
-              |    / (SELECT COUNT(*) FROM truth), 4) + 0.0 AS recall
+              |    / NULLIF((SELECT COUNT(*) FROM truth), 0), 4) + 0.0 AS recall
               |""".stripMargin),
       doc = "MinHash-LSH recall eval: banded candidate pairs vs the exact " +
         "Jaccard >= 0.5 truth set — recall + candidate volume in one row, " +

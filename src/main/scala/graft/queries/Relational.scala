@@ -473,10 +473,12 @@ object Relational extends QueryPack {
           sum(col("tp").isNotNull.cast("long")).as("n_purchased"))
           .select(col("n_users"), col("n_viewed"), col("n_clicked"),
             col("n_purchased"),
-            (round(col("n_clicked") / col("n_viewed"), 4) + lit(0.0))
-              .as("view_to_click"),
-            (round(col("n_purchased") / col("n_clicked"), 4) + lit(0.0))
-              .as("click_to_purchase"))
+            // nullif: a slice with zero viewers/clickers has undefined
+            // conversion (null), not an ANSI divide (DegenerateProbe)
+            (round(col("n_clicked") / nullif(col("n_viewed"), lit(0L)), 4)
+              + lit(0.0)).as("view_to_click"),
+            (round(col("n_purchased") / nullif(col("n_clicked"), lit(0L)), 4)
+              + lit(0.0)).as("click_to_purchase"))
       },
       Some("""WITH s AS (
              |  SELECT user_id, ts, event_type,
@@ -496,9 +498,9 @@ object Relational extends QueryPack {
              |  CAST(SUM(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
              |  CAST(SUM(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased,
              |  ROUND(SUM(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) * 1.0
-             |    / SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END), 4) + 0.0 AS view_to_click,
+             |    / NULLIF(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END), 0), 4) + 0.0 AS view_to_click,
              |  ROUND(SUM(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END) * 1.0
-             |    / SUM(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END), 4) + 0.0 AS click_to_purchase
+             |    / NULLIF(SUM(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END), 0), 4) + 0.0 AS click_to_purchase
              |FROM u""".stripMargin),
       doc = "ordered funnel (view -> click -> purchase, each stage's first " +
         "touch at/after the previous one): two stacked same-partition " +
@@ -813,7 +815,10 @@ object Relational extends QueryPack {
           .where(col("event_type") === "purchase")
           .groupBy(coalesce(col("channel"), lit("(direct)")).as("channel"))
           .agg(count(lit(1)).as("n_purchases"),
-            sum(col("value").cast(DecimalType(28, 4))).cast("double")
+            // ledger guard: out-of-DECIMAL-range values are
+            // domain-invalid -> null (see q_a_vwap; HostileInputProbe)
+            sum(when(abs(col("value")) < lit(1e24), col("value"))
+              .cast(DecimalType(28, 4))).cast("double")
               .as("revenue"))
         // limit(1024) is the channel-domain contract made VISIBLE TO THE
         // PLAN: channels come from the event_type enum (+ '(direct)'), a
@@ -836,7 +841,8 @@ object Relational extends QueryPack {
              |r AS (
              |  SELECT COALESCE(channel, '(direct)') AS channel,
              |    COUNT(*) AS n_purchases,
-             |    CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+             |    CAST(SUM(CAST(CASE WHEN ABS(value) < 1e24 THEN value END
+             |      AS DECIMAL(28,4))) AS DOUBLE) AS revenue
              |  FROM a WHERE event_type = 'purchase' GROUP BY 1)
              |SELECT channel, n_purchases, revenue,
              |  ROUND(revenue / SUM(revenue) OVER (), 6) + 0.0 AS revenue_share
@@ -996,7 +1002,9 @@ object Relational extends QueryPack {
             hour(col("ts")).as("hod"))
           .agg(
             count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(18,2)")).as("sv"),
+            // ledger guard (see q_a_vwap): out-of-range -> null, both engines
+            sum(when(abs(col("value")) < lit(1e16), col("value"))
+              .cast("decimal(18,2)")).as("sv"),
             min(col("value")).as("mn"),
             max(col("value")).as("mx"))
         partials
@@ -1013,7 +1021,8 @@ object Relational extends QueryPack {
              |  COUNT(DISTINCT (ts < TIMESTAMP '2024-01-04 00:00:00'))
              |    AS n_partials,
              |  COUNT(*) AS n_events,
-             |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             |  ROUND(CAST(SUM(CAST(CASE WHEN ABS(value) < 1e16 THEN value END
+             |    AS DECIMAL(18,2))) AS DOUBLE), 2)
              |    + 0.0 AS sum_value,
              |  MIN(value) AS min_value, MAX(value) AS max_value
              |FROM events GROUP BY 1, 2 ORDER BY event_type, hod""".stripMargin),

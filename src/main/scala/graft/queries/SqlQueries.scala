@@ -531,7 +531,8 @@ object SqlQueries extends QueryPack {
         |  SELECT (ts < TIMESTAMP '2024-01-04 00:00:00') AS is_base,
         |    event_type, CAST(hour(ts) AS INT) AS hod,
         |    COUNT(*) AS n,
-        |    SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+        |    SUM(CAST(CASE WHEN ABS(value) < 1e16 THEN value END
+        |      AS DECIMAL(18,2))) AS sv,
         |    MIN(value) AS mn, MAX(value) AS mx
         |  FROM events GROUP BY 1, 2, 3)
         |SELECT event_type, hod,

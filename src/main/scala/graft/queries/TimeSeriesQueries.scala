@@ -662,7 +662,13 @@ object TimeSeriesQueries extends QueryPack {
             Seq("event_type"), Seq(col("ts"), col("event_id")), "value",
             Seq("pred" -> 1))
           .where(col("pred").isNotNull)
-        val q6 = floor(abs(col("value") - col("pred")) * 1e6 + 0.5)
+        // micro-unit budget guard: a non-finite or overflow-scale diff
+        // (NaN/Inf/1e308 measurements — HostileInputProbe) is outside the
+        // metric's price domain; it quantizes to null (both engines) so
+        // one bad tick can't overflow the long sum. 1e9 keeps q6 <= 1e15
+        // per row — vast headroom over any price diff.
+        val diff = abs(col("value") - col("pred"))
+        val q6 = when(diff < lit(1e9), floor(diff * 1e6 + 0.5))
           .cast("long")
         // n counts exactly the rows q6 sums: a null `value` under a
         // non-null pred makes q6 null — the oracle's `WHERE q6 IS NOT
@@ -682,8 +688,11 @@ object TimeSeriesQueries extends QueryPack {
       },
       Some("""WITH p AS (
              |  SELECT event_type, dayofweek(ts) AS dow,
-             |    CAST(FLOOR(ABS(value - LAG(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id)) * 1e6 + 0.5) AS BIGINT) AS q6
-             |  FROM events),
+             |    CAST(CASE WHEN ABS(value - LAG(value, 1) OVER w) < 1e9
+             |      THEN FLOOR(ABS(value - LAG(value, 1) OVER w) * 1e6 + 0.5)
+             |      END AS BIGINT) AS q6
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
              |g AS (SELECT event_type, dow, SUM(q6) AS s6, COUNT(*) AS n
              |      FROM p WHERE q6 IS NOT NULL GROUP BY 1, 2)
              |SELECT event_type, dow,
@@ -705,7 +714,12 @@ object TimeSeriesQueries extends QueryPack {
         // DSIR lesson), one partial-agg shuffle on (key, bucket). The
         // proxy maps value→price and (value mod 7)+1→size so the weights
         // are deterministic integers replayed in the oracle.
-        def d4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(28, 4))
+        // ledger guard: a value outside DECIMAL(28,4)'s range (an
+        // overflow-scale corrupt measurement) is domain-invalid — null,
+        // not an ANSI NUMERIC_VALUE_OUT_OF_RANGE (HostileInputProbe);
+        // the oracle casts through the same CASE
+        def d4(c: org.apache.spark.sql.Column) =
+          when(abs(c) < lit(1e24), c).cast(DecimalType(28, 4))
         val sz = (pmod(col("event_id"), lit(7)) + 1).cast("long")
         ev(s, dir)
           .select(col("event_type"), col("ts"), col("value"),
@@ -724,7 +738,8 @@ object TimeSeriesQueries extends QueryPack {
       },
       Some("""SELECT event_type, date_trunc('hour', ts) AS bucket_start,
              |  CAST(SUM((event_id % 7) + 1) AS BIGINT) AS volume,
-             |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4)) * ((event_id % 7) + 1)) AS DOUBLE)
+             |  ROUND(CAST(SUM(CAST(CASE WHEN ABS(value) < 1e24 THEN value END
+             |      AS DECIMAL(28,4)) * ((event_id % 7) + 1)) AS DOUBLE)
              |    / SUM((event_id % 7) + 1), 6) + 0.0 AS vwap
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       doc = "VWAP per (key, hour bucket): both sums in DECIMAL — exact " +

@@ -379,7 +379,9 @@ object StreamIngest {
       .groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum((col(valueCol)
+        // ledger guard (see q_a_vwap): an out-of-DECIMAL-range value in
+        // a batch is domain-invalid -> null, not a fatal ANSI cast
+        sum((when(abs(col(valueCol)) < lit(1e16), col(valueCol))
           .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
           .cast("long")).as("sum_cents"),
         min(col(valueCol)).as("mn"),

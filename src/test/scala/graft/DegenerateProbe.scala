@@ -61,7 +61,13 @@ object DegenerateProbe {
     for ((shape, _) <- shapes; name <- names) {
       val t0 = System.nanoTime()
       try {
-        val rows = SparkEntry.queries(name)(spark, s"$root/$shape").count()
+        val df = SparkEntry.queries(name)(spark, s"$root/$shape")
+        // noop write, not count(): count() lets Spark skip evaluating
+        // projected columns, hiding per-column failures a real sink hits
+        // (caught live: a recall divide that only fired under Verify's
+        // parquet write). The noop sink materializes every column.
+        df.write.format("noop").mode("overwrite").save()
+        val rows = df.count()
         println(f"OK    $shape%-5s $name%-44s rows=$rows%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       } catch {
         case e: Throwable =>

@@ -111,7 +111,11 @@ object HostileInputProbe {
     for (name <- names) {
       val t0 = System.nanoTime()
       try {
-        val rows = SparkEntry.queries(name)(spark, dir).count()
+        val df = SparkEntry.queries(name)(spark, dir)
+        // noop write, not count(): full-column materialization (see
+        // DegenerateProbe note)
+        df.write.format("noop").mode("overwrite").save()
+        val rows = df.count()
         println(f"OK    $name%-44s rows=$rows%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       } catch {
         case ex: Throwable =>
