@@ -46,7 +46,26 @@ def canon(df: pd.DataFrame):
     return (df.sort_values(by=list(df.columns), kind="mergesort")
               .reset_index(drop=True), decimal_cols)
 
-def connect(sf_dir):
+def embedding_dim(out_dir):
+    """Single-source the embeddings dim (ADVICE r12): the engine writes its
+    EFFECTIVE dim to verify_meta.json; the oracle reads that. The env var
+    GRAFT_EMBEDDING_DIM remains the way to SET it (Verify copies env ->
+    session conf), so if both exist they must agree — a disagreement means
+    the two channels drifted and the compare would silently diff data."""
+    meta_path = os.path.join(out_dir, "verify_meta.json")
+    meta_dim = None
+    if os.path.exists(meta_path):
+        meta_dim = int(json.load(open(meta_path)).get("embedding_dim"))
+    env = os.environ.get("GRAFT_EMBEDDING_DIM")
+    if env is not None and meta_dim is not None and int(env) != meta_dim:
+        sys.exit(f"config drift: GRAFT_EMBEDDING_DIM={env} but the engine "
+                 f"ran with embedding_dim={meta_dim} (verify_meta.json) — "
+                 f"re-run graft.Verify with the same env")
+    if meta_dim is not None:
+        return meta_dim
+    return int(env) if env is not None else 64
+
+def connect(sf_dir, dim=64):
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
@@ -75,7 +94,6 @@ def connect(sf_dir):
         # at the scan, so the oracle must read the same validated row set
         # — on driver testdata this predicate is a no-op
         if name == "embeddings":
-            dim = int(os.environ.get("GRAFT_EMBEDDING_DIM", "64"))
             con.execute(
                 f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}') "
                 f"WHERE embedding IS NOT NULL AND len(embedding) = {dim}")
@@ -86,7 +104,8 @@ def connect(sf_dir):
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    con = connect(sf_dir)
+    dim = embedding_dim(out_dir)
+    con = connect(sf_dir, dim)
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
     names = sorted(d for d in os.listdir(out_dir)
@@ -108,7 +127,7 @@ def main():
                 # build the replacement FIRST so a failed reconnect can't
                 # leave `con` closed and poison every remaining query
                 try:
-                    new_con = connect(sf_dir)
+                    new_con = connect(sf_dir, dim)
                 except Exception:
                     results[name] = f"ORACLE-SQL-ERROR: {e}"
                     continue

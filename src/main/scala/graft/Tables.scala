@@ -56,11 +56,13 @@ object Tables {
       // the kernels strict: a length mismatch past this point is a real
       // bug and should still throw. EmbeddingDim is a deployment
       // constant, like the model dim.
-      spark.read.parquet(path)
+      val dim = embeddingDim(spark)
+      val raw0 = spark.read.parquet(path)
+      checkDimPlausible(spark, raw0, path, dim)
+      raw0
         .where(org.apache.spark.sql.functions.col("embedding").isNotNull &&
           org.apache.spark.sql.functions.size(
-            org.apache.spark.sql.functions.col("embedding"))
-            === embeddingDim(spark))
+            org.apache.spark.sql.functions.col("embedding")) === dim)
     } else spark.read.parquet(path)
     maybeParallelize(spark, raw, path)
   }
@@ -79,6 +81,40 @@ object Tables {
   def embeddingDim(spark: SparkSession): Int =
     spark.conf.getOption("graft.embedding.dim").map(_.toInt)
       .getOrElse(EmbeddingDim)
+
+  /** Loud-failure guard for the scan-time validation above (ADVICE r12):
+    * a corpus whose TRUE dim disagrees with the configured one would be
+    * silently filtered to zero rows everywhere — a deployment
+    * misconfiguration masquerading as empty data. Sample a handful of
+    * rows from the raw scan once per (path, dim) per JVM; if the sample
+    * is non-empty and NOT ONE row matches the configured dim, fail with
+    * a message naming both sides. A mixed corpus (valid rows + hostile
+    * malformed rows) still passes — any single matching row clears the
+    * probe — so this never rejects what the filter is designed to clean.
+    * Cost: one LIMIT-64 single-partition job per distinct (path, dim),
+    * memoized; independent of corpus size (no full scan at 100 TB).
+    */
+  private val dimChecked =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Boolean]
+
+  private def checkDimPlausible(spark: SparkSession, raw: DataFrame,
+      path: String, dim: Int): Unit =
+    dimChecked.getOrElseUpdate((path, dim), {
+      import org.apache.spark.sql.functions.{col, size}
+      val sizes = raw.where(col("embedding").isNotNull)
+        .select(size(col("embedding")).as("n")).limit(64)
+        .collect().map(_.getInt(0))
+      if (sizes.nonEmpty && !sizes.contains(dim)) {
+        val seen = sizes.distinct.sorted.take(5).mkString(", ")
+        throw new IllegalStateException(
+          s"embeddings at $path: configured dim $dim (graft.embedding.dim" +
+            s"${if (spark.conf.getOption("graft.embedding.dim").isEmpty) " unset, default" else ""})" +
+            s" matches none of the first ${sizes.length} rows (observed " +
+            s"sizes: $seen) — every row would be dropped by scan " +
+            "validation; set graft.embedding.dim to the corpus dim")
+      }
+      true
+    })
 
   /** The driver testdata ships ONE row group per file, so a bare scan is
     * one task no matter how many cores the session has — per-row map work

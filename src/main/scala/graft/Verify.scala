@@ -18,6 +18,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Single config source for the embedding dim (ADVICE r12): the env
+    // var the oracle harness reads drives the engine conf too, so engine
+    // and DuckDB oracle can never validate different row sets. The
+    // effective dim is also dumped to verify_meta.json below for
+    // check_oracle.py to cross-check.
+    sys.env.get("GRAFT_EMBEDDING_DIM")
+      .foreach(d => spark.conf.set("graft.embedding.dim", d))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -46,6 +53,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Effective session config the oracle must mirror (one source of
+    // truth — check_oracle.py fails loudly on any disagreement).
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
+      s"""{"embedding_dim": ${Tables.embeddingDim(spark)}}""")
     spark.stop()
   }
 }

@@ -1005,6 +1005,13 @@ object Relational extends QueryPack {
             // ledger guard (see q_a_vwap): out-of-range -> null, both engines
             sum(when(abs(col("value")) < lit(1e16), col("value"))
               .cast("decimal(18,2)")).as("sv"),
+            // guarded-row ledger (ADVICE r12): min/max still see extreme
+            // values the sum excludes — count the exclusions so a row
+            // like (max=1.7e308, sum-without-it) is self-explaining, and
+            // the report is internally consistent. Mergeable (sum of
+            // counts), so the incremental contract is unchanged.
+            count(when(col("value").isNotNull &&
+              !(abs(col("value")) < lit(1e16)), lit(1))).as("nx"),
             min(col("value")).as("mn"),
             max(col("value")).as("mx"))
         partials
@@ -1013,6 +1020,7 @@ object Relational extends QueryPack {
             count(lit(1)).as("n_partials"),
             sum(col("n")).as("n_events"),
             round(sum(col("sv")).cast("double"), 2).as("sum_value"),
+            sum(col("nx")).as("n_sum_excluded"),
             min(col("mn")).as("min_value"),
             max(col("mx")).as("max_value"))
           .orderBy("event_type", "hod")
@@ -1024,6 +1032,8 @@ object Relational extends QueryPack {
              |  ROUND(CAST(SUM(CAST(CASE WHEN ABS(value) < 1e16 THEN value END
              |    AS DECIMAL(18,2))) AS DOUBLE), 2)
              |    + 0.0 AS sum_value,
+             |  COUNT(CASE WHEN value IS NOT NULL
+             |    AND NOT (ABS(value) < 1e16) THEN 1 END) AS n_sum_excluded,
              |  MIN(value) AS min_value, MAX(value) AS max_value
              |FROM events GROUP BY 1, 2 ORDER BY event_type, hod""".stripMargin),
       doc = "incremental materialized-rollup maintenance: the standing " +

@@ -533,12 +533,15 @@ object SqlQueries extends QueryPack {
         |    COUNT(*) AS n,
         |    SUM(CAST(CASE WHEN ABS(value) < 1e16 THEN value END
         |      AS DECIMAL(18,2))) AS sv,
+        |    COUNT(CASE WHEN value IS NOT NULL
+        |      AND NOT (ABS(value) < 1e16) THEN 1 END) AS nx,
         |    MIN(value) AS mn, MAX(value) AS mx
         |  FROM events GROUP BY 1, 2, 3)
         |SELECT event_type, hod,
         |  COUNT(*) AS n_partials,
         |  CAST(SUM(n) AS BIGINT) AS n_events,
         |  ROUND(CAST(SUM(sv) AS DOUBLE), 2) + 0.0 AS sum_value,
+        |  CAST(SUM(nx) AS BIGINT) AS n_sum_excluded,
         |  MIN(mn) AS min_value, MAX(mx) AS max_value
         |FROM p GROUP BY 1, 2 ORDER BY event_type, hod""".stripMargin,
       doc = "S8 x analytics pillar: incremental rollup maintenance as ONE " +

@@ -30,14 +30,20 @@ object BucketedLayout {
 
   val NBuckets = 8
 
-  /** Weak-keyed session memo (the `Tables.ensureRegistered` discipline):
-    * the layout is written once per (session, sfDir) and reused by every
-    * query in the run; a new JVM rebuilds it (in-memory catalog does not
-    * persist table metadata across sessions — on a real deployment this
-    * is a real metastore table written by the ingest job, not per-run).
+  /** JVM-global built-table memo, keyed by catalog table NAME. The
+    * catalog entry and the warehouse files are SHARED across
+    * `spark.newSession()` children (SharedState), so the memo must be
+    * too: a per-session memo let a second concurrent session miss its
+    * own memo, see the table in the shared catalog, and DROP+rebuild it
+    * out from under the first session mid-read (found writing the r13
+    * ConcurrencySpec). Build-or-reuse runs under one lock; reuse is
+    * sound because the build is deterministic from (sfDir, spec). A new
+    * JVM rebuilds (in-memory catalog does not persist table metadata —
+    * on a real deployment this is a real metastore table written by the
+    * ingest job, not per-run).
     */
-  private val built = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.Map[String, String]]()
+  private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private val buildLock = new Object
 
   /** Idempotently persist `events` bucketed by `user_id` into [[NBuckets]]
     * buckets, each bucket ONE file sorted by `(user_id, ts, event_id)`,
@@ -49,14 +55,15 @@ object BucketedLayout {
     * bucket's rows.
     */
   def ensureEventsByUser(spark: SparkSession, sfDir: String): String =
-    ensureBucketedTable(spark, memoKey = sfDir,
+    ensureBucketedTable(spark,
       namePrefix = "events_by_user_", sfDir = sfDir,
       sortCols = Seq("user_id", "ts", "event_id")) {
       graft.Tables(spark, sfDir, "events")
     }
 
-  /** Shared scaffold for the layout's bucketed tables: session-memoized,
-    * stale-location-safe, one sorted file per bucket on `bucketCol` into
+  /** Shared scaffold for the layout's bucketed tables: JVM-memoized
+    * (shared catalog — see [[built]]), stale-location-safe, one sorted
+    * file per bucket on `bucketCol` into
     * [[NBuckets]] buckets. One file per bucket matters: the scan only
     * reports its outputOrdering (enabling sort elimination) when no
     * per-bucket merge is needed, so the writer repartitions on the bucket
@@ -64,15 +71,10 @@ object BucketedLayout {
     * Murmur3 on `bucketCol`, so every task holds exactly one bucket's
     * rows.
     */
-  private def ensureBucketedTable(spark: SparkSession, memoKey: String,
+  private def ensureBucketedTable(spark: SparkSession,
       namePrefix: String, sfDir: String, sortCols: Seq[String],
       bucketCol: String = "user_id")(
       build: => DataFrame): String = {
-    val memo = built.synchronized {
-      var m = built.get(spark)
-      if (m == null) { m = scala.collection.mutable.Map.empty; built.put(spark, m) }
-      m
-    }
     // autoBucketedScan only credits exchange-elimination: a pruning-only
     // query (filter on the bucket key, no join/agg) gets its bucketed
     // read DISABLED by the planner ("Bucketed: false"), which also drops
@@ -87,31 +89,33 @@ object BucketedLayout {
     // enabling it is sound here and is what turns the window's Sort into
     // a no-op.
     configureBucketedScans(spark)
-    memo.synchronized {
-      memo.get(memoKey) match {
-        case Some(t) if spark.catalog.tableExists(t) => t
-        case _ =>
-          val name = namePrefix +
-            sfDir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
-          // A fresh JVM's in-memory catalog forgets the table while the
-          // warehouse directory persists on disk — saveAsTable then fails
-          // LOCATION_ALREADY_EXISTS. Drop any catalog entry AND the stale
-          // location before rebuilding (a real metastore deployment keeps
-          // the metadata and never enters this branch).
-          spark.sql(s"DROP TABLE IF EXISTS $name")
-          val loc = new org.apache.hadoop.fs.Path(
-            spark.conf.get("spark.sql.warehouse.dir"), name)
-          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(loc)) fs.delete(loc, true)
-          build
-            .repartition(NBuckets, col(bucketCol))
-            .write
-            .bucketBy(NBuckets, bucketCol)
-            .sortBy(sortCols.head, sortCols.tail: _*)
-            .mode(SaveMode.Overwrite)
-            .saveAsTable(name)
-          memo.put(memoKey, name)
-          name
+    val name = namePrefix +
+      sfDir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    // fast path outside the lock: built by this JVM and still cataloged
+    if (built.contains(name) && spark.catalog.tableExists(name)) return name
+    buildLock.synchronized {
+      // re-check under the lock — another session may have just built it
+      if (built.contains(name) && spark.catalog.tableExists(name)) name
+      else {
+        // A fresh JVM's in-memory catalog forgets the table while the
+        // warehouse directory persists on disk — saveAsTable then fails
+        // LOCATION_ALREADY_EXISTS. Drop any catalog entry AND the stale
+        // location before rebuilding (a real metastore deployment keeps
+        // the metadata and never enters this branch).
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), name)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        build
+          .repartition(NBuckets, col(bucketCol))
+          .write
+          .bucketBy(NBuckets, bucketCol)
+          .sortBy(sortCols.head, sortCols.tail: _*)
+          .mode(SaveMode.Overwrite)
+          .saveAsTable(name)
+        built.put(name, ())
+        name
       }
     }
   }
@@ -271,7 +275,7 @@ object BucketedLayout {
     * bucket removes the SMJ's sorts too.
     */
   def ensureUserTiers(spark: SparkSession, sfDir: String): String =
-    ensureBucketedTable(spark, memoKey = sfDir + "#tiers",
+    ensureBucketedTable(spark,
       namePrefix = "user_tiers_", sfDir = sfDir,
       sortCols = Seq("user_id")) {
       // DECIMAL-exact spend (the VWAP discipline): the tier cuts are

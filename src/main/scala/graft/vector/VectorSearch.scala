@@ -342,10 +342,14 @@ object VectorSearch extends Serializable {
     val cents = centroids.map(_._2)
     val ids = centroids.map(_._1)
 
+    // quantizer emptiness is known on the driver — check it BEFORE paying
+    // the query-side take(1) job (ADVICE r12)
+    if (centroids.isEmpty)
+      return cosineTopK(vecs.limit(0), query.limit(0), idCol, vecCol, k)
     val qv = headVecOpt(query, vecCol) match {
-      case Some(v) if centroids.nonEmpty => v
-      // empty query or empty quantizer: no probeable cells, empty top-k
-      case _ => return cosineTopK(vecs.limit(0), query.limit(0),
+      case Some(v) => v
+      // empty query: no probeable cells, empty top-k
+      case None => return cosineTopK(vecs.limit(0), query.limit(0),
         idCol, vecCol, k)
     }
     val probed = centroids.map { case (cid, c) => (cid, cosSeq(qv, c.toSeq)) }

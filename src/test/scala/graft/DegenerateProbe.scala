@@ -65,9 +65,14 @@ object DegenerateProbe {
         // noop write, not count(): count() lets Spark skip evaluating
         // projected columns, hiding per-column failures a real sink hits
         // (caught live: a recall divide that only fired under Verify's
-        // parquet write). The noop sink materializes every column.
-        df.write.format("noop").mode("overwrite").save()
-        val rows = df.count()
+        // parquet write). The noop sink materializes every column. Row
+        // count rides on the SAME execution via observe() — a separate
+        // count() would re-run every query (ADVICE r12).
+        val obs = org.apache.spark.sql.Observation()
+        df.observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+          .write.format("noop").mode("overwrite").save()
+        val rows = obs.get("rows").asInstanceOf[Long]
         println(f"OK    $shape%-5s $name%-44s rows=$rows%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       } catch {
         case e: Throwable =>

@@ -113,9 +113,13 @@ object HostileInputProbe {
       try {
         val df = SparkEntry.queries(name)(spark, dir)
         // noop write, not count(): full-column materialization (see
-        // DegenerateProbe note)
-        df.write.format("noop").mode("overwrite").save()
-        val rows = df.count()
+        // DegenerateProbe note); row count observed on the same
+        // execution, not a second count() run (ADVICE r12)
+        val obs = org.apache.spark.sql.Observation()
+        df.observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+          .write.format("noop").mode("overwrite").save()
+        val rows = obs.get("rows").asInstanceOf[Long]
         println(f"OK    $name%-44s rows=$rows%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       } catch {
         case ex: Throwable =>

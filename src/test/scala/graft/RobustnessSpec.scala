@@ -50,6 +50,25 @@ class RobustnessSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.embedding.dim")
   }
 
+  test("embeddings dim misconfiguration fails LOUDLY, not as silent " +
+    "drop-all (ADVICE r12): a corpus whose rows ALL disagree with the " +
+    "configured dim throws at load instead of reading as zero rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("robust-dim-mis").toString
+    vecs((1L, Seq.fill(32)(0.5f)), (2L, Seq.fill(32)(0.25f)))
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    // default dim (64) matches no row -> loud failure naming both sides
+    val e = intercept[IllegalStateException] {
+      Tables(spark, tmp, "embeddings").collect()
+    }
+    assert(e.getMessage.contains("graft.embedding.dim") &&
+      e.getMessage.contains("32"))
+    // correctly configured, the same corpus reads fine
+    spark.conf.set("graft.embedding.dim", "32")
+    try assert(Tables(spark, tmp, "embeddings").count() == 2L)
+    finally spark.conf.unset("graft.embedding.dim")
+  }
+
   test("weighted sample: a NEGATIVE weight (rotten n_chars metadata) is " +
     "probability 0, not a guaranteed win via a sign-flipped key") {
     val dir = docsDir(
