@@ -47,6 +47,12 @@ object CacheScope {
       cached
     }
 
+  /** Test hook (ConcurrencySpec): live retained-frame count for `s` —
+    * 0 after [[release]] proves per-session cleanup under concurrency.
+    */
+  private[graft] def liveCount(s: SparkSession): Int =
+    synchronized { live.count(_.session eq s) }
+
   /** Unpersist (blocking, so storage-empty assertions are deterministic)
     * every frame registered under `s` and run the eviction callbacks.
     */

@@ -78,4 +78,9 @@ object IterScope {
   /** The iterative-section default: AQE off for the scope (see above). */
   def noAqe[T](spark: SparkSession)(body: => T): T =
     withConf(spark, "spark.sql.adaptive.enabled" -> "false")(body)
+
+  /** Test hook (ConcurrencySpec): open-scope count — 0 at rest proves no
+    * owner-entry leak survives a concurrent soak.
+    */
+  private[graft] def openScopes: Int = owners.size
 }
