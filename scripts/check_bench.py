@@ -10,7 +10,15 @@ ship.
 
 Usage:
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' > /tmp/bench_line.json
-    python3 scripts/check_bench.py /tmp/bench_line.json [bench_detail.json]
+    python3 scripts/check_bench.py /tmp/bench_line.json [bench_detail.json] [--prev PATH]
+
+--prev: a previous round's bench_detail.json to diff the COLD column
+against (VERDICT r12 #4). When omitted, the last committed
+bench_detail.json (`git show HEAD:bench_detail.json`) is used if
+available. A query whose cold (first-run) time grew more than
+COLD_GROWTH_MAX x AND by more than COLD_GROWTH_ABS_S seconds fails the
+gate — a cold-path regression in a memoized family must fail the round,
+not hide behind the warm min.
 
 Checks:
   1. both artifacts parse as JSON (one object each);
@@ -31,9 +39,62 @@ def fail(msg: str) -> None:
     sys.exit(1)
 
 
+# cold-path regression envelope: generous on purpose (cold runs absorb
+# JIT/scan warmup and host noise); both conditions must hold to flag
+COLD_GROWTH_MAX = 3.0     # x growth vs previous round's cold time
+COLD_GROWTH_ABS_S = 1.0   # and at least this many seconds slower
+
+
+def prev_detail(detail_path: str):
+    """The previous round's detail artifact: --prev PATH if given, else
+    the last committed copy of detail_path (the driver commits artifacts
+    at round close). Returns (dict | None, source-description)."""
+    if "--prev" in sys.argv:
+        p = sys.argv[sys.argv.index("--prev") + 1]
+        return json.loads(open(p).read()), p
+    import os
+    import subprocess
+    try:
+        out = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(detail_path)) or ".",
+             "show", f"HEAD:{os.path.basename(detail_path)}"],
+            capture_output=True, text=True, timeout=30)
+        if out.returncode == 0 and out.stdout.strip():
+            return json.loads(out.stdout), "git HEAD"
+    except Exception:
+        pass
+    return None, None
+
+
+def check_cold_regression(detail: dict, prev: dict, src: str) -> None:
+    """Flag queries whose cold (first-run) time regressed past the
+    envelope vs the previous round. Skips silently when either side
+    lacks the queries_first column (pre-r11 artifacts)."""
+    cur, old = detail.get("queries_first"), prev.get("queries_first")
+    if cur is None or old is None:
+        print("WARN: cold-regression diff skipped (queries_first missing "
+              "on one side)")
+        return
+    flagged = {}
+    for q, t in cur.items():
+        p = old.get(q)
+        if p is None:
+            continue  # new query this round: no baseline to regress from
+        if t > p * COLD_GROWTH_MAX and t - p > COLD_GROWTH_ABS_S:
+            flagged[q] = (p, t)
+    if flagged:
+        fail(f"cold-path regression vs {src} (>{COLD_GROWTH_MAX}x and "
+             f">{COLD_GROWTH_ABS_S}s): " +
+             ", ".join(f"{q} {p:.2f}s->{t:.2f}s"
+                       for q, (p, t) in sorted(flagged.items())))
+    print(f"cold column checked vs {src}: {len(cur)} queries, "
+          f"0 past the {COLD_GROWTH_MAX}x/{COLD_GROWTH_ABS_S}s envelope")
+
+
 def main() -> None:
     line_path = sys.argv[1]
-    detail_path = sys.argv[2] if len(sys.argv) > 2 else "bench_detail.json"
+    detail_path = sys.argv[2] if len(sys.argv) > 2 and \
+        not sys.argv[2].startswith("--") else "bench_detail.json"
 
     raw = open(line_path).read().strip()
     if not raw:
@@ -91,6 +152,12 @@ def main() -> None:
         bad = {q: (fq[q], dq[q]) for q in dq if fq[q] < dq[q] - 1e-9}
         if bad:
             fail(f"first-run timing below the min (impossible): {bad}")
+        prev, src = prev_detail(detail_path)
+        if prev is None:
+            print("WARN: no previous detail artifact found — "
+                  "cold-regression diff skipped")
+        else:
+            check_cold_regression(detail, prev, src)
 
     print(f"bench artifacts consistent: total={detail['value']:.3f}s, "
           f"{detail['n_ok']} ok, {detail['n_err']} err, "

@@ -37,21 +37,7 @@ class ConcurrencySpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private val nThreads = 4
 
-  /** Order-insensitive result fingerprint: one JSON per row over the
-    * name-sorted columns (the driver's sort-columns-by-name discipline),
-    * xxhash64 per row, DECIMAL sum (exact, order-free, ANSI-safe) + count.
-    * Identical plans on both sides, so any representation quirk cancels.
-    */
-  private def fingerprint(df: DataFrame): (BigDecimal, Long) = {
-    val cols = df.columns.sorted.map(col)
-    val row = df
-      .select(xxhash64(to_json(struct(cols: _*))).as("h"))
-      .agg(sum(col("h").cast("decimal(38,0)")).as("s"),
-        count(lit(1)).as("n"))
-      .head()
-    (Option(row.getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0)),
-      row.getLong(1))
-  }
+  private def fingerprint(df: DataFrame) = ResultFingerprint(df)
 
   /** The soak slice: every JVM-global-state family plus plain plans. */
   private val slice: Seq[String] = Seq(
