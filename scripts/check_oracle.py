@@ -110,10 +110,23 @@ def main():
     results = {}
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # bound-check verdicts for the declared-no-oracle sketch twins
+    # (graft.Verify writes them; r13): a twin is only "clean" when its
+    # error bound against the exact sibling held
+    bounds_path = os.path.join(out_dir, "approx_bounds.json")
+    bounds = json.load(open(bounds_path)) if os.path.exists(bounds_path) \
+        else {}
     for name in names:
         spark_df = pd.read_parquet(os.path.join(out_dir, name))
         if name not in oracles:
-            results[name] = f"NO-ORACLE rows={len(spark_df)}"
+            b = bounds.get(name)
+            if b is None:
+                results[name] = f"NO-ORACLE rows={len(spark_df)} (no bounds)"
+            elif b.get("bounds_ok"):
+                results[name] = (f"NO-ORACLE bounds_ok rows={len(spark_df)} "
+                                 f"({b.get('detail')})")
+            else:
+                results[name] = f"BOUNDS-FAIL {b.get('detail')}"
             continue
         try:
             oracle_df = con.execute(oracles[name]).df()

@@ -57,6 +57,19 @@ object Verify {
     // truth — check_oracle.py fails loudly on any disagreement).
     Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
       s"""{"embedding_dim": ${Tables.embeddingDim(spark)}}""")
+    // Bound-check verdicts for the declared-no-oracle sketch twins, so
+    // the correctness artifact carries green/red for them too (VERDICT
+    // r12 #5). Skipped on filtered dev runs unless a twin is requested.
+    val twinWanted = only.forall(_.exists(n => n.endsWith("_approx")))
+    if (twinWanted) {
+      val rows = ApproxBounds.report(spark, sfDir)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (n, v) =>
+          s"${q(n)}: {\"bounds_ok\": ${v.ok}, \"detail\": ${q(v.detail)}}"
+        }
+      Files.writeString(Paths.get(s"$outDir/approx_bounds.json"),
+        rows.mkString("{", ",", "}"))
+    }
     spark.stop()
   }
 }
