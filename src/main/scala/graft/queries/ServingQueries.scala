@@ -233,6 +233,35 @@ object ServingQueries extends QueryPack {
         "cnn_lstm_attention_model.py); pairwise GREATEST pool and the " +
         "attention fold replayed exactly in the generated oracle"),
 
+    // ---- U1: the `optimize` registry variant (r13 — the last runnable
+    // architecture train.py:223-236 can dispatch) ----
+    Query(
+      "q_u1_optimize_forward",
+      (s, dir) =>
+        // Fifth model family (optimize_model.py): input_proj + PE ->
+        // stacked LSTM(2) + norm -> multi-scale temporal attention
+        // (scales 1/3/6: avg-pool, pointwise conv, full attention,
+        // nearest upsample; concat -> Linear -> LN -> GELU) + conv skip
+        // path -> softmax-weighted pooling -> residual norm -> one
+        // Linear head for all horizons. lstm_hybridattention, the only
+        // other registry name, is unrunnable as written (three shape
+        // inconsistencies — see OptimizedLstmForward's closing note).
+        Serving.predictLatestWith(ev(s, dir), K, "ts", "event_id",
+          "value", graft.serve.OptimizedLstmForward.S, 300,
+          "optimize-fixture-v1",
+          graft.serve.OptimizedLstmForward.forward)
+          .select(col(K), col("horizon"), col("target_ts"),
+            (round(col("predicted_price"), 6) + lit(0.0)).as("prediction"))
+          .orderBy(K, "horizon"),
+      Some(graft.serve.OptimizedLstmForward.oracleSql),
+      doc = "SURVEY U1 (`optimize` registry variant): the multi-scale " +
+        "temporal-attention LSTM (optimize_model.py) as deterministic " +
+        "Scala in the U1 UDF slot — avg-pool/pointwise-conv downsample, " +
+        "per-scale full attention, nearest-neighbor upsample, conv skip " +
+        "path, softmax-weighted pooling; every fold replayed in the " +
+        "generated unrolled oracle; completes the runnable train.py " +
+        "registry (5 of 6; the sixth cannot execute in the reference)"),
+
     // ---- U2: scaler transform + inverse round-trip ----
     Query(
       "q_u2_scale_roundtrip",

@@ -128,12 +128,44 @@ class LstmForwardSpec extends AnyFunSuite {
       Seq(0.6204468106434212, 0.2042881152415029, -0.08320125987658718))
   }
 
-  test("all four model families produce distinct predictions") {
+  private def checkOpt(window: Seq[Double], expected: Seq[Double]): Unit = {
+    val got = graft.serve.OptimizedLstmForward.forward(window)
+    assert(got.length == graft.serve.OptimizedLstmForward.P)
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) <= Tol, s"horizon ${i + 1}: got $g want $e")
+    }
+  }
+
+  test("optimize-variant pinned outputs match the offline reference " +
+    "implementation") {
+    checkOpt(Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0),
+      Seq(-0.6375929192473649, 0.16779299001858367, 0.0064880367190071064))
+    checkOpt(Seq(8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0),
+      Seq(-0.5904837093329887, 0.2082617708026827, -0.0103376844984443))
+    checkOpt(Seq(100.0, 101.5, 99.25, 102.75, 98.5, 103.0, 97.0, 104.5),
+      Seq(-0.5471454679240628, 0.2497028121120799, -0.022394702492990748))
+    checkOpt(Seq(5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0),
+      Seq(-0.5385851767483698, 0.2510354668483253, -0.02121739331449296))
+    checkOpt(Seq(1.0, 8.0, 2.0, 7.0, 3.0, 6.0, 4.0, 5.0),
+      Seq(-0.5174934666606477, 0.28391870522711893, -0.02670156195030876))
+  }
+
+  test("optimize variant is sequence-order sensitive and window-checked") {
+    val asc = graft.serve.OptimizedLstmForward.forward((1 to 8).map(_.toDouble))
+    val desc = graft.serve.OptimizedLstmForward.forward((8 to 1 by -1).map(_.toDouble))
+    assert(asc != desc)
+    intercept[IllegalArgumentException] {
+      graft.serve.OptimizedLstmForward.forward(Seq(1.0, 2.0))
+    }
+  }
+
+  test("all five model families produce distinct predictions") {
     val w = (1 to 8).map(_.toDouble)
     val outs = Seq(LstmForward.forward(w),
       graft.serve.CnnLstmForward.forward(w),
       graft.serve.AttentionLstmForward.forward(w),
-      graft.serve.CnnLstmAttentionForward.forward(w))
-    assert(outs.distinct.size == 4)
+      graft.serve.CnnLstmAttentionForward.forward(w),
+      graft.serve.OptimizedLstmForward.forward(w))
+    assert(outs.distinct.size == 5)
   }
 }
