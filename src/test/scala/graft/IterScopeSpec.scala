@@ -111,9 +111,12 @@ class IterScopeSpec extends AnyFunSuite {
   test("memoized query results survive a release cycle: rebuild serves " +
       "fresh usable frames, not a stale unpersisted cache entry") {
     // q_d_dedup_groups and q_e_index_prep read the r12 shared
-    // minedPairs/minedGroups memo — same eviction contract
+    // minedPairs/minedGroups memo; q_d_incremental_dedup and
+    // q_d_winnow_incremental are the r13/r9 one-shot gate
+    // materializations — same eviction contract
     for (q <- Seq("q_d_pagerank_canonical", "q_e_mmr_topk",
-        "q_d_dedup_groups", "q_e_index_prep")) {
+        "q_d_dedup_groups", "q_e_index_prep",
+        "q_d_incremental_dedup", "q_d_winnow_incremental")) {
       val first = SparkEntry.queries(q)(spark, dir)
       val rows1 = first.collect().map(_.toString).sorted.toSeq
       assert(rows1.nonEmpty, s"$q must produce rows")
