@@ -88,6 +88,42 @@ object DedupQueries extends QueryPack {
   private val minedGroupsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
       org.apache.spark.sql.DataFrame]
+
+  /** The SKETCH-path twin of [[minedPairsCache]]/[[minedGroupsCache]]
+    * (r13, census follow-up): q_d_minhash_lsh_pairs and
+    * q_d_minhash_dedup_groups both mine the identical MinHash-LSH pair
+    * set (n=3, k=16, 4 bands, τ=0.5) and were each paying the full
+    * signature/band/verify build cold — the new census worst (29 jobs)
+    * after the incremental-dedup cut. Same discipline: built once per
+    * (session, dir) under IterScope.noAqe, retained, evicted via
+    * onRelease at the scope boundary; groups memoize separately on top.
+    */
+  private val minhashPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+  private[queries] def minhashPairs(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    minhashPairsCache.getOrElseUpdate((s, dir), graft.ops.IterScope.noAqe(s) {
+      val p = graft.CacheScope.retain(
+        NearDup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.5),
+        onRelease = () => minhashPairsCache.remove((s, dir)))
+      p.count()
+      p
+    })
+
+  private val minhashGroupsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+  private[queries] def minhashGroups(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    minhashGroupsCache.getOrElseUpdate((s, dir), graft.ops.IterScope.noAqe(s) {
+      val g = graft.CacheScope.retain(
+        NearDup.connectedComponents(minhashPairs(s, dir), "doc_a", "doc_b"),
+        onRelease = () => minhashGroupsCache.remove((s, dir)))
+      g.count()
+      g
+    })
   private[queries] def minedGroups(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     minedGroupsCache.getOrElseUpdate((s, dir), graft.ops.IterScope.noAqe(s) {
@@ -224,9 +260,8 @@ object DedupQueries extends QueryPack {
     Query(
       "q_d_minhash_lsh_pairs",
       (s, dir) =>
-        NearDup.minhashLshPairs(docs(s, dir), "doc_id", "text",
-          n = 3, k = 16, bands = 4, threshold = 0.5)
-          .orderBy("doc_a", "doc_b"),
+        // shared memoized sketch-path miner (r13) — see minhashPairs
+        minhashPairs(s, dir).orderBy("doc_a", "doc_b"),
       Some(s"""WITH $minhashCtes
               |$jaccardTail
               |ORDER BY doc_a, doc_b""".stripMargin),
@@ -272,10 +307,8 @@ object DedupQueries extends QueryPack {
         // the literal 100 TB pipeline: MinHash+LSH candidate pairs →
         // transitive group collapse; the exact-Jaccard variant of this
         // query exists as q_d_dedup_groups — this one uses the sketch
-        // path end-to-end
-        val pairs = NearDup.minhashLshPairs(docs(s, dir), "doc_id", "text",
-          n = 3, k = 16, bands = 4, threshold = 0.5)
-        NearDup.connectedComponents(pairs, "doc_a", "doc_b")
+        // path end-to-end, via the shared memoized miner+CC stage (r13)
+        minhashGroups(s, dir)
           .select(col("node").as("doc_id"), col("group_id"),
             (col("node") === col("group_id")).cast("int").as("is_canonical"))
           .orderBy("doc_id")

@@ -116,7 +116,8 @@ class IterScopeSpec extends AnyFunSuite {
     // materializations — same eviction contract
     for (q <- Seq("q_d_pagerank_canonical", "q_e_mmr_topk",
         "q_d_dedup_groups", "q_e_index_prep",
-        "q_d_incremental_dedup", "q_d_winnow_incremental")) {
+        "q_d_incremental_dedup", "q_d_winnow_incremental",
+        "q_d_minhash_dedup_groups")) {
       val first = SparkEntry.queries(q)(spark, dir)
       val rows1 = first.collect().map(_.toString).sorted.toSeq
       assert(rows1.nonEmpty, s"$q must produce rows")
