@@ -35,7 +35,72 @@ object RetryProbe {
       val fp = try ResultFingerprint(SparkEntry.queries(n)(spark, dir))
       finally CacheScope.release(spark)
       n -> fp
-    } :+ ("streaming_rollup_fold" -> streamingRollupFp(spark, dir))
+    } :+ ("streaming_rollup_fold" -> streamingRollupFp(spark, dir)) :+
+      ("streaming_stateful_dedup" -> statefulDedupFp(spark))
+  }
+
+  /** flatMapGroupsWithState dedup through the HDFS-backed state store —
+    * under chaos, injected failures land inside stateful micro-batch
+    * tasks, exercising the store's retry path (a retried task must
+    * re-read the prior version, never double-apply its own writes).
+    */
+  private def statefulDedupFp(spark: SparkSession): (BigDecimal, Long) = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000)
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val outName = "retry_probe_dedup_" + math.abs(
+      spark.sparkContext.applicationId.hashCode)
+    val q = graft.streaming.StatefulDedup.attach(
+      ms.toDF().toDF("key", "doc_id", "ts")
+        .as[graft.streaming.StatefulDedup.DocIn],
+      watermarkDelay = "10 seconds", ttlMs = 3600 * 1000L)
+      .writeStream.format("memory").queryName(outName)
+      .outputMode("append").start()
+    // deterministic 3-batch load: 64 keys, dups within and across batches
+    (0 until 3).foreach { b =>
+      ms.addData((0 until 200).map { i =>
+        val key = (i * 7 + b) % 64L
+        (key, (b * 1000 + i).toLong, ts(b * 300 + i))
+      }: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val fp = ResultFingerprint(spark.table(outName))
+    spark.catalog.dropTempView(outName)
+    fp
+  }
+
+  /** Concurrency × chaos: two sessions run overlapping slices while the
+    * plugin keeps failing first attempts — the intersection the separate
+    * ConcurrencySpec (no retries) and chaos pass (one session) leave
+    * open. Returns mismatch descriptions (empty = invariant).
+    */
+  private def concurrentChaosCheck(chaos: SparkSession, dir: String,
+      base: Map[String, (BigDecimal, Long)]): Seq[String] = {
+    val slice = Seq("q_d_dedup_groups", "q_e_semdedup_groups",
+      "q_sql_tpch_q1", "q_a_vwap", "q_r_bucketed_latest_n", "q_t_bpe_apply")
+    val bad = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        try {
+          val s = chaos.newSession()
+          val order = slice.drop(i * 3) ++ slice.take(i * 3)
+          order.foreach { n =>
+            val got = ResultFingerprint(SparkEntry.queries(n)(s, dir))
+            if (got != base(n))
+              bad.add(s"[t$i] $n got=$got want=${base(n)}")
+          }
+          CacheScope.release(s)
+        } catch { case t: Throwable => bad.add(s"[t$i] threw: $t") }
+      }, s"retry-soak-$i")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(10 * 60 * 1000L))
+    import scala.jdk.CollectionConverters._
+    bad.asScala.toSeq
   }
 
   /** The streaming rollup driven exactly as foreachBatch would: three
@@ -113,10 +178,12 @@ object RetryProbe {
     println(s"canary ok, ${ChaosPlugin.injected.get()} injections so far")
 
     val got = fpAll(chaos, dir)
+    val baseMap = base.toMap
+    // intersection axis: two concurrent sessions under the same chaos
+    val soakBad = concurrentChaosCheck(chaos, dir, baseMap)
     val injected = ChaosPlugin.injected.get()
     chaos.stop()
 
-    val baseMap = base.toMap
     var bad = 0
     got.foreach { case (n, fp) =>
       if (fp != baseMap(n)) {
@@ -124,9 +191,11 @@ object RetryProbe {
         println(s"DIVERGED $n clean=${baseMap(n)} chaos=$fp")
       }
     }
+    soakBad.foreach(m => println(s"SOAK-DIVERGED $m"))
     println(s"\n=== ${got.size} fingerprints, $bad diverged, " +
+      s"${soakBad.size} concurrent-soak mismatches, " +
       s"$injected injected task failures, " +
       s"speculation aggressive ===")
-    if (bad > 0 || injected == 0) sys.exit(1)
+    if (bad > 0 || soakBad.nonEmpty || injected == 0) sys.exit(1)
   }
 }
