@@ -36,22 +36,31 @@ object RetryProbe {
       finally CacheScope.release(spark)
       n -> fp
     } :+ ("streaming_rollup_fold" -> streamingRollupFp(spark, dir)) :+
-      ("streaming_stateful_dedup" -> statefulDedupFp(spark))
+      ("streaming_stateful_dedup" -> statefulDedupFp(spark, rocks = false)) :+
+      ("streaming_stateful_dedup_rocksdb" ->
+        statefulDedupFp(spark, rocks = true))
   }
 
-  /** flatMapGroupsWithState dedup through the HDFS-backed state store —
-    * under chaos, injected failures land inside stateful micro-batch
-    * tasks, exercising the store's retry path (a retried task must
-    * re-read the prior version, never double-apply its own writes).
+  /** flatMapGroupsWithState dedup through the state store (HDFS-backed
+    * and RocksDB variants) — under chaos, injected failures land inside
+    * stateful micro-batch tasks, exercising the store's retry path (a
+    * retried task must re-read the prior version, never double-apply its
+    * own writes; RocksDB is the 100 TB larger-than-memory posture).
     */
-  private def statefulDedupFp(spark: SparkSession): (BigDecimal, Long) = {
-    import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  private def statefulDedupFp(spark: SparkSession,
+      rocks: Boolean): (BigDecimal, Long) = {
+    // newSession scopes the provider conf (the StreamingSpec discipline)
+    val s = spark.newSession()
+    if (rocks) s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000)
+    def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000)
     val ms = MemoryStream[(Long, Long, java.sql.Timestamp)]
-    val outName = "retry_probe_dedup_" + math.abs(
-      spark.sparkContext.applicationId.hashCode)
+    val outName = "retry_probe_dedup_" + (if (rocks) "rocks_" else "") +
+      math.abs(s.sparkContext.applicationId.hashCode)
     val q = graft.streaming.StatefulDedup.attach(
       ms.toDF().toDF("key", "doc_id", "ts")
         .as[graft.streaming.StatefulDedup.DocIn],
@@ -67,8 +76,8 @@ object RetryProbe {
       q.processAllAvailable()
     }
     q.stop()
-    val fp = ResultFingerprint(spark.table(outName))
-    spark.catalog.dropTempView(outName)
+    val fp = ResultFingerprint(s.table(outName))
+    s.catalog.dropTempView(outName)
     fp
   }
 
