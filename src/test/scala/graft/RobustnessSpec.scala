@@ -69,6 +69,24 @@ class RobustnessSpec extends AnyFunSuite {
     finally spark.conf.unset("graft.embedding.dim")
   }
 
+  test("ChaosPlugin key selection is deterministic and tracks the " +
+    "configured fraction (the retry gate's injection is replayable)") {
+    val prev = ChaosPlugin.fraction
+    try {
+      ChaosPlugin.fraction = 1.0 / 3
+      val keys = (0L until 30000L)
+      val hits = keys.count(ChaosPlugin.shouldFail)
+      // deterministic: same keys -> same verdicts
+      assert(keys.count(ChaosPlugin.shouldFail) == hits)
+      assert(math.abs(hits.toDouble / keys.size - 1.0 / 3) < 0.02,
+        s"fraction drift: ${hits.toDouble / keys.size}")
+      ChaosPlugin.fraction = 0.0
+      assert(!keys.take(100).exists(ChaosPlugin.shouldFail))
+      ChaosPlugin.fraction = 1.0
+      assert(keys.take(100).forall(ChaosPlugin.shouldFail))
+    } finally ChaosPlugin.fraction = prev
+  }
+
   test("weighted sample: a NEGATIVE weight (rotten n_chars metadata) is " +
     "probability 0, not a guaranteed win via a sign-flipped key") {
     val dir = docsDir(
