@@ -183,6 +183,34 @@ private[serve] object LstmMath {
     sb.toString
   }
 
+  /** LayerNorm over width-4 sequence columns as three CTEs (mu, vr, out),
+    * pruned to `keep` + the normalized columns when `prune` is set.
+    * Shared by the attention-family oracles ([[AttentionLstmForward]],
+    * [[OptimizedLstmForward]]); emits `${outPfx}_{t}_{j}` in CTE
+    * `ln$tag`, replaying [[layerNormW]]'s fold exactly.
+    */
+  def lnSeqSql(tag: String, inRef: (Int, Int) => String,
+      outPfx: String, gmk: Array[Int], btk: Array[Int], ts: Range,
+      from0: String, prune: Option[String]): String = {
+    val D = 4
+    val sb = new StringBuilder
+    val mus = ts.map(t => s"(${(0 until D).map(j => inRef(t, j))
+      .mkString(" + ")}) / 4.0 AS mu$tag$t")
+    sb ++= s",\nmu$tag AS (SELECT *, ${mus.mkString(", ")} FROM $from0)"
+    val vrs = ts.map(t => s"(${(0 until D)
+      .map(j => s"(${inRef(t, j)} - mu$tag$t) * (${inRef(t, j)} - mu$tag$t)")
+      .mkString(" + ")}) / 4.0 AS vr$tag$t")
+    sb ++= s",\nvr$tag AS (SELECT *, ${vrs.mkString(", ")} FROM mu$tag)"
+    val outs = for (t <- ts; j <- 0 until D) yield
+      s"((${inRef(t, j)} - mu$tag$t) / sqrt(vr$tag$t + $Eps)) * ${gmLit(gmk(j))} + ${kLit(btk(j))} AS ${outPfx}_${t}_$j"
+    val sel = prune match {
+      case Some(keep) => s"SELECT $keep, ${outs.mkString(", ")}"
+      case None => s"SELECT *, ${outs.mkString(", ")}"
+    }
+    sb ++= s",\nln$tag AS ($sel FROM vr$tag)"
+    sb.toString
+  }
+
   /** The shared output head (Linear H→H, LayerNorm, GELU, Linear H→P)
     * as SQL CTEs over the hidden-state columns named by `hRef`, from CTE
     * `from0`, producing `y_0..y_{P-1}` in CTE `hy` alongside `keyCols`.

@@ -258,30 +258,6 @@ object OptimizedLstmForward {
 
   // ---- oracle: the whole stack unrolled as generated DuckDB SQL ----
 
-  /** LayerNorm over width-D sequence columns (mu, vr, out CTEs), pruned
-    * to `keep` when set — same emitter shape as the attention family's.
-    */
-  private def lnSeqSql(tag: String, inRef: (Int, Int) => String,
-      outPfx: String, gmk: Array[Int], btk: Array[Int], ts: Range,
-      from0: String, prune: Option[String]): String = {
-    val sb = new StringBuilder
-    val mus = ts.map(t => s"(${(0 until D).map(j => inRef(t, j))
-      .mkString(" + ")}) / 4.0 AS mu$tag$t")
-    sb ++= s",\nmu$tag AS (SELECT *, ${mus.mkString(", ")} FROM $from0)"
-    val vrs = ts.map(t => s"(${(0 until D)
-      .map(j => s"(${inRef(t, j)} - mu$tag$t) * (${inRef(t, j)} - mu$tag$t)")
-      .mkString(" + ")}) / 4.0 AS vr$tag$t")
-    sb ++= s",\nvr$tag AS (SELECT *, ${vrs.mkString(", ")} FROM mu$tag)"
-    val outs = for (t <- ts; j <- 0 until D) yield
-      s"((${inRef(t, j)} - mu$tag$t) / sqrt(vr$tag$t + $Eps)) * ${gmLit(gmk(j))} + ${kLit(btk(j))} AS ${outPfx}_${t}_$j"
-    val sel = prune match {
-      case Some(keep) => s"SELECT $keep, ${outs.mkString(", ")}"
-      case None => s"SELECT *, ${outs.mkString(", ")}"
-    }
-    sb ++= s",\nln$tag AS ($sel FROM vr$tag)"
-    sb.toString
-  }
-
   /** One full (non-causal) attention block over `ts` positions with
     * prefix `s$si`: q/k/v projections, max-subtraction softmax per head,
     * out-proj to `o${si}_{t}_{j}`, pruned to `keep`.
