@@ -65,6 +65,15 @@ def main():
         case("cold regression flagged", False, run(l, d, prev),
              "cold-path regression")
 
+        # 2b. >=3 scattered trips -> contention hint in the message
+        q3 = {"q_a": 0.5, "q_b": 2.0, "q_c": 0.4}
+        p3w = os.path.join(tmp, "p3w.json")
+        json.dump({"queries_first":
+                   {"q_a": 0.6, "q_b": 1.2, "q_c": 0.5}}, open(p3w, "w"))
+        l, d = artifacts(tmp, q3, {"q_a": 4.0, "q_b": 6.0, "q_c": 3.0})
+        case("contention signature hinted", False, run(l, d, p3w),
+             "HOST CONTENTION")
+
         # 3. big ratio but tiny absolute growth (0.02 -> 0.09) -> exit 0
         l, d = artifacts(tmp, {"q_a": 0.01}, {"q_a": 0.09})
         p2 = os.path.join(tmp, "p2.json")
