@@ -50,14 +50,23 @@ def prev_detail(detail_path: str):
     the last committed copy of detail_path (the driver commits artifacts
     at round close). Returns (dict | None, source-description)."""
     if "--prev" in sys.argv:
-        p = sys.argv[sys.argv.index("--prev") + 1]
-        return json.loads(open(p).read()), p
+        idx = sys.argv.index("--prev") + 1
+        if idx >= len(sys.argv):
+            fail("--prev requires a path argument")
+        p = sys.argv[idx]
+        try:
+            return json.loads(open(p).read()), p
+        except (OSError, json.JSONDecodeError) as e:
+            fail(f"--prev {p} unreadable: {e}")
     import os
     import subprocess
     try:
+        # HEAD:./<name> resolves relative to git's cwd (-C dir), so a
+        # detail file in a subdirectory diffs against ITS committed copy,
+        # not a same-named file at the repo root (review r13)
         out = subprocess.run(
             ["git", "-C", os.path.dirname(os.path.abspath(detail_path)) or ".",
-             "show", f"HEAD:{os.path.basename(detail_path)}"],
+             "show", f"HEAD:./{os.path.basename(detail_path)}"],
             capture_output=True, text=True, timeout=30)
         if out.returncode == 0 and out.stdout.strip():
             return json.loads(out.stdout), "git HEAD"
@@ -76,10 +85,12 @@ def check_cold_regression(detail: dict, prev: dict, src: str) -> None:
               "on one side)")
         return
     flagged = {}
+    skipped = 0
     for q, t in cur.items():
         p = old.get(q)
         if p is None:
-            continue  # new query this round: no baseline to regress from
+            skipped += 1  # new query this round: no baseline to regress from
+            continue
         if t > p * COLD_GROWTH_MAX and t - p > COLD_GROWTH_ABS_S:
             flagged[q] = (p, t)
     if flagged:
@@ -96,8 +107,10 @@ def check_cold_regression(detail: dict, prev: dict, src: str) -> None:
              f">{COLD_GROWTH_ABS_S}s): " +
              ", ".join(f"{q} {p:.2f}s->{t:.2f}s"
                        for q, (p, t) in sorted(flagged.items())) + hint)
-    print(f"cold column checked vs {src}: {len(cur)} queries, "
-          f"0 past the {COLD_GROWTH_MAX}x/{COLD_GROWTH_ABS_S}s envelope")
+    extra = f" ({skipped} new, no baseline)" if skipped else ""
+    print(f"cold column checked vs {src}: {len(cur) - skipped} queries"
+          f"{extra}, 0 past the {COLD_GROWTH_MAX}x/{COLD_GROWTH_ABS_S}s "
+          f"envelope")
 
 
 def main() -> None:

@@ -31,10 +31,13 @@ object ApproxBounds {
 
   final case class Verdict(ok: Boolean, detail: String)
 
-  /** All twin verdicts; a check that throws reports ok=false rather than
-    * aborting the dump (the artifact must always carry all seven rows).
+  /** Twin verdicts (all seven on a full run; `only` restricts a filtered
+    * dev run to the requested twins so it does not pay the other checks
+    * — review r13). A check that throws reports ok=false rather than
+    * aborting the dump.
     */
-  def report(s: SparkSession, dir: String): Seq[(String, Verdict)] = {
+  def report(s: SparkSession, dir: String,
+      only: Option[Set[String]] = None): Seq[(String, Verdict)] = {
     def q(n: String): DataFrame = SparkEntry.queries(n)(s, dir)
     val checks: Seq[(String, () => Verdict)] = Seq(
       "q_a2_distinct_approx" -> (() => {
@@ -101,14 +104,16 @@ object ApproxBounds {
             s"max phase delta $worst (rank-error tol $tol, total $total)")
         }
       }))
-    checks.map { case (n, f) =>
-      val v = try f() catch {
-        case e: Throwable => Verdict(ok = false,
-          s"check threw: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
+    checks
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (n, f) =>
+        val v = try f() catch {
+          case e: Throwable => Verdict(ok = false,
+            s"check threw: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
+        }
+        CacheScope.release(s)
+        n -> v
       }
-      CacheScope.release(s)
-      n -> v
-    }
   }
 
   private def keyedAbs(approx: Map[String, Long], exact: Map[String, Long],
@@ -186,8 +191,9 @@ object ApproxBounds {
           col("value_clipped").as("ve")),
         Seq("event_type", "event_id"), "full")
       .agg(count(lit(1)).as("n"),
-        sum((col("va") =!= col("ve") || col("va").isNull ||
-          col("ve").isNull).cast("long")).as("diff"))
+        // null-safe inequality: a row where BOTH twins emit null (a null
+        // source value) is agreement, not difference (review r13)
+        sum((!(col("va") <=> col("ve"))).cast("long")).as("diff"))
       .head()
     val frac =
       if (j.getLong(0) == 0L) 0.0 else j.getLong(1).toDouble / j.getLong(0)

@@ -95,26 +95,49 @@ object Tables {
     * memoized; independent of corpus size (no full scan at 100 TB).
     */
   private val dimChecked =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Boolean]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), Boolean]
 
   private def checkDimPlausible(spark: SparkSession, raw: DataFrame,
       path: String, dim: Int): Unit =
-    dimChecked.getOrElseUpdate((path, dim), {
+    dimChecked.getOrElseUpdate((path, dim, pathStamp(spark, path)), {
       import org.apache.spark.sql.functions.{col, size}
       val sizes = raw.where(col("embedding").isNotNull)
         .select(size(col("embedding")).as("n")).limit(64)
         .collect().map(_.getInt(0))
       if (sizes.nonEmpty && !sizes.contains(dim)) {
-        val seen = sizes.distinct.sorted.take(5).mkString(", ")
-        throw new IllegalStateException(
-          s"embeddings at $path: configured dim $dim (graft.embedding.dim" +
-            s"${if (spark.conf.getOption("graft.embedding.dim").isEmpty) " unset, default" else ""})" +
-            s" matches none of the first ${sizes.length} rows (observed " +
-            s"sizes: $seen) — every row would be dropped by scan " +
-            "validation; set graft.embedding.dim to the corpus dim")
+        // A bad HEAD does not prove a bad corpus (review r13): before
+        // failing, look for any matching row beyond the sampled prefix.
+        // On a genuinely misconfigured corpus this second probe scans to
+        // the end — acceptable on the error path, where the alternative
+        // is silently returning zero rows everywhere; on a mixed corpus
+        // it stops at the first valid row.
+        val anyValid = raw
+          .where(size(col("embedding")) === dim).limit(1).count() > 0
+        if (!anyValid) {
+          val seen = sizes.distinct.sorted.take(5).mkString(", ")
+          throw new IllegalStateException(
+            s"embeddings at $path: configured dim $dim (graft.embedding.dim" +
+              s"${if (spark.conf.getOption("graft.embedding.dim").isEmpty) " unset, default" else ""})" +
+              s" matches no row (first ${sizes.length} observed sizes: " +
+              s"$seen) — every row would be dropped by scan validation; " +
+              "set graft.embedding.dim to the corpus dim")
+        }
       }
       true
     })
+
+  /** Directory/file modification stamp: one cheap getFileStatus per table
+    * load, so the size and dim memos below invalidate when the path is
+    * REWRITTEN in-place (probe corpora, test fixtures) instead of serving
+    * a stale verdict (review r13). Unresolvable path → 0 (the scan will
+    * fail with its own error).
+    */
+  private def pathStamp(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getModificationTime
+    catch { case _: java.io.IOException => 0L }
+  }
 
   /** The driver testdata ships ONE row group per file, so a bare scan is
     * one task no matter how many cores the session has — per-row map work
@@ -127,7 +150,7 @@ object Tables {
     * Repartition into the scan.
     */
   private val sizeCache =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
 
   private def maybeParallelize(spark: SparkSession, df: DataFrame,
       path: String): DataFrame = {
@@ -136,7 +159,9 @@ object Tables {
     // returns 0/4K for those, which would force the repartition exactly
     // where it must not happen. Unresolvable path → Long.MaxValue: the
     // scan will fail with its own error, without adding a shuffle here.
-    val bytes = sizeCache.getOrElseUpdate(path, {
+    // Keyed by (path, mtime stamp) so an in-place rewrite invalidates
+    // the memo (review r13) while repeat loads stay one cheap RPC.
+    val bytes = sizeCache.getOrElseUpdate((path, pathStamp(spark, path)), {
       val p = new org.apache.hadoop.fs.Path(path)
       try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getContentSummary(p).getLength

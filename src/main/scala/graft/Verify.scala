@@ -62,8 +62,7 @@ object Verify {
     // r12 #5). Skipped on filtered dev runs unless a twin is requested.
     val twinWanted = only.forall(_.exists(n => n.endsWith("_approx")))
     if (twinWanted) {
-      val rows = ApproxBounds.report(spark, sfDir)
-        .filter { case (n, _) => only.forall(_.contains(n)) }
+      val rows = ApproxBounds.report(spark, sfDir, only)
         .map { case (n, v) =>
           s"${q(n)}: {\"bounds_ok\": ${v.ok}, \"detail\": ${q(v.detail)}}"
         }

@@ -71,6 +71,9 @@ object ConcurrencyProbe {
     }
     threads.foreach(_.start())
     threads.foreach(_.join(60 * 60 * 1000L))
+    // a hung thread contributed no mismatches — that must FAIL, not
+    // silently pass (review r13)
+    threads.filter(_.isAlive).foreach(t => bad.add(s"${t.getName} HUNG"))
     val secs = (System.nanoTime() - t0) / 1e9
     import scala.jdk.CollectionConverters._
     val mismatches = bad.asScala.toSeq

@@ -108,6 +108,8 @@ object RetryProbe {
     }
     threads.foreach(_.start())
     threads.foreach(_.join(10 * 60 * 1000L))
+    // a hung thread must fail the soak, not vacuously pass (review r13)
+    threads.filter(_.isAlive).foreach(t => bad.add(s"${t.getName} HUNG"))
     import scala.jdk.CollectionConverters._
     bad.asScala.toSeq
   }

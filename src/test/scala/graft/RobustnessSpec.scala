@@ -69,6 +69,21 @@ class RobustnessSpec extends AnyFunSuite {
     finally spark.conf.unset("graft.embedding.dim")
   }
 
+  test("a corpus whose HEAD is all-malformed but that contains valid " +
+    "rows deeper in still loads (the dim guard's second probe, " +
+    "review r13) — only a corpus with NO matching row throws") {
+    val dim = Tables.EmbeddingDim
+    val tmp = java.nio.file.Files.createTempDirectory("robust-dim-head").toString
+    val rows = (1L to 80L).map(i => (i, Seq.fill(16)(0.1f))) :+
+      (99L, Seq.fill(dim)(0.5f))
+    vecs(rows: _*).withColumn("label", lit(0))
+      .coalesce(1) // one file, head order preserved: 80 bad THEN 1 valid
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val kept = Tables(spark, tmp, "embeddings")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(kept == Seq(99L))
+  }
+
   test("ChaosPlugin key selection is deterministic and tracks the " +
     "configured fraction (the retry gate's injection is replayable)") {
     val prev = ChaosPlugin.fraction

@@ -548,8 +548,9 @@ object ScaleProbe {
             col("value_clipped").as("ve"))
         val j = a.join(e, Seq("event_type", "event_id"), "full")
           .agg(count(lit(1)).as("n"),
-            sum((col("va") =!= col("ve") || col("va").isNull ||
-              col("ve").isNull).cast("long")).as("diff"))
+            // null-safe: both-null = agreement (review r13, the
+            // ApproxBounds fix mirrored)
+            sum((!(col("va") <=> col("ve"))).cast("long")).as("diff"))
           .head()
         val frac = j.getLong(1).toDouble / j.getLong(0)
         assert(frac <= 2 * (0.01 + eps) + 0.001,
