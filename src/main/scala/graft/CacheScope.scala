@@ -55,13 +55,40 @@ object CacheScope {
 
   /** Unpersist (blocking, so storage-empty assertions are deterministic)
     * every frame registered under `s` and run the eviction callbacks.
+    *
+    * Plan-identical frames are REFERENCE-COUNTED across sessions (r13,
+    * found by the sf0.01 whole-surface concurrency soak): Spark's
+    * CacheManager is keyed by canonicalized plan and shared by every
+    * `newSession()` child, so [[retain]] skips re-persisting a frame
+    * another session already cached — which meant that session's release
+    * could unpersist data a LIVE scope still depended on. For most
+    * consumers that is only a recompute; for the ordered-scan family it
+    * is a CORRECTNESS break: TiledScan collects its per-tile carry in
+    * one job and applies it in a second, relying on the cached
+    * InMemoryRelation to pin the physical partition layout between the
+    * two — an unpersist in the gap makes the main pass re-plan with
+    * freshly SAMPLED range bounds (RangePartitioner's sketch seed varies
+    * by rdd id), shifting tiles under a carry map built for the old
+    * layout (observed: q_w_rolling_corr boundary rows wrong under the
+    * 8-session soak). Release therefore skips the unpersist while any
+    * other live entry retains a plan-identical frame; the LAST scope out
+    * drops the data (CacheManager uncaches by plan, so whichever entry
+    * performs it clears the shared registration).
     */
   def release(s: SparkSession): Unit = synchronized {
     val (mine, rest) = live.partition(_.session eq s)
     live.clear()
     live ++= rest
     mine.foreach { e =>
-      try e.df.unpersist(blocking = true) catch { case _: Throwable => () }
+      val sharedElsewhere =
+        try {
+          val mySer = e.df.queryExecution.analyzed
+          rest.exists { o =>
+            (o.df eq e.df) || o.df.queryExecution.analyzed.sameResult(mySer)
+          }
+        } catch { case _: Throwable => false }
+      if (!sharedElsewhere)
+        try e.df.unpersist(blocking = true) catch { case _: Throwable => () }
       e.onRelease()
     }
   }

@@ -42,6 +42,36 @@ class CacheScopeSpec extends AnyFunSuite {
     assert(first.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("release keeps a plan-identical frame ANOTHER session still " +
+    "retains; the last scope out drops it (r13 soak fix)") {
+    // the shared-CacheManager race the sf0.01 concurrency soak caught:
+    // A caches, B's retain skips the re-persist (plan-identical hit),
+    // A releases -> before the fix the shared data vanished under B
+    // mid-operator (TiledScan's carry/main layout split)
+    val a = spark.newSession()
+    val b = spark.newSession()
+    def frame(s: org.apache.spark.sql.SparkSession) = {
+      val sq = s
+      import sq.implicits._
+      (1 to 1000).toDF("x")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("x"))
+    }
+    val fa = CacheScope.retain(frame(a))
+    fa.count()
+    val fb = CacheScope.retain(frame(b))
+    assert(fb.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    CacheScope.release(a)
+    assert(fb.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "A's release must not unpersist the frame B still retains")
+    assert(fb.count() == 1000)
+    CacheScope.release(b)
+    assert(fb.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "the last scope out must drop the shared data")
+  }
+
   test("a full dedup + indicator query pass leaves no pinned storage after release") {
     val sf = "/root/testdata/sf0.001"
     // delta vs baseline: other suites may hold their own (non-CacheScope)

@@ -46,6 +46,8 @@ class ConcurrencySpec extends AnyFunSuite {
     "q_d_group_split",        // same cascade, third consumer
     "q_e_semdedup_groups",    // vector cascade (centroid collect + CC)
     "q_w7_rsi_final",         // indicator memo (mapPartitions fold)
+    "q_w_rolling_corr",       // TiledScan family (carry/main layout split
+                              // — the r13 sf0.01 soak catch)
     "q_r_bucketed_latest_n",  // shared-catalog bucketed table (r13 lock)
     "q_r_bucketed_user_activity",
     "q_sql_tpch_q1",          // per-session temp-view registration
