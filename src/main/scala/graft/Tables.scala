@@ -132,7 +132,7 @@ object Tables {
     * a stale verdict (review r13). Unresolvable path → 0 (the scan will
     * fail with its own error).
     */
-  private def pathStamp(spark: SparkSession, path: String): Long = {
+  private[graft] def pathStamp(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getFileStatus(p).getModificationTime

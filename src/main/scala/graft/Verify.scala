@@ -59,16 +59,19 @@ object Verify {
       s"""{"embedding_dim": ${Tables.embeddingDim(spark)}}""")
     // Bound-check verdicts for the declared-no-oracle sketch twins, so
     // the correctness artifact carries green/red for them too (VERDICT
-    // r12 #5). Skipped on filtered dev runs unless a twin is requested.
+    // r12 #5). Skipped on filtered dev runs unless a twin is requested —
+    // but the file is ALWAYS (re)written (ADVICE r13): a stale
+    // approx_bounds.json left by an earlier full run must never be
+    // re-applied to a later run's fresh dumps.
     val twinWanted = only.forall(_.exists(n => n.endsWith("_approx")))
-    if (twinWanted) {
-      val rows = ApproxBounds.report(spark, sfDir, only)
+    val rows =
+      if (twinWanted) ApproxBounds.report(spark, sfDir, only)
         .map { case (n, v) =>
           s"${q(n)}: {\"bounds_ok\": ${v.ok}, \"detail\": ${q(v.detail)}}"
         }
-      Files.writeString(Paths.get(s"$outDir/approx_bounds.json"),
-        rows.mkString("{", ",", "}"))
-    }
+      else Seq.empty
+    Files.writeString(Paths.get(s"$outDir/approx_bounds.json"),
+      rows.mkString("{", ",", "}"))
     spark.stop()
   }
 }

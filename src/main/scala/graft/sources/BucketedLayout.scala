@@ -37,13 +37,25 @@ object BucketedLayout {
     * own memo, see the table in the shared catalog, and DROP+rebuild it
     * out from under the first session mid-read (found writing the r13
     * ConcurrencySpec). Build-or-reuse runs under one lock; reuse is
-    * sound because the build is deterministic from (sfDir, spec). A new
-    * JVM rebuilds (in-memory catalog does not persist table metadata —
-    * on a real deployment this is a real metastore table written by the
-    * ingest job, not per-run).
+    * sound because the build is deterministic from (sfDir, spec) AND the
+    * name now embeds the source corpus' identity: a fingerprint of the
+    * FULL sfDir string (two dirs differing only in non-alphanumeric
+    * chars no longer alias to one table) and the source file's mtime
+    * stamp (an in-place /tmp probe-corpus rewrite mints a NEW table name,
+    * so a stale bucketed layout can never serve a rewritten corpus —
+    * ADVICE r13, medium). A new JVM rebuilds (in-memory catalog does not
+    * persist table metadata — on a real deployment this is a real
+    * metastore table written by the ingest job, not per-run).
     */
   private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
   private val buildLock = new Object
+
+  /** Last built name per (prefix, sfDir): when a corpus rewrite mints a
+    * new stamped name, the superseded table is dropped so the shared
+    * warehouse does not accumulate one orphan layout per rewrite.
+    */
+  private val current =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** Idempotently persist `events` bucketed by `user_id` into [[NBuckets]]
     * buckets, each bucket ONE file sorted by `(user_id, ts, event_id)`,
@@ -89,14 +101,27 @@ object BucketedLayout {
     // enabling it is sound here and is what turns the window's Sort into
     // a no-op.
     configureBucketedScans(spark)
+    // Corpus-identity suffix (ADVICE r13, medium): fingerprint the FULL
+    // sfDir (no sanitize-aliasing across dirs) plus the source file's
+    // mtime stamp, so an in-place corpus rewrite gets a fresh table name
+    // instead of a stale memoized layout.
+    val stamp = graft.Tables.pathStamp(spark, s"$sfDir/events.parquet")
+    val fp = java.lang.Integer.toUnsignedString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$sfDir@$stamp"), 16)
     val name = namePrefix +
-      sfDir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+      sfDir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "") + "_" + fp
     // fast path outside the lock: built by this JVM and still cataloged
     if (built.contains(name) && spark.catalog.tableExists(name)) return name
     buildLock.synchronized {
       // re-check under the lock — another session may have just built it
       if (built.contains(name) && spark.catalog.tableExists(name)) name
       else {
+        // a superseded stamp's layout for the same (prefix, dir) is dead
+        // weight in the shared warehouse — drop it before building anew
+        current.get((namePrefix, sfDir)).filter(_ != name).foreach { old =>
+          spark.sql(s"DROP TABLE IF EXISTS $old")
+          built.remove(old)
+        }
         // A fresh JVM's in-memory catalog forgets the table while the
         // warehouse directory persists on disk — saveAsTable then fails
         // LOCATION_ALREADY_EXISTS. Drop any catalog entry AND the stale
@@ -115,6 +140,7 @@ object BucketedLayout {
           .mode(SaveMode.Overwrite)
           .saveAsTable(name)
         built.put(name, ())
+        current.put((namePrefix, sfDir), name)
         name
       }
     }

@@ -72,6 +72,33 @@ class CacheScopeSpec extends AnyFunSuite {
       "the last scope out must drop the shared data")
   }
 
+  test("a throwing plan-identity comparison fails CLOSED: frame stays " +
+    "cached, failure counted (r14 #4)") {
+    val a = spark.newSession()
+    val b = spark.newSession()
+    val fa = { val s = a; import s.implicits._
+      CacheScope.retain((1 to 100).toDF("x")) }
+    fa.count()
+    // plan-DISTINCT frame in another session, so release(a) must actually
+    // evaluate the comparison against a non-empty `rest`
+    val fb = { val s = b; import s.implicits._
+      CacheScope.retain((1 to 7).toDF("y")) }
+    fb.count()
+    val before = CacheScope.compareFailures.get()
+    CacheScope.compareHookForTests =
+      Some((_, _) => throw new RuntimeException("forced comparison failure"))
+    try CacheScope.release(a)
+    finally CacheScope.compareHookForTests = None
+    assert(CacheScope.compareFailures.get() == before + 1,
+      "the forced throw must be counted")
+    assert(fa.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "fail CLOSED: a frame whose shared-ness could not be determined " +
+        "must stay cached, never be unpersisted-while-possibly-shared")
+    // cleanup: drop the deliberately-leaked frame + b's scope
+    fa.unpersist(blocking = true)
+    CacheScope.release(b)
+  }
+
   test("a full dedup + indicator query pass leaves no pinned storage after release") {
     val sf = "/root/testdata/sf0.001"
     // delta vs baseline: other suites may hold their own (non-CacheScope)
