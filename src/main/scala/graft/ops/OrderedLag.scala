@@ -47,7 +47,7 @@ object OrderedLag {
 
     val prep = TiledScan.prepare(df, keyCols, orderCols, Seq(valueCol),
       memory = maxLag, nParts = nParts)
-    import prep.{carry, keyIdx, pidIdx}
+    import prep.{carry, keyIdx}
     val valIdx = prep.valIdx.head
 
     val valField = prep.inSchema(valIdx)
@@ -55,15 +55,14 @@ object OrderedLag {
       case (s, (name, _)) => s.add(name, valField.dataType, nullable = true)
     }
 
-    prep.withPid.mapPartitions { rows =>
-      var ring: scala.collection.mutable.ArrayDeque[(Seq[Any], Array[Any])] =
-        null
+    // main pass over prep.rows — the SAME RDD the carry was collected
+    // from, so the mapPartitionsWithIndex pid is the carry map's key by
+    // construction, whatever happens to the cache in between (TiledScan
+    // layout-pinning doc)
+    val out = prep.rows.mapPartitionsWithIndex { (pid, rows) =>
+      val ring = scala.collection.mutable.ArrayDeque.from(
+        carry.getOrElse[Array[(Seq[Any], Array[Any])]](pid, Array.empty))
       rows.map { r =>
-        if (ring == null) {
-          ring = scala.collection.mutable.ArrayDeque.from(
-            carry.getOrElse[Array[(Seq[Any], Array[Any])]](
-              r.getInt(pidIdx), Array.empty))
-        }
         val key = keyIdx.map(r.get)
         // ring is oldest-first with size <= maxLag; lag j = element j from
         // the newest end, valid iff its key matches
@@ -75,8 +74,9 @@ object OrderedLag {
         }
         if (ring.size == maxLag) ring.removeHead()
         ring.append((key, Array[Any](r.get(valIdx))))
-        Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) ++ lagVals)
+        Row.fromSeq(r.toSeq ++ lagVals)
       }
-    }(Encoders.row(outSchema))
+    }
+    spark.createDataset(out)(Encoders.row(outSchema))
   }
 }

@@ -53,31 +53,47 @@ object OrderedNtile {
 
     val ranged = df.repartitionByRange(nParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val pidIdx = inSchema.length
     // counts read + binning pass share ONE execution of the range shuffle
-    // (CacheScope discipline: the consuming action's driver releases)
+    // (CacheScope discipline: the consuming action's driver releases) —
+    // and, load-bearing since r14, ONE RDD instance: both jobs key tiles
+    // by partition id, so they must see the same layout even if the cache
+    // is evicted between them (TiledScan's layout-pinning doc — the same
+    // frozen-ShuffleDependency argument applies verbatim).
     val cached = graft.CacheScope.retain(ranged)
+    val rows0 = cached.rdd
 
-    // O(nParts + #keys) driver read: per-(tile, key) row counts. A key
-    // spans contiguous tiles under the range partitioner, so the result
-    // has at most #keys + nParts - 1 rows — the LIMIT bounds the driver
-    // transfer at the cap and the require turns "too many keys" into a
-    // fail-fast instead of a silent driver-memory blowup.
+    // O(nParts + #keys) driver read: per-(tile, key) row counts, emitted
+    // as one entry per contiguous same-key run (the tile is sorted, so a
+    // key is exactly one run). A key spans contiguous tiles under the
+    // range partitioner, so the result has at most #keys + nParts - 1
+    // rows — each TASK fails fast past the cap (bounding the transfer
+    // before it happens) and the driver require is the global backstop.
     val maxRows = maxKeys.toLong + nParts
-    val counts = cached
-      .groupBy((col("__pid") +: keyCols.map(col)): _*)
-      .agg(count(lit(1)).as("__c"))
-      .limit((maxRows + 1).min(Int.MaxValue).toInt)
-      .collect()
-      .map(r => (r.getInt(0), keyIdx.indices.map(i => r.get(1 + i)).toList,
-        r.getLong(1 + keyIdx.length)))
-    require(counts.length <= maxRows,
+    val capMsg =
       s"OrderedNtile: key cardinality exceeds maxKeys=$maxKeys — this op " +
         "trades a bounded driver read for tile-parallel sorting and only " +
         "makes sense for low-cardinality keys; with this many distinct " +
         "keys the plain ntile window is already parallel (or raise " +
-        "maxKeys if driver memory allows)")
+        "maxKeys if driver memory allows)"
+    val counts: Array[(Int, List[Any], Long)] =
+      rows0.mapPartitionsWithIndex { (pid, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, List[Any], Long)]
+        var cur: List[Any] = null
+        var n = 0L
+        it.foreach { r =>
+          val k = keyIdx.map(r.get).toList
+          if (k != cur) {
+            if (cur != null) buf += ((pid, cur, n))
+            require(buf.size <= maxRows, capMsg)
+            cur = k; n = 0L
+          }
+          n += 1L
+        }
+        if (cur != null) buf += ((pid, cur, n))
+        buf.iterator
+      }.collect()
+    require(counts.length <= maxRows, capMsg)
     val totals: Map[List[Any], Long] =
       counts.groupBy(_._2).map { case (k, rs) => k -> rs.map(_._3).sum }
     // rank offset of (tile, key) = rows of that key in earlier tiles
@@ -90,10 +106,10 @@ object OrderedNtile {
       }
     val bc = spark.sparkContext.broadcast((offsets, totals))
 
-    val outSchema = inSchema
-      .add("__pid", IntegerType, nullable = false)
-      .add(binCol, IntegerType, nullable = false)
-    cached.mapPartitions { rows =>
+    val outSchema = inSchema.add(binCol, IntegerType, nullable = false)
+    // binning pass over the SAME rows0 RDD the counts came from (layout
+    // pin) — the mapPartitionsWithIndex pid is the offsets map's key
+    val binned = rows0.mapPartitionsWithIndex { (pid, rows) =>
       val (offs, tots) = bc.value
       var curKey: List[Any] = null
       var local = 0L; var off = 0L; var n = 0L
@@ -101,7 +117,7 @@ object OrderedNtile {
         val k = keyIdx.map(r.get).toList
         if (k != curKey) {
           curKey = k; local = 0L
-          off = offs((r.getInt(pidIdx), k)); n = tots(k)
+          off = offs((pid, k)); n = tots(k)
         }
         local += 1
         val rank = off + local
@@ -112,7 +128,7 @@ object OrderedNtile {
           else rem + (rank - (q + 1) * rem - 1) / q + 1
         Row.fromSeq(r.toSeq :+ bin.toInt)
       }
-    }(Encoders.row(outSchema))
-      .drop("__pid")
+    }
+    spark.createDataset(binned)(Encoders.row(outSchema))
   }
 }

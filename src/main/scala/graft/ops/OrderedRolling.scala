@@ -76,7 +76,7 @@ object OrderedRolling {
       rolls.flatMap(r => Seq(r.x) ++ Option(r.y)).distinct
     val prep = TiledScan.prepare(df, keyCols, orderCols, valueCols,
       memory = memory, nParts = nParts)
-    import prep.{carry, keyIdx, pidIdx}
+    import prep.{carry, keyIdx}
     prep.valIdx.zip(valueCols).foreach { case (i, c) =>
       require(prep.inSchema(i).dataType == DoubleType,
         s"rolling value column $c must be double, got " +
@@ -96,15 +96,13 @@ object OrderedRolling {
     }
     val rollArr = rolls.toArray
 
-    prep.withPid.mapPartitions { rows =>
-      var ring: scala.collection.mutable.ArrayDeque[(Seq[Any], Array[Any])] =
-        null
+    // main pass over prep.rows — the SAME RDD the carry was collected
+    // from (TiledScan layout-pinning doc): the mapPartitionsWithIndex pid
+    // is the carry map's key by construction, eviction-proof
+    val result = prep.rows.mapPartitionsWithIndex { (pid, rows) =>
+      val ring = scala.collection.mutable.ArrayDeque.from(
+        carry.getOrElse[Array[(Seq[Any], Array[Any])]](pid, Array.empty))
       rows.map { r =>
-        if (ring == null) {
-          ring = scala.collection.mutable.ArrayDeque.from(
-            carry.getOrElse[Array[(Seq[Any], Array[Any])]](
-              r.getInt(pidIdx), Array.empty))
-        }
         val key = keyIdx.map(r.get)
         val cur = new Array[Any](rowValIdx.length)
         var c = 0
@@ -221,8 +219,9 @@ object OrderedRolling {
           if (ring.size == memory) ring.removeHead()
           ring.append((key, cur))
         }
-        Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) ++ out)
+        Row.fromSeq(r.toSeq ++ out)
       }
-    }(Encoders.row(outSchema))
+    }
+    spark.createDataset(result)(Encoders.row(outSchema))
   }
 }

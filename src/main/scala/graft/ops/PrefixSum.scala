@@ -1,8 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, IntegerType, StructType}
+import org.apache.spark.sql.types.{DecimalType, StructType}
 
 /** Distributed exact prefix sum (running total) over a globally-ordered
   * frame — WITHOUT a zero-partition window.
@@ -54,10 +53,8 @@ object PrefixSum {
 
     val ranged = df.repartitionByRange(nParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
     val midSchema = new StructType(
-      (inSchema.add("__pid", IntegerType, nullable = false)
-        .add("__within", cumType, nullable = false)).fields)
+      inSchema.add("__within", cumType, nullable = false).fields)
     val withWithin = ranged.mapPartitions { rows =>
       var acc = java.math.BigDecimal.ZERO
       rows.map { r =>
@@ -66,34 +63,47 @@ object PrefixSum {
       }
     }(Encoders.row(midSchema))
 
-    // Retained so the driver-side totals read and the main plan share ONE
+    // Retained so the driver-side totals read and the main pass share ONE
     // execution of the range shuffle + cumsum pass (CacheScope discipline:
-    // whoever drives the consuming action releases at its boundary).
+    // whoever drives the consuming action releases at its boundary) — and
+    // ONE RDD instance: both jobs key tiles by partition id, so the
+    // layout must hold even if the cache is evicted between them
+    // (TiledScan's layout-pinning doc; the frozen-ShuffleDependency
+    // argument applies verbatim).
     val cached = graft.CacheScope.retain(withWithin)
+    val rows0 = cached.rdd
+    val withinIdx = inSchema.length
 
     // O(nParts) rows to the driver: the prefix offset of tile p is the sum
     // of all tiles' totals before p (empty tiles simply never appear).
-    // Tile total = SUM of the values, NOT max(__within): with mixed-sign
-    // values the running sum is not monotone, so its max is not its last
-    // element (caught by PrefixSumSpec's mixed-sign property).
-    val totals = cached.groupBy("__pid")
-      .agg(sum(col(valueCol)).cast(cumType).as("__tile_total"))
-      .collect()
-      .map(r => (r.getInt(0), r.getDecimal(1)))
-      .sortBy(_._1)
+    // Tile total = the tile's LAST running-sum value — the cumsum over the
+    // whole tile — which is exact for mixed-sign values too (unlike
+    // max(__within), which PrefixSumSpec's mixed-sign property rejects).
+    val totals = rows0.mapPartitionsWithIndex { (pid, it) =>
+      var last: java.math.BigDecimal = null
+      it.foreach(r => last = r.getDecimal(withinIdx))
+      if (last == null) Iterator.empty
+      else Iterator.single((pid, last))
+    }.collect().sortBy(_._1)
     var running = java.math.BigDecimal.ZERO
     val offsets = totals.map { case (pid, tot) =>
       val off = running; running = running.add(tot); (pid, off)
     }
-    val offsetsDf = spark.createDataFrame(
-      java.util.Arrays.asList(offsets.map { case (p, o) =>
-        Row(p, o.setScale(scale)) }: _*),
-      new StructType().add("__pid", IntegerType, nullable = false)
-        .add("__offset", cumType, nullable = false))
+    val bc = spark.sparkContext.broadcast(offsets.toMap)
 
-    val out = cached.join(broadcast(offsetsDf), "__pid")
-      .withColumn(cumCol, (col("__offset") + col("__within")).cast(cumType))
-      .drop("__pid", "__within", "__offset")
+    // map-side offset add over the SAME rows0 RDD (layout pin) — the
+    // broadcast join on __pid this replaces carried the same values, with
+    // an extra column and a replan hazard
+    val outSchema = new StructType(
+      inSchema.add(cumCol, cumType, nullable = true).fields)
+    val summed = rows0.mapPartitionsWithIndex { (pid, it) =>
+      val off = bc.value.getOrElse(pid, java.math.BigDecimal.ZERO)
+      it.map { r =>
+        val cum = off.add(r.getDecimal(withinIdx)).setScale(scale)
+        Row.fromSeq(r.toSeq.init :+ cum)
+      }
+    }
+    val out = spark.createDataset(summed)(Encoders.row(outSchema))
     (out, running.setScale(scale))
   }
 }

@@ -73,8 +73,13 @@ class PrefixSumSpec extends AnyFunSuite {
       df, "v", "cum", Seq(col("v").desc, col("k")), 8)
     val p = got.queryExecution.executedPlan.toString
     assert(!p.contains("WindowExec"), s"PrefixSum must not plan a window:\n$p")
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
-      s"offsets should broadcast back:\n$p")
+    // r14: offsets ride a sparkContext.broadcast into a map-side add over
+    // the pinned RDD (no join at all), so the output plan is a leaf scan
+    // of that RDD — no Exchange of ANY kind may appear above it
+    assert(!p.contains("Exchange"),
+      s"offset application must be map-side over the pinned RDD:\n$p")
+    assert(got.rdd.getNumPartitions == 8,
+      "output must keep the input's distributed tiling")
     CacheScope.release(spark)
   }
 }
