@@ -25,6 +25,38 @@ object CacheScope {
       onRelease: () => Unit)
   private val live = scala.collection.mutable.ArrayBuffer.empty[Entry]
 
+  /** Session-churn guard (VERDICT r13 #3): registry entries hold STRONG
+    * session + frame references — they must, or release could not
+    * deterministically unpersist — so a caller that creates a session
+    * per request and forgets [[release]] would grow this registry (and
+    * the memo tier wired to its callbacks) without bound. There is no
+    * session-closed signal to hook (child sessions are abandoned by
+    * dropping references, and any weak-reference scheme is defeated by
+    * the entry's own frame→session strong edge), so the guard is an
+    * explicit high-water: when more than [[maxSessions]] distinct
+    * sessions hold live retains, [[retain]] auto-releases the
+    * least-recently-retaining session's whole scope, loudly. Safe by the
+    * r14 layout-pinning construction: an eviction under a still-running
+    * query is a recompute, never a wrong answer — and plan-identical
+    * frames other sessions share survive via the release refcount. Far
+    * above any legitimate concurrent fan-out (Bench/Verify use one
+    * session; the soak uses 8); a service that trips it has leaked ~64
+    * scopes and gets bounded memory plus a recompute tax instead of an
+    * OOM.
+    */
+  private[graft] val DefaultMaxSessions = 64
+  @volatile private[graft] var maxSessions: Int = DefaultMaxSessions
+
+  /** Count of high-water auto-releases (observability + probe assert). */
+  private[graft] val autoReleases =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Insertion refreshed on every retain: iteration order = least-
+    * recently-retaining session first (the auto-release victim order).
+    */
+  private val touch =
+    scala.collection.mutable.LinkedHashMap.empty[SparkSession, Unit]
+
   /** Persist `df` and register it for the next [[release]] of its session.
     * `onRelease` lets memoizing callers evict their lookup entry too.
     *
@@ -43,7 +75,26 @@ object CacheScope {
         if (df.storageLevel == StorageLevel.NONE)
           df.persist(StorageLevel.MEMORY_AND_DISK)
         else df
-      live += Entry(df.sparkSession, cached, onRelease)
+      val sess = df.sparkSession
+      live += Entry(sess, cached, onRelease)
+      touch.remove(sess)
+      touch.put(sess, ())
+      var victim = // head = least-recently-retaining; never the current one
+        if (touch.size > maxSessions) touch.keysIterator.find(_ ne sess)
+        else None
+      while (victim.isDefined) {
+        autoReleases.incrementAndGet()
+        System.err.println(
+          s"[CacheScope] more than $maxSessions sessions hold live " +
+            "retains — auto-releasing the least-recently-active " +
+            "session's scope (a caller is creating sessions without " +
+            "calling CacheScope.release at its request boundary; its " +
+            "frames recompute if still in use)")
+        releaseLocked(victim.get)
+        victim =
+          if (touch.size > maxSessions) touch.keysIterator.find(_ ne sess)
+          else None
+      }
       cached
     }
 
@@ -52,6 +103,9 @@ object CacheScope {
     */
   private[graft] def liveCount(s: SparkSession): Int =
     synchronized { live.count(_.session eq s) }
+
+  /** Test/probe hook: distinct sessions currently holding live retains. */
+  private[graft] def sessionCount: Int = synchronized { touch.size }
 
   /** Observability for [[release]]'s fail-closed path (VERDICT r13 #4 /
     * ADVICE r13): a nonzero count means plan-identity comparison threw
@@ -105,10 +159,13 @@ object CacheScope {
     * never unpersisted-while-possibly-shared — the silent-regression form
     * of the r13 race. The path logs loudly and bumps [[compareFailures]].
     */
-  def release(s: SparkSession): Unit = synchronized {
+  def release(s: SparkSession): Unit = synchronized { releaseLocked(s) }
+
+  private def releaseLocked(s: SparkSession): Unit = {
     val (mine, rest) = live.partition(_.session eq s)
     live.clear()
     live ++= rest
+    touch.remove(s)
     mine.foreach { e =>
       val sharedElsewhere =
         try {

@@ -25,8 +25,8 @@ object DedupQueries extends QueryPack {
     * onRelease — the production request-boundary posture.
     */
   private val prCanonicalCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
-      org.apache.spark.sql.DataFrame]
+    graft.Memos.register(scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      org.apache.spark.sql.DataFrame])
 
   /** Memoized q_d_winnow_incremental verdict frame per (session, dir) —
     * same pattern as [[prCanonicalCache]] (ADVICE r10, low): the builder
@@ -37,8 +37,8 @@ object DedupQueries extends QueryPack {
     * onRelease at the scope boundary.
     */
   private val winnowIncrCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
-      org.apache.spark.sql.DataFrame]
+    graft.Memos.register(scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      org.apache.spark.sql.DataFrame])
 
   /** Memoized q_d_incremental_dedup verdict frame — the same one-shot
     * gate materialization as [[winnowIncrCache]], applied to the MinHash
@@ -51,8 +51,8 @@ object DedupQueries extends QueryPack {
     * it". Evicted via onRelease at the scope boundary.
     */
   private val incrDedupCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
-      org.apache.spark.sql.DataFrame]
+    graft.Memos.register(scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      org.apache.spark.sql.DataFrame])
 
   /** The shared first stage of the whole group-collapse family: the
     * capped exact-Jaccard pair miner (n=3, tau=0.5, stop-shingle cap 64)
@@ -72,8 +72,8 @@ object DedupQueries extends QueryPack {
     * group assignment.
     */
   private val minedPairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
-      org.apache.spark.sql.DataFrame]
+    graft.Memos.register(scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      org.apache.spark.sql.DataFrame])
   private[queries] def minedPairs(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     minedPairsCache.getOrElseUpdate((s, dir), graft.ops.IterScope.noAqe(s) {
@@ -86,8 +86,8 @@ object DedupQueries extends QueryPack {
     })
 
   private val minedGroupsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
-      org.apache.spark.sql.DataFrame]
+    graft.Memos.register(scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      org.apache.spark.sql.DataFrame])
 
   /** The SKETCH-path twin of [[minedPairsCache]]/[[minedGroupsCache]]
     * (r13, census follow-up): q_d_minhash_lsh_pairs and
@@ -99,8 +99,8 @@ object DedupQueries extends QueryPack {
     * onRelease at the scope boundary; groups memoize separately on top.
     */
   private val minhashPairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
-      org.apache.spark.sql.DataFrame]
+    graft.Memos.register(scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      org.apache.spark.sql.DataFrame])
   private[queries] def minhashPairs(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     minhashPairsCache.getOrElseUpdate((s, dir), graft.ops.IterScope.noAqe(s) {
@@ -113,8 +113,8 @@ object DedupQueries extends QueryPack {
     })
 
   private val minhashGroupsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
-      org.apache.spark.sql.DataFrame]
+    graft.Memos.register(scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      org.apache.spark.sql.DataFrame])
   private[queries] def minhashGroups(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     minhashGroupsCache.getOrElseUpdate((s, dir), graft.ops.IterScope.noAqe(s) {

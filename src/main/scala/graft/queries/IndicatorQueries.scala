@@ -22,8 +22,8 @@ object IndicatorQueries extends QueryPack {
     * one full pass and three.
     */
   private val finalsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
-      org.apache.spark.sql.DataFrame]
+    graft.Memos.register(scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      org.apache.spark.sql.DataFrame])
 
   private def finals(s: SparkSession, dir: String) =
     finalsCache.getOrElseUpdate((s, dir),

@@ -26,7 +26,7 @@ object ServingQueries extends QueryPack {
     * pass instead of duplicating the fact-table scan.
     */
   private val overlayCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Memos.register(scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
 
   private def overlay(s: SparkSession, dir: String): DataFrame =
     overlayCache.getOrElseUpdate((s, dir),

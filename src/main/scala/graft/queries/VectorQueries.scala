@@ -32,7 +32,7 @@ object VectorQueries extends QueryPack {
     * Columns: doc_id, r_dense, r_bm25, rrf; ≤20 rows.
     */
   private val fusedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Memos.register(scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
 
   private def fusedTop20(s: SparkSession, dir: String): DataFrame =
     fusedCache.getOrElseUpdate((s, dir),
@@ -47,7 +47,7 @@ object VectorQueries extends QueryPack {
     * the selection cascade. Evicted by CacheScope.release.
     */
   private val mmrCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Memos.register(scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
 
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al., k=60) of a
     * sparse BM25 leg and a dense cosine leg — the standard RAG first-stage

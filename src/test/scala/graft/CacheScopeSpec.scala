@@ -99,6 +99,42 @@ class CacheScopeSpec extends AnyFunSuite {
     CacheScope.release(b)
   }
 
+  test("session high-water auto-releases the least-recently-active scope " +
+    "(churn guard, r14 #3)") {
+    val saved = CacheScope.maxSessions
+    val sessions = (1 to 5).map(_ => spark.newSession())
+    val evicted = scala.collection.mutable.Set.empty[Int]
+    try {
+      CacheScope.maxSessions = 3
+      val auto0 = CacheScope.autoReleases.get()
+      val frames = sessions.zipWithIndex.map { case (s, i) =>
+        val sq = s
+        import sq.implicits._
+        // plan-distinct per session (distinct literal count) so refcount
+        // sharing can't mask the eviction
+        val f = CacheScope.retain((1 to (100 + i)).toDF("x"),
+          onRelease = () => evicted += i)
+        f.count()
+        f
+      }
+      assert(CacheScope.sessionCount <= 3, "cap must hold")
+      assert(CacheScope.autoReleases.get() == auto0 + 2,
+        "two oldest scopes auto-released")
+      assert(evicted == Set(0, 1), s"oldest-first victims, got $evicted")
+      assert(frames(0).storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE,
+        "evicted scope's frame must be unpersisted")
+      assert(frames(4).storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE,
+        "the newest scope must stay cached")
+      // an evicted session still works — recompute, not a wrong answer
+      assert(frames(0).count() == 100)
+    } finally {
+      CacheScope.maxSessions = saved
+      sessions.foreach(CacheScope.release)
+    }
+  }
+
   test("a full dedup + indicator query pass leaves no pinned storage after release") {
     val sf = "/root/testdata/sf0.001"
     // delta vs baseline: other suites may hold their own (non-CacheScope)
