@@ -128,7 +128,18 @@ def main():
         if name not in oracles:
             b = bounds.get(name)
             if b is None:
-                results[name] = f"NO-ORACLE rows={len(spark_df)} (no bounds)"
+                # A no-oracle dump with no bounds verdict FAILS: every
+                # declared sketch twin gets a bounds entry from a full
+                # Verify run, so a missing entry means this dump is stale
+                # (a filtered re-run rewrote approx_bounds.json without
+                # producing this query — the symmetric half of the
+                # stale-bounds fix: otherwise a standing BOUNDS-FAIL could
+                # be laundered green by a later filtered run that leaves
+                # the failing dump in place but empties the bounds file).
+                results[name] = (f"NO-BOUNDS rows={len(spark_df)} — twin "
+                                 "dump has no bounds verdict (stale dump "
+                                 "from an earlier run? re-run full Verify "
+                                 "into a clean outDir)")
             elif b.get("bounds_ok"):
                 results[name] = (f"NO-ORACLE bounds_ok rows={len(spark_df)} "
                                  f"({b.get('detail')})")

@@ -35,8 +35,8 @@ run_probe() {
     fail=1
   fi
   echo "   ($((SECONDS - t0)) s)"
-  grep -E '^(===|CHURN-OK|CHURN-FAIL|SOAK-FAIL|DIVERGED)' "$OUT/$name.log" \
-    | tail -n 3 | sed 's/^/    /'
+  grep -E '^(===|CHURN-OK|CHURN-FAIL|SOAK-FAIL|SOAK-DIVERGED|DIVERGED)' \
+    "$OUT/$name.log" | tail -n 3 | sed 's/^/    /'
 }
 
 run_probe concurrency env SPARK_GRAFT_SF_DIR="$SF_DIR" \

@@ -35,7 +35,13 @@ object CacheScope {
     * the entry's own frame→session strong edge), so the guard is an
     * explicit high-water: when more than [[maxSessions]] distinct
     * sessions hold live retains, [[retain]] auto-releases the
-    * least-recently-retaining session's whole scope, loudly. Safe by the
+    * least-recently-RETAINING session's whole scope, loudly. Retains are
+    * the only activity signal this registry sees: a long-lived session
+    * that retained once at startup and has served reads ever since looks
+    * idle here and is evicted before leaked request-scoped sessions that
+    * retained more recently — its cost is a recompute (layout-pinned,
+    * never a wrong answer), and it can refresh its slot by re-retaining
+    * at any request boundary. Safe by the
     * r14 layout-pinning construction: an eviction under a still-running
     * query is a recompute, never a wrong answer — and plan-identical
     * frames other sessions share survive via the release refcount. Far
@@ -86,7 +92,7 @@ object CacheScope {
         autoReleases.incrementAndGet()
         System.err.println(
           s"[CacheScope] more than $maxSessions sessions hold live " +
-            "retains — auto-releasing the least-recently-active " +
+            "retains — auto-releasing the least-recently-RETAINING " +
             "session's scope (a caller is creating sessions without " +
             "calling CacheScope.release at its request boundary; its " +
             "frames recompute if still in use)")

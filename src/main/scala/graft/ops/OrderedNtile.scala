@@ -32,12 +32,15 @@ object OrderedNtile {
   /** `maxKeys` caps the driver-side (tile, key) count read: the fold in
     * step 2 holds O(#keys + nParts) rows in driver memory, which is fine
     * for the grouping keys this op exists for (single-digit event-type
-    * domains) but unbounded for an arbitrary key. The read is capped by a
-    * plan-side LIMIT (the transfer itself is bounded, not just checked
-    * after the fact) and fails fast past the cap — callers with genuinely
-    * high-cardinality keys don't need this op at all: enough distinct
-    * keys means the plain window's one-task-per-key shape is already
-    * parallel.
+    * domains) but unbounded for an arbitrary key. The TRANSFER itself is
+    * bounded, not just checked after the fact: a counts-only pre-job
+    * (O(nParts) longs to the driver — one run-count per tile, read off
+    * the same pinned cached RDD the entry job uses) fails fast when the
+    * global run total exceeds the cap, BEFORE any (tile, key) entry is
+    * collected; a per-task require backstops the entry job itself.
+    * Callers with genuinely high-cardinality keys don't need this op at
+    * all: enough distinct keys means the plain window's one-task-per-key
+    * shape is already parallel.
     */
   def withNtile(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
       buckets: Int, binCol: String, nPartsOpt: Option[Int] = None,
@@ -62,12 +65,6 @@ object OrderedNtile {
     val cached = graft.CacheScope.retain(ranged)
     val rows0 = cached.rdd
 
-    // O(nParts + #keys) driver read: per-(tile, key) row counts, emitted
-    // as one entry per contiguous same-key run (the tile is sorted, so a
-    // key is exactly one run). A key spans contiguous tiles under the
-    // range partitioner, so the result has at most #keys + nParts - 1
-    // rows — each TASK fails fast past the cap (bounding the transfer
-    // before it happens) and the driver require is the global backstop.
     val maxRows = maxKeys.toLong + nParts
     val capMsg =
       s"OrderedNtile: key cardinality exceeds maxKeys=$maxKeys — this op " +
@@ -75,6 +72,32 @@ object OrderedNtile {
         "makes sense for low-cardinality keys; with this many distinct " +
         "keys the plain ntile window is already parallel (or raise " +
         "maxKeys if driver memory allows)"
+    // Counts-only pre-job: one run-count long per tile to the driver —
+    // trivially bounded at O(nParts) — so the cap fails fast BEFORE any
+    // (tile, key) entry is materialized or shipped. A per-task require
+    // alone cannot bound the SUM across tasks (each task sees only its
+    // own runs: nParts tasks could each stay under the cap while the
+    // collect receives nParts x maxRows entries — the blowup the removed
+    // plan-side LIMIT used to bound). Reads the same pinned cached RDD as
+    // the entry job, so the extra pass is a cache scan, and the layouts
+    // agree by construction.
+    val runCounts: Array[Long] = rows0.mapPartitionsWithIndex { (_, it) =>
+      var runs = 0L
+      var cur: List[Any] = null
+      it.foreach { r =>
+        val k = keyIdx.map(r.get).toList
+        if (k != cur) { runs += 1L; cur = k }
+      }
+      Iterator.single(runs)
+    }.collect()
+    require(runCounts.sum <= maxRows, capMsg)
+
+    // O(nParts + #keys) driver read: per-(tile, key) row counts, emitted
+    // as one entry per contiguous same-key run (the tile is sorted, so a
+    // key is exactly one run). A key spans contiguous tiles under the
+    // range partitioner, so the result has at most #keys + nParts - 1
+    // rows. The pre-job above already bounded the global total; the
+    // per-task require is defense-in-depth only.
     val counts: Array[(Int, List[Any], Long)] =
       rows0.mapPartitionsWithIndex { (pid, it) =>
         val buf = scala.collection.mutable.ArrayBuffer

@@ -122,6 +122,34 @@ object BucketedLayout {
           spark.sql(s"DROP TABLE IF EXISTS $old")
           built.remove(old)
         }
+        // ... and so are orphans left by PREVIOUS JVMs: the in-memory
+        // `current` map dies with its JVM, but warehouse directories
+        // persist, so a corpus rewrite + restart would otherwise strand
+        // one stale layout per (rewrite x restart). Sweep the warehouse
+        // for same-base names with a different stamp, sparing any name a
+        // live same-JVM memo owns (two dirs can sanitize to one base and
+        // must not clobber each other's current layout). Sequential-JVM
+        // only, like every plain-parquet rewrite here (single
+        // maintenance-writer contract, SCALE.md).
+        val base = namePrefix +
+          sfDir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "") + "_"
+        val wh = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"))
+        val whFs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (whFs.exists(wh)) {
+          val liveNames = current.values.toSet + name
+          whFs.listStatus(wh).iterator
+            .filter(_.isDirectory)
+            .map(_.getPath.getName)
+            .filter(n => n.startsWith(base) &&
+              n.drop(base.length).matches("[0-9a-f]+") &&
+              !liveNames.contains(n))
+            .foreach { orphan =>
+              spark.sql(s"DROP TABLE IF EXISTS $orphan")
+              built.remove(orphan)
+              whFs.delete(new org.apache.hadoop.fs.Path(wh, orphan), true)
+            }
+        }
         // A fresh JVM's in-memory catalog forgets the table while the
         // warehouse directory persists on disk — saveAsTable then fails
         // LOCATION_ALREADY_EXISTS. Drop any catalog entry AND the stale

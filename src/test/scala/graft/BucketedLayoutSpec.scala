@@ -101,4 +101,51 @@ class BucketedLayoutSpec extends AnyFunSuite {
       .orderBy("user_id").collect()
     assert(bucketed.toSeq == plain.toSeq)
   }
+
+  test("corpus rewrite mints a fresh stamped table and sweeps superseded " +
+      "and cross-JVM orphan layouts (ADVICE r13 medium + r14 review)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bl_stamp")
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val dst = tmp.resolve("events.parquet")
+    java.nio.file.Files.copy(src, dst)
+    try {
+      val t1 = sources.BucketedLayout.ensureEventsByUser(spark, tmp.toString)
+      assert(spark.catalog.tableExists(t1))
+      val n1 = spark.table(t1).count()
+
+      // Plant a fake orphan "left by a previous JVM": a warehouse dir
+      // matching this corpus' (prefix, sanitized-dir) base with a stamp
+      // no live memo owns — exactly what an earlier JVM's build leaves
+      // behind after an in-place rewrite + restart.
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val base = t1.reverse.dropWhile(_ != '_').reverse // name minus stamp
+      val orphan = new org.apache.hadoop.fs.Path(wh, base + "deadbeef")
+      fs.mkdirs(orphan)
+
+      // In-place corpus rewrite: same path, new mtime → new stamp.
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(dst).toMillis + 73000))
+      val t2 = sources.BucketedLayout.ensureEventsByUser(spark, tmp.toString)
+      assert(t2 != t1,
+        "a rewritten corpus must mint a NEW stamped table name")
+      assert(spark.table(t2).count() == n1)
+      // the superseded same-JVM layout is dropped (catalog + warehouse)…
+      assert(!spark.catalog.tableExists(t1))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(wh, t1)),
+        "superseded layout's warehouse dir must be dropped")
+      // …and the cross-JVM orphan is swept by the same build
+      assert(!fs.exists(orphan),
+        "orphan layout dir from a previous JVM must be swept on build")
+      // the sf0.001 layout other tests use is untouched (different base)
+      val tMain = sources.BucketedLayout.ensureEventsByUser(spark, dir)
+      assert(spark.catalog.tableExists(tMain))
+      spark.sql(s"DROP TABLE IF EXISTS $t2")
+    } finally {
+      java.nio.file.Files.deleteIfExists(dst)
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
 }

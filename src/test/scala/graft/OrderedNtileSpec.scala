@@ -53,8 +53,9 @@ class OrderedNtileSpec extends AnyFunSuite {
 
   test("maxKeys cap fails fast on high-cardinality keys instead of an " +
       "unbounded driver read (ADVICE r9)") {
-    // 300 distinct keys against maxKeys=64: the plan-side LIMIT bounds
-    // the transfer and the require turns it into a visible error
+    // 300 distinct keys against maxKeys=64: the counts-only pre-job
+    // (O(nParts) longs) trips the cap before any (tile, key) entry is
+    // shipped, turning the over-cap case into a visible error
     val df = (0 until 900).map(i => (s"k${i % 300}", i.toLong, i * 0.5))
       .toDF("key", "seq", "value")
     val e = intercept[IllegalArgumentException] {
