@@ -11,6 +11,12 @@ exactly (reporting max float deltas when not bit-equal).
 Dev-only tool: NOT part of the shipped library (driver-side python env).
 """
 import json, sys, glob, os
+# Arrow's bundled jemalloc/mimalloc pool can fail small mallocs with a
+# spurious ArrowMemoryError from fragmentation across a ~215-query sweep
+# (observed r14: deterministic 1-3 MB malloc failures with >120 GB free,
+# gone with the system allocator). Must be set before Arrow initializes
+# its default pool, i.e. before the pandas/pyarrow imports below.
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 import duckdb
 import pandas as pd
 import numpy as np
