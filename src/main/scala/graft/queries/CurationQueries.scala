@@ -668,11 +668,23 @@ object CurationQueries extends QueryPack {
             .select(col("doc_id"), col("lang"), explode(grams(2)).as("gram"))
             .select(col("doc_id"), col("lang"),
               pmod(rolling_hash(col("gram")), lit(B)).as("bucket")))
-        val ct = h.where(col("lang") === "en")
-          .groupBy("bucket").agg(count(lit(1)).as("c_t"))
-        val cr = h.groupBy("bucket").agg(count(lit(1)).as("c_r"))
-        val nt = ct.agg(sum("c_t").as("n_t"))
-        val nr = cr.agg(sum("c_r").as("n_r"))
+        // r14 optimization (guide §2.4): the target (ct) and raw (cr)
+        // bucket counts are ONE conditional-count pass over the retained
+        // gram frame instead of two (count(when lang='en') ≡ the old
+        // ct-left-join's COALESCE(c_t, 0): a bucket with no en rows counts
+        // 0 either way); the B-row result is retained so the totals and
+        // the log-ratio table read 1024 cached rows instead of re-scanning
+        // the corpus-sized gram cache — 5 gram-cache passes → 2. The
+        // totals fold into ONE agg; nullif(n_t, 0) reproduces the old
+        // empty-target-slice null exactly (sum over the empty ct was
+        // NULL), so the degenerate no-en corpus keeps its oracle-matched
+        // all-null scores.
+        val bc = graft.CacheScope.retain(
+          h.groupBy("bucket").agg(
+            count(lit(1)).as("c_r"),
+            count(when(col("lang") === "en", lit(1))).as("c_t")))
+        val tot = bc.agg(nullif(sum("c_t"), lit(0L)).as("n_t"),
+          sum("c_r").as("n_r"))
         // Engine-exact score: the log-ratio is quantized to integer
         // MICRO-units (floor(x·1e6 + .5) — away-from-zero-consistent on
         // both engines), so the per-doc Σ c·lr is exact long arithmetic.
@@ -680,11 +692,10 @@ object CurationQueries extends QueryPack {
         // aggregation order varies run to run, and a score landing on a
         // round-4 boundary flipped its last digit against the oracle
         // (caught in round 5's full sweep).
-        val lr = cr.join(ct, Seq("bucket"), "left")
-          .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+        val lr = bc.crossJoin(broadcast(tot))
           .select(col("bucket"),
             floor(log(
-              ((coalesce(col("c_t"), lit(0L)) + 1L) * (col("n_r") + B))
+              ((col("c_t") + 1L) * (col("n_r") + B))
                 .cast("double") /
               ((col("c_r") + 1L) * (col("n_t") + B)).cast("double"))
               * 1e6 + 0.5).cast("long").as("lr6"))
@@ -695,11 +706,19 @@ object CurationQueries extends QueryPack {
         // differently — one cell did at sf0.1. Integer-rounding first and
         // dividing the resulting 4-decimal integer by 10000.0 gives both
         // engines the same correctly-rounded double, boundary or not.
-        h.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
-          .join(broadcast(lr), "bucket")
+        // r14 optimization (guide §2.4): score in ONE doc_id shuffle — the
+        // broadcast log-ratio join moves BELOW the aggregation (map-side
+        // hash join on the gram rows; every h bucket exists in lr, so the
+        // inner join keeps every row), and the old two-level
+        // (doc_id, bucket) → doc_id aggregate collapses to one partial-agg
+        // pass: Σ_buckets c·lr6 ≡ Σ_rows lr6 exactly (integer micro-unit
+        // sums — associative, order-free), n_feat ≡ the plain row count.
+        // 2 exchanges → 1, and the shuffle carries per-doc partials either
+        // way.
+        h.join(broadcast(lr), "bucket")
           .groupBy("doc_id")
-          .agg(sum("c").as("n_feat"),
-            sum(col("c") * col("lr6")).as("__s6"))
+          .agg(count(lit(1)).as("n_feat"),
+            sum(col("lr6")).as("__s6"))
           .withColumn("__r4", expr(
             "CASE WHEN __s6 >= 0 THEN (__s6 + 50) div 100 " +
               "ELSE -((-__s6 + 50) div 100) END"))

@@ -696,8 +696,13 @@ object Relational extends QueryPack {
         // source days can hit one target twice, so a second distinct on
         // (user, target) guards it). Never a per-day self-join, never a
         // window buffering user sets.
-        val au = Tables(s, dir, "events")
-          .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        // r14 optimization (guide §2.4/§5): the distinct presence frame
+        // feeds THREE consumers (dau, max-day, the ×7 explode) — retained,
+        // they read one cached collapse instead of three scan+distinct
+        // passes (AQE stage reuse caught only plan-identical prefixes;
+        // the cache makes the sharing explicit and survives replanning).
+        val au = graft.CacheScope.retain(Tables(s, dir, "events")
+          .select(to_date(col("ts")).as("d"), col("user_id")).distinct())
         val dau = au.groupBy("d").agg(count(lit(1)).as("dau"))
         val maxD = au.agg(max(col("d")).as("max_d"))
         val wau = au

@@ -201,6 +201,11 @@ object VectorSearch extends Serializable {
     // (q_e_ivf_trained_topk: 1.47 s uncached vs 1.66 s cached). Callers
     // whose training input embeds real per-row compute (pqTopKTrained's
     // subspace slices) retain it THEMSELVES so the work runs once.
+    // r14: the refinement loop is an ITERATIVE section on a fixed
+    // O(nCells·dim) agg shape — AQE's per-stage materialization jobs are
+    // serial driver walls with nothing to re-plan (IterScope contract,
+    // same trade as the CC loop; measured 19 → ~13 jobs on the PQ twin).
+    graft.ops.IterScope.noAqe(vecs.sparkSession) {
     var cents = seedCentroids(vecs, idCol, vecCol, nCells)
     if (cents.isEmpty) return cents // empty slice: nothing to refine
     for (_ <- 0 until iters) {
@@ -218,6 +223,7 @@ object VectorSearch extends Serializable {
       cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
     }
     cents
+    }
   }
 
   // ---- PQ (product quantization) ANN ------------------------------------
@@ -275,20 +281,60 @@ object VectorSearch extends Serializable {
     val dim = qv.length
     require(dim % 2 == 0, s"PQ with 2 subspaces needs an even dim, got $dim")
     val half = dim / 2
-    // Each subspace's training loop drives (1 seed + iters) eager jobs
-    // over its SLICED view of the corpus — retaining the slices runs the
-    // per-row slice work once and serves every later pass from cache
-    // (measured r8: q_e_pq_trained_topk 3.4 s → 2.1-2.9 s). Contrast with
-    // trainCentroids' own doc: a bare parquet-column input is NOT worth
-    // caching; a computed input is.
-    val v0 = graft.CacheScope.retain(
-      vecs.select(col(idCol), slice(col(vecCol), 1, half).as(vecCol)))
-    val v1 = graft.CacheScope.retain(
-      vecs.select(col(idCol), slice(col(vecCol), half + 1, half).as(vecCol)))
-    val t0 = trainCentroids(v0, idCol, vecCol, nCodes, iters)
-    val t1 = trainCentroids(v1, idCol, vecCol, nCodes, iters)
+    // r14 optimization (guide §2.4/§1.2): the two subspace trainings are
+    // independent Lloyd loops over the SAME corpus rows — fused, each
+    // round is ONE scan + ONE (subspace, cell, pos)-keyed partial-agg
+    // shuffle + ONE O(2·nCodes·dim/2) collect instead of two serial
+    // per-subspace loops (and one seed collect of full vectors, sliced on
+    // the driver, replaces two). Per-subspace math is unchanged: every
+    // (sub, cell, pos) mean averages exactly the rows the split loops
+    // averaged, and the float32 quantization absorbs partial-agg
+    // summation-order ulps exactly as before (trainCentroids contract).
+    // The r8 slice caches disappear with the second pass over them —
+    // the fused round reads the bare parquet vector column, which
+    // trainCentroids' own doc measured FASTER than a computed cache.
+    // Training rounds are an ITERATIVE section on a fixed O(nCodes·dim)
+    // agg shape — AQE's per-stage materialization jobs are pure serial
+    // driver walls here (IterScope contract; the CC loop trade).
+    val (cb0F, cb1F) = graft.ops.IterScope.noAqe(vecs.sparkSession) {
+    val seeds = seedCentroids(vecs, idCol, vecCol, nCodes)
+    var cb0 = seeds.map { case (id, v) => (id, v.slice(0, half)) }
+    var cb1 = seeds.map { case (id, v) => (id, v.slice(half, dim)) }
+    if (seeds.nonEmpty) {
+      for (_ <- 0 until iters) {
+        val assigned = vecs
+          .withColumn("__c0", graft.functions.VectorExpressions.best_cell(
+            slice(col(vecCol), 1, half), cb0.map(_._2), cb0.map(_._1)))
+          .withColumn("__c1", graft.functions.VectorExpressions.best_cell(
+            slice(col(vecCol), half + 1, half), cb1.map(_._2), cb1.map(_._1)))
+        val means = assigned
+          .select(col("__c0"), col("__c1"),
+            posexplode(col(vecCol)).as(Seq("pos", "v")))
+          .select(
+            when(col("pos") < half, lit(0)).otherwise(lit(1)).as("sub"),
+            when(col("pos") < half, col("__c0")).otherwise(col("__c1"))
+              .as("cell"),
+            when(col("pos") < half, col("pos")).otherwise(col("pos") - half)
+              .as("p"),
+            col("v"))
+          .groupBy("sub", "cell", "p").agg(avg(col("v")).as("m"))
+          .collect() // O(2 * nCodes * dim/2)
+        def upd(cb: Array[(Long, Array[Float])], sub: Int) = {
+          val m = means.filter(_.getInt(0) == sub)
+            .groupBy(_.getLong(1))
+            .map { case (cell, rs) =>
+              cell -> rs.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat)
+            }
+          cb.map { case (id, old) => (id, m.getOrElse(id, old)) }
+        }
+        cb0 = upd(cb0, 0)
+        cb1 = upd(cb1, 1)
+      }
+    }
+    (cb0, cb1)
+    }
     pqTopKWith(vecs, query, idCol, vecCol, k, rerank,
-      t0.map(_._1), t0.map(_._2), t1.map(_._2))
+      cb0F.map(_._1), cb0F.map(_._2), cb1F.map(_._2))
   }
 
   /** PQ encode/ADC/rerank against explicit per-subspace codebooks (seeded
