@@ -1151,7 +1151,13 @@ object CurationQueries extends QueryPack {
     def z(wv: Array[Double]) =
       lit(wv(0)) * col("x0") + lit(wv(1)) * col("x1") +
         lit(wv(2)) * col("x2") + lit(wv(3)) * col("x3")
-    val rows = (1 to QfSteps).map { step =>
+    // r14: the GD steps are an ITERATIVE section — 2 serial 1-row aggs per
+    // step over the retained feature frame, a fixed shape AQE can only
+    // slow down with per-stage materialization walls (IterScope contract,
+    // the Lloyd/CC trade). Weights and report rows are identical: the
+    // quantized long sums are order-free by construction.
+    val rows = graft.ops.IterScope.noAqe(feats.sparkSession) {
+      (1 to QfSteps).map { step =>
       val p = lit(1.0) / (lit(1.0) + exp(-z(w)))
       val err = col("y").cast("double") - p
       def q(j: Int) =
@@ -1180,6 +1186,7 @@ object CurationQueries extends QueryPack {
       (step, w(0), w(1), w(2), w(3),
         (longAt(m, 1) / 1000000.0) / nd,
         longAt(m, 0).toDouble / nd)
+      }
     }
     (rows, w)
   }

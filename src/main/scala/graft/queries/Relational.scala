@@ -134,10 +134,15 @@ object Relational extends QueryPack {
           col("event_id"),
           pmod(col("user_id"), lit(1024L)).as("x"),
           (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("y"))
-        val morton = expr(
-          """aggregate(sequence(0, 10), 0L, (a, i) ->
-            |  a + shiftleft(shiftright(x, i) & 1, 2*i)
-            |    + shiftleft(shiftright(y, i) & 1, 2*i + 1))""".stripMargin)
+        // r14 (guide §4 / expression choice): the bit interleave is
+        // UNROLLED into 22 shift/mask terms — plain codegen'd integer
+        // arithmetic — instead of an aggregate() higher-order function,
+        // which is CodegenFallback (interpreted per row) and allocates a
+        // sequence array per row. Identical long value by construction.
+        val morton = (0 to 10).map(i =>
+          shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i) +
+            shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+          .reduce(_ + _)
         val m = base.withColumn("morton", morton)
         val files = m.select(lit("zorder").as("layout"),
             shiftright(col("morton"), 17).as("file_id"), col("x"), col("y"))

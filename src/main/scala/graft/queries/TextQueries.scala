@@ -395,7 +395,11 @@ object TextQueries extends QueryPack {
             explode(expr("filter(split(trim(text), '\\\\s+'), t -> t <> '')"))
               .as("tok")))
         val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        val totN = vocab.agg(sum("cnt").as("n_total"))
+        // r14 (guide §2.4): Σ vocab counts ≡ the plain row count of the
+        // retained token frame — same long value, one partial-count cache
+        // pass instead of re-deriving vocab (cache scan + tok exchange +
+        // two agg levels) just to sum it.
+        val totN = toks.agg(count(lit(1)).as("n_total"))
         toks.join(broadcast(vocab), "tok")
           .crossJoin(broadcast(totN))
           .groupBy("doc_id")

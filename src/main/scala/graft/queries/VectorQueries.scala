@@ -959,21 +959,31 @@ object VectorQueries extends QueryPack {
           .groupBy("label", "half", "pos")
           .agg(avg(col("v").cast("double")).cast("float").cast("double")
             .as("m"))
-        val vecs = parts.groupBy("label", "half")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m)))," +
-            " x -> x.m)").as("cvec"))
-        val counts = e.groupBy(col("label"),
-            pmod(col("vec_id"), lit(2L)).as("half"))
-          .agg(count(lit(1)).as("cnt"))
-        val h0 = vecs.where(col("half") === 0)
-          .select(col("label"), col("cvec").as("v0"))
-        val h1 = vecs.where(col("half") === 1)
-          .select(col("label"), col("cvec").as("v1"))
-        val n0 = counts.where(col("half") === 0)
-          .select(col("label"), col("cnt").as("n_even"))
-        val n1 = counts.where(col("half") === 1)
-          .select(col("label"), col("cnt").as("n_odd"))
-        h0.join(h1, "label").join(n0, "label").join(n1, "label")
+        // r14 optimization (guide §2.4): both cohort centroids fold out of
+        // ONE label-keyed aggregate via conditional collect_list (nulls
+        // are skipped, so each list carries exactly its half's (pos, m)
+        // rows), and the two count branches fold into one conditional-sum
+        // pass — 4 filtered branches + 3 joins become 2 aggregates + 1
+        // join. The both-halves-present filter (non-empty centroid
+        // arrays) reproduces the old inner joins' row set exactly: a
+        // half's centroid array is empty iff that (label, half) cohort
+        // had no rows, the same condition that dropped the label before.
+        val vecs = parts.groupBy("label")
+          .agg(
+            expr("transform(array_sort(collect_list(" +
+              "CASE WHEN half = 0 THEN struct(pos, m) END)), x -> x.m)")
+              .as("v0"),
+            expr("transform(array_sort(collect_list(" +
+              "CASE WHEN half = 1 THEN struct(pos, m) END)), x -> x.m)")
+              .as("v1"))
+        val counts = e.groupBy(col("label"))
+          .agg(
+            sum(when(pmod(col("vec_id"), lit(2L)) === 0, 1L).otherwise(0L))
+              .as("n_even"),
+            sum(when(pmod(col("vec_id"), lit(2L)) === 1, 1L).otherwise(0L))
+              .as("n_odd"))
+        vecs.join(counts, "label")
+          .where(size(col("v0")) > 0 && size(col("v1")) > 0)
           .select(col("label"), col("n_even"), col("n_odd"),
             (round(cosine_sim(col("v0"), col("v1")), 6) + lit(0.0))
               .as("cos_sim"))
