@@ -535,10 +535,39 @@ object NearDup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30): DataFrame = {
     // Materialize the pair list ONCE: the symmetric union below reads it
-    // twice, and upstream miners (inverted-index joins) are far too
-    // expensive to evaluate per reference (measured 2x60s+ at 10x scale).
+    // twice (loop path), and upstream miners (inverted-index joins) are
+    // far too expensive to evaluate per reference (measured 2x60s+ at 10x
+    // scale).
     val p = graft.CacheScope.retain(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    // r14 (guide §3.1/§5 — collect the side that FITS, loop over the one
+    // that doesn't): a dedup pair list is the heavily-filtered residue of
+    // the mining stage — orders of magnitude smaller than the corpus —
+    // and the label-propagation loop pays ~2 serial driver-wall jobs per
+    // round regardless of size. Below a bounded pair count, collect the
+    // pairs and run union-find on the driver: the SAME memory class as a
+    // broadcast-join build side (the default, 2M pairs, is ≲200 MB
+    // transient vs Spark's own 8 GB broadcast cap), one collect job
+    // instead of O(log diameter) join/checkpoint rounds, and the result
+    // is the identical unique fixpoint (group_id = component min). Above
+    // the threshold — the genuine 100 TB posture, where the pair list
+    // itself is distributed-scale — the loop below runs unchanged. The
+    // count that gates the choice doubles as the cache-materialization
+    // action the loop path always needed (under AQE: the upstream miner
+    // is a one-shot analytic plan that benefits from runtime coalescing).
+    val nPairs = p.count()
+    val driverMax =
+      try p.sparkSession.conf.get("spark.graft.cc.maxDriverEdges",
+        "2000000").toLong
+      catch { case _: NumberFormatException => 2000000L }
+    val integralIds = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      Seq(p.schema("src").dataType, p.schema("dst").dataType).forall {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    if (integralIds && nPairs <= driverMax) return driverUnionFind(p)
     val edges = graft.CacheScope.retain(
       p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
@@ -615,6 +644,41 @@ object NearDup {
         "pair threshold feeding this collapse")
     labels
     }
+  }
+
+  /** Bounded-size CC: union-find over the collected pair list (gated by
+    * `spark.graft.cc.maxDriverEdges` in [[connectedComponents]]). Union
+    * attaches the larger root under the smaller with path halving, so
+    * every root — and therefore every label — is the component MINIMUM:
+    * the same unique fixpoint min-label propagation converges to,
+    * independent of pair order. Output dtype is restored to the input id
+    * dtype so consumers see the loop path's exact schema.
+    */
+  private def driverUnionFind(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val idType = p.schema("src").dataType
+    val arr = p.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    arr.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val out = parent.keys.toArray.sorted.map(n => (n, find(n))).toSeq
+    out.toDF("node", "group_id")
+      .select(col("node").cast(idType).as("node"),
+        col("group_id").cast(idType).as("group_id"))
   }
 
   /** SimHash near-dup pairs: `bitsPerBand`-bit band buckets on the 31-bit
