@@ -701,26 +701,29 @@ object Relational extends QueryPack {
         // source days can hit one target twice, so a second distinct on
         // (user, target) guards it). Never a per-day self-join, never a
         // window buffering user sets.
-        // r14 optimization (guide §2.4/§5): the distinct presence frame
-        // feeds THREE consumers (dau, max-day, the ×7 explode) — retained,
-        // they read one cached collapse instead of three scan+distinct
-        // passes (AQE stage reuse caught only plan-identical prefixes;
-        // the cache makes the sharing explicit and survives replanning).
-        val au = graft.CacheScope.retain(Tables(s, dir, "events")
-          .select(to_date(col("ts")).as("d"), col("user_id")).distinct())
-        val dau = au.groupBy("d").agg(count(lit(1)).as("dau"))
-        val maxD = au.agg(max(col("d")).as("max_d"))
-        val wau = au
+        // r14 optimization, second cut (guide §2.4): ONE linear chain.
+        // The first r14 cut retained the distinct collapse for its three
+        // consumers (dau, max-day, ×7 explode) and joined their results;
+        // this folds all three into the explode chain itself — each
+        // (user, day) coverage row carries a presence flag (off = 0), so
+        // dau = Σ present and wau7 = the group count fall out of the SAME
+        // day-level aggregate. `dau > 0` keeps exactly the days the old
+        // dau-side inner join kept (a day is in dau iff ≥1 user present),
+        // and the old max-day guard was redundant after that join (every
+        // activity day is ≤ the max activity day). 2 joins + 1 agg branch
+        // + the cache round-trip → 0 joins, one pass, no retained frame.
+        Tables(s, dir, "events")
+          .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
           .select(col("user_id"),
             explode(sequence(lit(0), lit(6))).as("off"), col("d"))
-          .select(col("user_id"), date_add(col("d"), col("off")).as("day"))
-          .distinct()
-          .join(broadcast(maxD), col("day") <= col("max_d"))
-          .groupBy("day").agg(count(lit(1)).as("wau7"))
-        dau.join(wau, dau("d") === wau("day"))
+          .groupBy(col("user_id"), date_add(col("d"), col("off")).as("day"))
+          .agg(max(when(col("off") === 0, 1).otherwise(0)).as("present"))
+          .groupBy("day")
+          .agg(sum(col("present")).as("dau"), count(lit(1)).as("wau7"))
+          .where(col("dau") > 0)
           // date32 parquet reads back as python date objects while the
           // DuckDB side lands as datetime64 — emit TIMESTAMP on both
-          .select(col("d").cast("timestamp").as("day"), col("dau"),
+          .select(col("day").cast("timestamp").as("day"), col("dau"),
             col("wau7"))
       },
       Some("""WITH au AS (

@@ -205,18 +205,28 @@ object SqlQueries extends QueryPack {
         // plan shape as q_a_active_users (distinct presence collapse, then
         // a bounded x7 explode) — only the lateral-sequence syntax differs
         // per dialect, so the oracle carries DuckDB's unnest(range(7)).
+        // r14 (guide §2.4): ONE linear chain instead of three references
+        // to the inlined `au` CTE (dau branch, cov branch, MAX(d) scalar
+        // subquery — Spark inlines CTEs, so each was its own scan+distinct
+        // subtree) joined at the end. The ×7 explode groups per
+        // (user, day) carrying a presence flag (off = 0), so dau =
+        // Σ present and wau7 = the group count fall out of the SAME
+        // day-level aggregate; `HAVING dau > 0` keeps exactly the days
+        // the old dau-side inner join kept (a day is in dau iff ≥1 user
+        // was present), and the old `day <= MAX(d)` guard was redundant
+        // after that join (every dau day is ≤ the max activity day).
+        // 3 au subtrees + 2 joins + 1 subquery → 1 subtree, 0 joins.
         s.sql(
           """WITH au AS (
             |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
-            |dau AS (SELECT d, COUNT(*) AS dau FROM au GROUP BY d),
-            |cov AS (
-            |  SELECT DISTINCT user_id, date_add(d, off) AS day
-            |  FROM au CROSS JOIN (SELECT explode(sequence(0, 6)) AS off) offs),
-            |wau AS (
-            |  SELECT day, COUNT(*) AS wau7 FROM cov
-            |  WHERE day <= (SELECT MAX(d) FROM au) GROUP BY day)
-            |SELECT CAST(dau.d AS TIMESTAMP) AS day, dau.dau, wau.wau7
-            |FROM dau JOIN wau ON dau.d = wau.day""".stripMargin)
+            |uc AS (
+            |  SELECT user_id, date_add(d, off) AS day,
+            |    MAX(CASE WHEN off = 0 THEN 1 ELSE 0 END) AS present
+            |  FROM au CROSS JOIN (SELECT explode(sequence(0, 6)) AS off) offs
+            |  GROUP BY user_id, date_add(d, off))
+            |SELECT CAST(day AS TIMESTAMP) AS day, SUM(present) AS dau,
+            |  COUNT(*) AS wau7
+            |FROM uc GROUP BY day HAVING SUM(present) > 0""".stripMargin)
       },
       Some("""WITH au AS (
              |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
