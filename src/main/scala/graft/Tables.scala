@@ -177,15 +177,35 @@ object Tables {
   /** The driver testdata ships ONE row group per file, so a bare scan is
     * one task no matter how many cores the session has — per-row map work
     * (JSON parse, language-ID, MinHash/SimHash/LSH signatures) and
-    * map-side partial aggregation would run 1-of-32. Round-robin
-    * repartition to the session parallelism when the file is below one
-    * default split (decided from file size — no plan materialization).
-    * On a real deployment inputs span many row groups (partitions ≫
-    * cores) and this is a no-op; Catalyst still pushes filters through
-    * Repartition into the scan.
+    * map-side partial aggregation would run 1-of-32. Repartition to the
+    * session parallelism when the file is below one default split
+    * (decided from file size — no plan materialization). On a real
+    * deployment inputs span many row groups (partitions ≫ cores) and
+    * this is a no-op; Catalyst still pushes filters through the
+    * repartition into the scan.
+    *
+    * r14 (guide §2.5): the spread key is `xxhash64(<table id column>)`,
+    * not round-robin. A keyless `repartition(n)` first SORTS the whole
+    * scan task's output (`spark.sql.execution.sortBeforeRepartition`,
+    * deliberately left on — turning it off risks row loss/duplication
+    * under fetch-failure retries, SPARK-38388) — measured 1.6 s vs 0.9 s
+    * for a bare lineitem pass at sf0.1, paid by every consumer of every
+    * small table. Hashing the table's id column is deterministic per ROW
+    * (retry- and speculation-stable without any sort; re-proven by
+    * RetryProbe), spreads as evenly as round-robin for unique ids, and —
+    * unlike hashing all columns — keeps column pruning below the
+    * exchange intact (only the id column is pinned into the shuffle).
     */
   private val sizeCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+
+  /** Unique-id spread column per table (see maybeParallelize). */
+  private val spreadKey = Map(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", "events" -> "event_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
 
   private def maybeParallelize(spark: SparkSession, df: DataFrame,
       path: String): DataFrame = {
@@ -202,9 +222,15 @@ object Tables {
         .getContentSummary(p).getLength
       catch { case _: java.io.IOException => Long.MaxValue }
     })
-    if (bytes < 32L * 1024 * 1024)
-      df.repartition(spark.sparkContext.defaultParallelism)
-    else df
+    if (bytes < 32L * 1024 * 1024) {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val n = spark.sparkContext.defaultParallelism
+      val name = path.split('/').last.stripSuffix(".parquet")
+      spreadKey.get(name).filter(df.columns.contains) match {
+        case Some(k) => df.repartition(n, xxhash64(col(k)))
+        case None => df.repartition(n) // unknown table: round-robin
+      }
+    } else df
   }
 
   /** Register every table as a temp view (so `spark.sql` text mirrors the
