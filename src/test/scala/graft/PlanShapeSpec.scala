@@ -58,8 +58,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"standing and delta partials must come from ONE scan pass:\n$p")
     // two-level decomposable aggregation: (side, key) partials then the
     // key merge — at most 2 key-bounded hash exchanges, map-side partial
-    // aggregation ahead of each
-    val exCount = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // aggregation ahead of each. The Tables small-file parallelize step
+    // (r14: hash on the table id, printed REPARTITION_BY_NUM) is the
+    // declared scan-spread, not an operator shuffle — excluded.
+    val exCount = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !l.contains("REPARTITION_BY_NUM"))
     assert(exCount <= 2,
       s"merge==recompute shape needs at most 2 hash exchanges (O(#keys) " +
         s"each), got $exCount:\n$p")
@@ -117,7 +121,11 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("normalized dedup: one exchange on the hash, no extra sort shuffles") {
     val p = plan("q_d_norm_dedup")
-    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // the Tables parallelize exchange (REPARTITION_BY_NUM) is the scan
+    // spread, not part of the operator's shuffle budget (r14)
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !l.contains("REPARTITION_BY_NUM"))
     assert(exchanges == 1,
       s"canonicalize+hash should shuffle exactly once, saw $exchanges:\n$p")
   }
