@@ -1151,41 +1151,54 @@ object CurationQueries extends QueryPack {
     def z(wv: Array[Double]) =
       lit(wv(0)) * col("x0") + lit(wv(1)) * col("x1") +
         lit(wv(2)) * col("x2") + lit(wv(3)) * col("x3")
-    // r14: the GD steps are an ITERATIVE section — 2 serial 1-row aggs per
-    // step over the retained feature frame, a fixed shape AQE can only
-    // slow down with per-stage materialization walls (IterScope contract,
-    // the Lloyd/CC trade). Weights and report rows are identical: the
+    // r14: the GD steps are an ITERATIVE section — serial 1-row aggs over
+    // the retained feature frame, a fixed shape AQE can only slow down
+    // with per-stage materialization walls (IterScope contract, the
+    // Lloyd/CC trade). Weights and report rows are identical: the
     // quantized long sums are order-free by construction.
-    val rows = graft.ops.IterScope.noAqe(feats.sparkSession) {
-      (1 to QfSteps).map { step =>
+    // r14 second cut (guide §1.2 — fewer passes): step k's metrics and
+    // step k+1's gradient both evaluate at the SAME weight vector (the
+    // post-update w), so they fuse into ONE corpus pass — 2·steps serial
+    // aggregate walls become steps+1 (6 → 4 for the 3-step fit). The
+    // last step's fused gradient sums are computed and discarded (same
+    // pass either way). Every summand expression is unchanged.
+    def qg(j: Int) = {
       val p = lit(1.0) / (lit(1.0) + exp(-z(w)))
       val err = col("y").cast("double") - p
-      def q(j: Int) =
-        floor(err * col(s"x$j") * lit(1000000.0) + lit(0.5)).cast("long")
-      val g = feats.agg(sum(q(0)).as("s0"), sum(q(1)).as("s1"),
-        sum(q(2)).as("s2"), sum(q(3)).as("s3")).head()
-      // zero-row slice: sums are null and n is 0 — the gradient of an
-      // empty corpus is 0, weights stay put (DegenerateProbe)
-      def longAt(r: org.apache.spark.sql.Row, j: Int): Long =
-        if (r.isNullAt(j)) 0L else r.getLong(j)
-      val nd = math.max(n, 1L).toDouble
-      var j = 0
-      while (j < 4) {
-        w(j) = w(j) + QfLr * ((longAt(g, j) / 1000000.0) / nd)
-        j += 1
-      }
-      // metrics with the UPDATED weights: exact correct count +
-      // micro-unit log-loss sum (same order-free discipline)
-      val p2 = lit(1.0) / (lit(1.0) + exp(-z(w)))
-      val lossMicro = floor(-(col("y").cast("double") * log(p2)
-        + (lit(1.0) - col("y").cast("double")) * log(lit(1.0) - p2))
-        * lit(1000000.0) + lit(0.5)).cast("long")
-      val m = feats.agg(
-        sum(((z(w) > lit(0.0)) === (col("y") === 1)).cast("long")).as("c"),
-        sum(lossMicro).as("l")).head()
-      (step, w(0), w(1), w(2), w(3),
-        (longAt(m, 1) / 1000000.0) / nd,
-        longAt(m, 0).toDouble / nd)
+      floor(err * col(s"x$j") * lit(1000000.0) + lit(0.5)).cast("long")
+    }
+    def longAt(r: org.apache.spark.sql.Row, j: Int): Long =
+      if (r.isNullAt(j)) 0L else r.getLong(j)
+    val nd = math.max(n, 1L).toDouble
+    val rows = graft.ops.IterScope.noAqe(feats.sparkSession) {
+      // gradient at the initial weights (zero-row slice: sums are null
+      // and n is 0 — the gradient of an empty corpus is 0, weights stay
+      // put; DegenerateProbe)
+      var g = feats.agg(sum(qg(0)).as("s0"), sum(qg(1)).as("s1"),
+        sum(qg(2)).as("s2"), sum(qg(3)).as("s3")).head()
+      var gOff = 0 // column offset of the gradient sums within `g`
+      (1 to QfSteps).map { step =>
+        var j = 0
+        while (j < 4) {
+          w(j) = w(j) + QfLr * ((longAt(g, gOff + j) / 1000000.0) / nd)
+          j += 1
+        }
+        // metrics with the UPDATED weights (exact correct count +
+        // micro-unit log-loss sum, same order-free discipline) FUSED
+        // with the next step's gradient at those same weights
+        val p2 = lit(1.0) / (lit(1.0) + exp(-z(w)))
+        val lossMicro = floor(-(col("y").cast("double") * log(p2)
+          + (lit(1.0) - col("y").cast("double")) * log(lit(1.0) - p2))
+          * lit(1000000.0) + lit(0.5)).cast("long")
+        val m = feats.agg(
+          sum(((z(w) > lit(0.0)) === (col("y") === 1)).cast("long")).as("c"),
+          sum(lossMicro).as("l"),
+          sum(qg(0)).as("s0"), sum(qg(1)).as("s1"),
+          sum(qg(2)).as("s2"), sum(qg(3)).as("s3")).head()
+        g = m; gOff = 2
+        (step, w(0), w(1), w(2), w(3),
+          (longAt(m, 1) / 1000000.0) / nd,
+          longAt(m, 0).toDouble / nd)
       }
     }
     (rows, w)

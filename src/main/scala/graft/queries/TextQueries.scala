@@ -645,8 +645,12 @@ object TextQueries extends QueryPack {
             explode(split(trim(col("text")), "\\s+")).as("term"))
           .where(col("term") =!= "")
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("term")
-          .agg(countDistinct(col("doc_id")).as("df"))
+        // r14 (guide §2.3): tf is distinct per (doc_id, term) BY
+        // CONSTRUCTION (it is the group key), so document frequency is a
+        // plain row count per term — countDistinct(doc_id) planned an
+        // Expand + an extra aggregation level to dedupe rows that are
+        // already unique. Identical df values.
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("term"))
         tf.join(dfreq, "term")

@@ -49,3 +49,32 @@ object A2Probe {
     spark.stop()
   }
 }
+// (appended variants live in A2Probe2 to avoid editing main above)
+object A2Probe2 {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      val t1 = System.nanoTime(); f
+      val t2 = System.nanoTime()
+      println(f"$name%-40s run1 ${(t1 - t0) / 1e9}%6.2f  run2 ${(t2 - t1) / 1e9}%6.2f")
+    }
+    time("range 100k hll 0.01, 5 groups") {
+      spark.range(100000).selectExpr("id % 5 AS g", "id % 1000 AS u")
+        .groupBy("g").agg(approx_count_distinct(col("u"), 0.01)).collect()
+    }
+    time("range 100k hll 0.01, 1 group agg") {
+      spark.range(100000).selectExpr("id % 1000 AS u")
+        .agg(approx_count_distinct(col("u"), 0.01)).collect()
+    }
+    time("range 10M hll 0.01, 5 groups") {
+      spark.range(10000000).selectExpr("id % 5 AS g", "id % 1000 AS u")
+        .groupBy("g").agg(approx_count_distinct(col("u"), 0.01)).collect()
+    }
+    spark.stop()
+  }
+}
