@@ -321,20 +321,31 @@ object SqlQueries extends QueryPack {
       //      (64-way parallel), plus the broadcast offset join. Decimal
       //      addition is associative and exact, so offset+within is
       //      bit-equal to the single-window cumsum on both engines.
+      // r14 (guide §2.4/§7.2): the bucket cut's MIN/MAX and the share's
+      // grand total used to be FOUR scalar subqueries — Spark plans each
+      // as its own full orders scan + rev aggregation + SinglePartition
+      // exchange (the AQE-final plan showed orders aggregated to rev 4x;
+      // ReuseSubquery did not dedupe the two textually-identical MAXes).
+      // One `ext` CTE computes mx/mn/tot in a single 1-row pass over rev
+      // and rides a broadcast cross join; tot = CAST(SUM(rev) AS DOUBLE)
+      // equals the old direct orders total EXACTLY (DECIMAL addition is
+      // associative — per-customer sums re-sum to the same decimal before
+      // the one cast). 5 orders passes → 3 (b-side rev, bs-side rev, ext).
       """WITH rev AS (
         |  SELECT o_custkey,
         |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
         |  FROM orders GROUP BY o_custkey),
-        |b AS (
-        |  SELECT o_custkey, rev,
-        |    CAST(LEAST(63.0, GREATEST(0.0, FLOOR(
-        |      64.0 * (CAST((SELECT MAX(rev) FROM rev) AS DOUBLE)
-        |              - CAST(rev AS DOUBLE))
-        |      / GREATEST(1e-9,
-        |          CAST((SELECT MAX(rev) FROM rev) AS DOUBLE)
-        |          - CAST((SELECT MIN(rev) FROM rev) AS DOUBLE))))) AS INT)
-        |      AS bkt
+        |ext AS (
+        |  SELECT CAST(MAX(rev) AS DOUBLE) AS mx, CAST(MIN(rev) AS DOUBLE) AS mn,
+        |    CAST(SUM(rev) AS DOUBLE) AS tot
         |  FROM rev),
+        |b AS (
+        |  SELECT o_custkey, rev, tot,
+        |    CAST(LEAST(63.0, GREATEST(0.0, FLOOR(
+        |      64.0 * (mx - CAST(rev AS DOUBLE))
+        |      / GREATEST(1e-9, mx - mn)))) AS INT)
+        |      AS bkt
+        |  FROM rev CROSS JOIN ext),
         |bs AS (
         |  SELECT bkt, SUM(rev) AS brev
         |  FROM b GROUP BY bkt ORDER BY bkt LIMIT 64),
@@ -344,16 +355,14 @@ object SqlQueries extends QueryPack {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0
         |  FROM bs),
         |cum AS (
-        |  SELECT b.o_custkey, b.rev,
+        |  SELECT b.o_custkey, b.rev, b.tot,
         |    o.off0 + SUM(b.rev) OVER (PARTITION BY b.bkt
         |      ORDER BY b.rev DESC, b.o_custkey
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM b JOIN off o ON b.bkt = o.bkt),
         |tagged AS (
         |  SELECT o_custkey, rev,
-        |    CAST(cum AS DOUBLE)
-        |      / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-        |                     AS DOUBLE) FROM orders) AS share
+        |    CAST(cum AS DOUBLE) / tot AS share
         |  FROM cum),
         |classed AS (
         |  SELECT *, CASE WHEN share <= 0.80 THEN 'A'
