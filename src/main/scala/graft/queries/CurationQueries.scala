@@ -519,19 +519,31 @@ object CurationQueries extends QueryPack {
         // fold runs in CHARACTER order on both engines (array_sort +
         // ordered aggregate = list(… ORDER BY c) + list_reduce), and the
         // final ROUND(·,6) absorbs libm ln ulps (the idf discipline).
-        // Scale shape: one explode + (doc, char) partial-agg (≤26 keys
-        // per doc collapse map-side), then a doc-keyed agg — no
-        // corpus-wide state, no window.
-        val ch = docs(s, dir)
-          .select(col("doc_id"), explode(expr(
-            "filter(split(regexp_replace(lower(text), '[^a-z]', ''), ''), c -> c <> '')"))
-            .as("c"))
-        ch.groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
-          .groupBy("doc_id")
-          .agg(sum("n").as("n_chars_az"),
-            expr("""aggregate(transform(array_sort(collect_list(struct(c, n))),
-              |  t -> CAST(t.n AS DOUBLE) * ln(t.n)), CAST(0 AS DOUBLE),
-              |  (a, b) -> a + b)""".stripMargin).as("__s"))
+        // Scale shape, r14 (guide §2.3/§2.4 — do per-row work map-side,
+        // remove the shuffle outright): the alphabet is FIXED (26
+        // letters), so each doc's per-letter counts are 26 codegen'd
+        // translate()+length() terms on the cleaned string — ZERO
+        // exchanges where the explode form shuffled one row per
+        // CHARACTER (~|corpus| rows) through a (doc, char) aggregate and
+        // a doc-keyed re-aggregate. Bit-identical entropy: the unrolled
+        // Σ runs in the same ascending character order as the old
+        // array_sort fold (chars are distinct per doc, so struct sort ==
+        // char sort), absent letters contribute an exact +0.0 (x + 0.0
+        // == x for every non-negative partial sum), and n·ln(n) is the
+        // same double expression. Docs with no [a-z] chars produced no
+        // explode rows before — the length>0 filter reproduces that.
+        val cleaned = regexp_replace(lower(col("text")), "[^a-z]", "")
+        val sTerms = ('a' to 'z').map { c =>
+          val cnt = (length(col("__az")) -
+            length(translate(col("__az"), c.toString, ""))).cast("double")
+          when(cnt > 0.0, cnt * log(cnt)).otherwise(lit(0.0))
+        }.reduce(_ + _)
+        docs(s, dir)
+          .select(col("doc_id"), cleaned.as("__az"))
+          .where(length(col("__az")) > 0)
+          .select(col("doc_id"),
+            length(col("__az")).cast("long").as("n_chars_az"),
+            sTerms.as("__s"))
           .select(col("doc_id"), col("n_chars_az"),
             (round(log(col("n_chars_az")) - col("__s") / col("n_chars_az"), 6)
               + lit(0.0)).as("entropy"))
