@@ -222,7 +222,7 @@ object SqlQueries extends QueryPack {
             |uc AS (
             |  SELECT user_id, date_add(d, off) AS day,
             |    MAX(CASE WHEN off = 0 THEN 1 ELSE 0 END) AS present
-            |  FROM au CROSS JOIN (SELECT explode(sequence(0, 6)) AS off) offs
+            |  FROM (SELECT user_id, d, explode(sequence(0, 6)) AS off FROM au)
             |  GROUP BY user_id, date_add(d, off))
             |SELECT CAST(day AS TIMESTAMP) AS day, SUM(present) AS dau,
             |  COUNT(*) AS wau7

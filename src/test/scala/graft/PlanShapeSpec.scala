@@ -225,9 +225,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_t_unigram_logprob" -> "1-row vocab-total aggregate",
     "q_t_dsir_select" -> "B=1024 bucket importance weights",
     "q_t_quality_filter_calibration" -> "1-row score-range aggregate",
-    "q_a_active_users" -> "1-row max-day scalar bounding the x7 explode",
-    "q_sql_active_users" -> "same 1-row max-day scalar via SQL scalar subquery",
-    "q_a_active_users_approx" -> "same 1-row max-day scalar, sketch twin")
+    // r14: q_{a,sql}_active_users dropped off this list — the one-chain
+    // restructure removed their max-day broadcast entirely
+    "q_a_active_users_approx" -> "1-row max-day scalar, sketch twin",
+    "q_sql_abc_pareto" -> "1-row min/max/total extremes aggregate (r14)")
 
   test("GLOBAL: no query plans a CartesianProduct, and " +
       "BroadcastNestedLoopJoin appears only at named, bounded sites") {
