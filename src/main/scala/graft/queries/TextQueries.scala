@@ -97,12 +97,18 @@ object TextQueries extends QueryPack {
     */
   private[queries] def bm25PerDoc(docs: org.apache.spark.sql.DataFrame,
       qterms: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val lens = docs
+    // r14 (guide §5 cache-when-reused): len is consumed by THREE plans
+    // (the corpus-stats aggregate, and the per-doc join in the score
+    // pass) — un-retained, each consumer re-tokenized the whole corpus
+    // to recompute size(); retained, the tokenize runs once and the
+    // cache is 2 longs per doc (the oov_rate retained-token-pass
+    // discipline). 4 corpus tokenize passes → 2 (this + the tf explode).
+    val lens = graft.CacheScope.retain(docs
       .select(col("doc_id"),
         size(expr(
           "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
           .cast("long").as("len"))
-      .where(col("len") > 0)
+      .where(col("len") > 0))
     val st = lens.agg(count(lit(1)).as("n_docs"),
       sum("len").as("tot_len"))
     val tf = docs
