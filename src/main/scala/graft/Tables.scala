@@ -30,12 +30,20 @@ object Tables {
     */
   private val MaxPlanMemo = 64
   private val planMemo =
-    new java.util.LinkedHashMap[(SparkSession, String, Long, Int),
+    new java.util.LinkedHashMap[(SparkSession, String, Long, Int, String),
         DataFrame](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String, Long, Int),
+          e: java.util.Map.Entry[(SparkSession, String, Long, Int, String),
             DataFrame]): Boolean = size > MaxPlanMemo
     }
+
+  /** Effective spread configuration (part of the plan-memo key, r15: the
+    * spread width is baked into the built plan, so a session retuning
+    * `spark.graft.spread.*` must miss the memo, not serve a stale width).
+    */
+  private def spreadConf(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.spread.chunkBytes").getOrElse("") + "|" +
+      spark.conf.getOption("spark.graft.spread.weights").getOrElse("")
 
   /** Test hook: current plan-memo population (bounded-by-construction). */
   private[graft] def planMemoSize: Int =
@@ -53,7 +61,8 @@ object Tables {
     if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
     val memoKey = (spark, path, pathStamp(spark, path),
-      if (name == "embeddings") embeddingDim(spark) else 0)
+      if (name == "embeddings") embeddingDim(spark) else 0,
+      spreadConf(spark))
     val hit = planMemo.synchronized { planMemo.get(memoKey) }
     if (hit != null) return hit
     val raw = if (name == "events") {
@@ -207,6 +216,44 @@ object Tables {
     "lineitem" -> "l_orderkey", "events" -> "event_id",
     "documents" -> "doc_id", "embeddings" -> "vec_id")
 
+  /** r15 (guide §2.1/§2.6, VERDICT r14 #1): the spread width is SIZE-AWARE
+    * instead of always `defaultParallelism`. Width = cores made task count
+    * scale linearly with cores over constant tiny data, so fixed per-task
+    * and per-stage overhead scaled with the core count — the driver's r14
+    * bench ran the whole sf0.1 suite 2.2× SLOWER at local[32] than at
+    * local[8] (162.5 s vs 72.5 s), every per-query scaling ratio < 1.
+    * Now each spread task gets a floor of `spark.graft.spread.chunkBytes`
+    * (default 1 MiB of parquet) of input, weighted by the table's per-row
+    * kernel cost class, and the width is capped at `defaultParallelism`:
+    * width grows with DATA, not with cores. A table that fits one chunk
+    * is not repartitioned at all (no exchange — a 2 KB dim table never
+    * benefits from 32 tasks). On a real deployment (inputs above one
+    * split) the whole branch is a no-op, exactly as before.
+    *
+    * The per-table weights compensate for per-ROW work that file bytes
+    * under-state: `documents` feeds shingling/MinHash/tokenize kernels
+    * (orders of magnitude more CPU per byte than a columnar aggregate),
+    * `embeddings` dense vector math, `events` JSON/regex parsing. Weights
+    * are deployment constants like [[EmbeddingDim]]; chunkBytes is conf so
+    * a cluster profile can retune without a rebuild. Measured at sf0.1
+    * (idle host, this round): bench total 119.2 s → see OPTIMIZATION_r15
+    * for the after numbers at 32 and 8 cores.
+    */
+  private val workWeight = Map(
+    "documents" -> 32L, "embeddings" -> 8L, "events" -> 4L)
+  private val DefaultSpreadChunkBytes = 1L << 20
+
+  /** Per-table weight override: `spark.graft.spread.weights` =
+    * "documents:16,events:4,..." (tables not listed fall back to
+    * [[workWeight]], then 1). One conf key so a cluster profile — or the
+    * width-sweep probe — can retune the cost classes without a rebuild.
+    */
+  private def effWeight(spark: SparkSession, name: String): Long =
+    spark.conf.getOption("spark.graft.spread.weights")
+      .flatMap(_.split(',').map(_.split(':'))
+        .collectFirst { case Array(t, w) if t.trim == name => w.trim.toLong })
+      .getOrElse(workWeight.getOrElse(name, 1L))
+
   private def maybeParallelize(spark: SparkSession, df: DataFrame,
       path: String): DataFrame = {
     // Size through the Hadoop FileSystem so hdfs:// and s3a:// paths (and
@@ -224,9 +271,14 @@ object Tables {
     })
     if (bytes < 32L * 1024 * 1024) {
       import org.apache.spark.sql.functions.{col, xxhash64}
-      val n = spark.sparkContext.defaultParallelism
       val name = path.split('/').last.stripSuffix(".parquet")
-      spreadKey.get(name).filter(df.columns.contains) match {
+      val chunk = spark.conf.getOption("spark.graft.spread.chunkBytes")
+        .map(_.toLong).getOrElse(DefaultSpreadChunkBytes)
+      val eff = bytes * effWeight(spark, name)
+      val n = math.min(spark.sparkContext.defaultParallelism.toLong,
+        math.max(1L, (eff + chunk - 1) / chunk)).toInt
+      if (n <= 1) df // one chunk of work: spreading it is pure overhead
+      else spreadKey.get(name).filter(df.columns.contains) match {
         case Some(k) => df.repartition(n, xxhash64(col(k)))
         case None => df.repartition(n) // unknown table: round-robin
       }
@@ -240,7 +292,9 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
     all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
     graft.GraftExtensions.register(spark)
-    registeredDir.synchronized { registeredDir.put(spark, sfDir) }
+    registeredDir.synchronized {
+      registeredDir.put(spark, sfDir + " " + spreadConf(spark))
+    }
   }
 
   // Weak-keyed (ADVICE r3): a strong SparkSession key would pin every
@@ -252,14 +306,19 @@ object Tables {
   /** Once-per-session view registration — `registerAll` is idempotent but
     * re-resolves ten parquet footers per call, which the q_sql_* queries
     * would otherwise pay on every execution. Tracks the CURRENT dir per
-    * session (not a seen-set): switching dirs re-registers, so views
-    * always point at the dir of the most recent call. A sentinel
-    * `tableExists` probe catches a caller dropping the temp views out
-    * from under the memo (registration is then redone, not skipped).
+    * session (not a seen-set) plus the spread conf the views were built
+    * under (r15: the spread width is baked into the registered plans, so
+    * a session retuning `spark.graft.spread.*` — the width-sweep probe —
+    * must re-register, not serve stale-width views): switching either
+    * re-registers, so views always reflect the most recent call. A
+    * sentinel `tableExists` probe catches a caller dropping the temp
+    * views out from under the memo (registration is then redone, not
+    * skipped).
     */
   def ensureRegistered(spark: SparkSession, sfDir: String): Unit = {
     val hit = registeredDir.synchronized {
-      Option(registeredDir.get(spark)).contains(sfDir)
+      Option(registeredDir.get(spark))
+        .contains(sfDir + " " + spreadConf(spark))
     }
     if (!hit || !spark.catalog.tableExists(all.head)) registerAll(spark, sfDir)
   }
