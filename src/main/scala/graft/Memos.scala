@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import scala.collection.concurrent.TrieMap
 
 /** Central registry of the per-(session, dir) memoized build-stage maps
@@ -12,14 +12,21 @@ import scala.collection.concurrent.TrieMap
   * so bounded live CacheScope sessions (the [[CacheScope.maxSessions]]
   * high-water auto-release) implies a bounded memo tier — this registry
   * is how the probe checks that implication instead of assuming it.
+  *
+  * r15: key and value types are generic (key's first component must stay
+  * the session — that is what the churn probe counts); the registry only
+  * ever reads size and the session component, so the widening changes
+  * nothing for the existing (session, dir) → DataFrame maps while
+  * letting the TiledScan layout memo and the quality-filter fit memo
+  * (richer keys, non-frame values) join the same observable tier.
   */
 object Memos {
   private val maps = scala.collection.mutable.ArrayBuffer
-    .empty[TrieMap[(SparkSession, String), DataFrame]]
+    .empty[TrieMap[_ <: (SparkSession, Any), _]]
 
-  private[graft] def register(
-      m: TrieMap[(SparkSession, String), DataFrame])
-      : TrieMap[(SparkSession, String), DataFrame] = synchronized {
+  private[graft] def register[K2, V](
+      m: TrieMap[(SparkSession, K2), V])
+      : TrieMap[(SparkSession, K2), V] = synchronized {
     maps += m
     m
   }

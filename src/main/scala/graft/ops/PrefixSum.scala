@@ -51,7 +51,14 @@ object PrefixSum {
     }
     val cumType = DecimalType(38, scale)
 
-    val ranged = df.repartitionByRange(nParts, sortCols: _*)
+    // r15 (guide §1.2 / VERDICT r14 #2): retain the INPUT before the range
+    // partitioner touches it — repartitionByRange runs a separate sampling
+    // job over its child to pick bounds, so an un-retained input subtree
+    // (here: a full per-key aggregate over the fact table) executed TWICE,
+    // once for the sample and once for the shuffle map stage. The input is
+    // an O(#keys) aggregate, so the cache is bounded like the offsets read.
+    val input = graft.CacheScope.retain(df)
+    val ranged = input.repartitionByRange(nParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val midSchema = new StructType(
       inSchema.add("__within", cumType, nullable = false).fields)

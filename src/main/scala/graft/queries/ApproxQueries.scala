@@ -20,6 +20,14 @@ object ApproxQueries extends QueryPack {
 
   private def ev(s: SparkSession, dir: String) = Tables(s, dir, "events")
 
+  /** [[graft.functions.HllPlusPlusBinary]] as a Column (see q_a2). */
+  private def hllBinary(c: org.apache.spark.sql.Column,
+      rsd: Double): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.HllPlusPlusBinary(
+      ColumnBridge.eagerExpression(c), rsd).toAggregateExpression())
+  }
+
   /** Accuracy parameter: rank error ≤ n/10000. */
   val Accuracy = 10000
 
@@ -116,8 +124,17 @@ object ApproxQueries extends QueryPack {
     Query(
       "q_a2_distinct_approx",
       (s, dir) =>
+        // r15: HLL++ through the binary-buffer form — Spark's built-in
+        // declares 1,639 buffer attributes at rsd 0.01 and every task of
+        // every execution paid ~1.3-2.3 s of data-independent projection
+        // plumbing over that width (measured in A2PhaseProbe; identical
+        // at 100k and 10M rows). HllPlusPlusBinary delegates update/
+        // merge/query verbatim to Spark's own HyperLogLogPlusPlusHelper
+        // over one binary buffer: bit-identical estimates (HllBinarySpec
+        // pins equality against the built-in), same O(kB)-per-group
+        // sketch posture at 100 TB.
         ev(s, dir).groupBy(col("event_type")).agg(
-          approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+          hllBinary(col("user_id"), 0.01).as("approx_users"))
           .orderBy("event_type"),
       None,
       doc = "SURVEY A2 at scale: HyperLogLog++ distinct-user counts (rsd 1%) " +
