@@ -20,7 +20,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // r15: shuffle width derives from DATA SIZE (SessionTuning — the
+      // reduce-side twin of the size-aware scan spread), not from the
+      // core count; $SPARK_GRAFT_CPUS still drives master/parallelism
+      // exactly as the driver contract requires.
+      .config("spark.sql.shuffle.partitions",
+        SessionTuning.shufflePartitions(sfDir, cpus.toInt))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

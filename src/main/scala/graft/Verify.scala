@@ -13,7 +13,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // r15: data-derived shuffle width (see SessionTuning/Bench)
+      .config("spark.sql.shuffle.partitions",
+        SessionTuning.shufflePartitions(sfDir, cpus.toInt))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

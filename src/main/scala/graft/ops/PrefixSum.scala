@@ -37,11 +37,18 @@ object PrefixSum {
     * the `SUM() OVER ()` whole-frame window). The input stays distributed:
     * `nParts`-way range partitioning, one pass per partition. `valueCol`
     * must be a non-null DecimalType column (aggregate outputs are).
+    * `nParts` ≤ 0 (the default) derives the tile count from the session
+    * shuffle width (r15 — data-derived via SessionTuning, so tiny
+    * inputs stop paying 32 tiles of per-task overhead); any explicit
+    * positive value is honored unchanged. Exactness holds at every
+    * width (decimal associativity — PrefixSumSpec sweeps widths).
     */
   def runningDecimalSum(df: DataFrame, valueCol: String, cumCol: String,
-      sortCols: Seq[Column], nParts: Int = 32)
+      sortCols: Seq[Column], nParts: Int = 0)
       : (DataFrame, java.math.BigDecimal) = {
     val spark = df.sparkSession
+    val width = if (nParts > 0) nParts
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val inSchema = df.schema
     val valIdx = inSchema.fieldIndex(valueCol)
     val scale = inSchema(valIdx).dataType match {
@@ -58,7 +65,7 @@ object PrefixSum {
     // once for the sample and once for the shuffle map stage. The input is
     // an O(#keys) aggregate, so the cache is bounded like the offsets read.
     val input = graft.CacheScope.retain(df)
-    val ranged = input.repartitionByRange(nParts, sortCols: _*)
+    val ranged = input.repartitionByRange(width, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val midSchema = new StructType(
       inSchema.add("__within", cumType, nullable = false).fields)
