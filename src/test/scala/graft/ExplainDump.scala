@@ -23,7 +23,10 @@ object ExplainDump {
     val outDir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r14")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // r15: mirror Bench's data-derived shuffle width so dumped plans
+      // carry the widths the bench actually runs with
+      .config("spark.sql.shuffle.partitions",
+        SessionTuning.shufflePartitions(sfDir, cpus.toInt))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
