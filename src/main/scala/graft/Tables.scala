@@ -249,10 +249,13 @@ object Tables {
     * width-sweep probe — can retune the cost classes without a rebuild.
     */
   private def effWeight(spark: SparkSession, name: String): Long =
-    spark.conf.getOption("spark.graft.spread.weights")
+    try spark.conf.getOption("spark.graft.spread.weights")
       .flatMap(_.split(',').map(_.split(':'))
         .collectFirst { case Array(t, w) if t.trim == name => w.trim.toLong })
       .getOrElse(workWeight.getOrElse(name, 1L))
+    catch { // malformed conf → built-in weights (cc.maxDriverEdges style)
+      case _: NumberFormatException => workWeight.getOrElse(name, 1L)
+    }
 
   private def maybeParallelize(spark: SparkSession, df: DataFrame,
       path: String): DataFrame = {
@@ -272,8 +275,10 @@ object Tables {
     if (bytes < 32L * 1024 * 1024) {
       import org.apache.spark.sql.functions.{col, xxhash64}
       val name = path.split('/').last.stripSuffix(".parquet")
-      val chunk = spark.conf.getOption("spark.graft.spread.chunkBytes")
-        .map(_.toLong).getOrElse(DefaultSpreadChunkBytes)
+      val chunk =
+        try spark.conf.getOption("spark.graft.spread.chunkBytes")
+          .map(_.toLong).getOrElse(DefaultSpreadChunkBytes)
+        catch { case _: NumberFormatException => DefaultSpreadChunkBytes }
       val eff = bytes * effWeight(spark, name)
       val n = math.min(spark.sparkContext.defaultParallelism.toLong,
         math.max(1L, (eff + chunk - 1) / chunk)).toInt

@@ -569,11 +569,15 @@ object NearDup {
         case _ => false
       }
     }
-    if (integralIds && driverMax < Int.MaxValue) {
+    if (integralIds && driverMax > 0) {
       import p.sparkSession.implicits._
+      // clamp: a conf above 2^31 means "always driver path when it can
+      // physically collect" — an Array can't exceed Int.MaxValue rows,
+      // so the clamp is the honest ceiling, not a behavior change
+      val lim = math.min(driverMax, (Int.MaxValue - 8).toLong).toInt
       val probe = p.select(col("src").cast("long"), col("dst").cast("long"))
-        .limit(driverMax.toInt + 1).as[(Long, Long)].collect()
-      if (probe.length <= driverMax)
+        .limit(lim + 1).as[(Long, Long)].collect()
+      if (probe.length <= lim)
         return driverUnionFind(p.sparkSession, probe,
           p.schema("src").dataType)
     }

@@ -41,8 +41,7 @@ object OrderedLag {
     require(lagSpecs.nonEmpty && lagSpecs.forall(_._2 >= 1),
       "lag distances must be >= 1")
     val spark = df.sparkSession
-    val nParts = nPartsOpt.getOrElse(
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val nParts = nPartsOpt.getOrElse(TiledScan.defaultTiles(spark))
     val maxLag = lagSpecs.map(_._2).max
 
     val prep = TiledScan.prepare(df, keyCols, orderCols, Seq(valueCol),

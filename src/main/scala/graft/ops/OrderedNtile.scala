@@ -48,8 +48,7 @@ object OrderedNtile {
     require(buckets >= 1, "buckets must be >= 1")
     require(maxKeys >= 1, "maxKeys must be >= 1")
     val spark = df.sparkSession
-    val nParts = nPartsOpt.getOrElse(
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val nParts = nPartsOpt.getOrElse(TiledScan.defaultTiles(spark))
     val inSchema = df.schema
     val keyIdx = keyCols.map(inSchema.fieldIndex)
     val sortCols = keyCols.map(col) ++ orderCols

@@ -68,8 +68,7 @@ object OrderedRolling {
       nPartsOpt: Option[Int] = None): DataFrame = {
     require(rolls.nonEmpty)
     val spark = df.sparkSession
-    val nParts = nPartsOpt.getOrElse(
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val nParts = nPartsOpt.getOrElse(TiledScan.defaultTiles(spark))
     val memory = rolls.map(r => r.frame + r.skip).max - 1
 
     val valueCols: Seq[String] =

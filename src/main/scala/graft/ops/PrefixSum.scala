@@ -47,8 +47,9 @@ object PrefixSum {
       sortCols: Seq[Column], nParts: Int = 0)
       : (DataFrame, java.math.BigDecimal) = {
     val spark = df.sparkSession
-    val width = if (nParts > 0) nParts
-      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // defaultTiles, not the raw shuffle width: the per-tile offsets read
+    // must stay a bounded driver read at any corpus size (TiledScan doc)
+    val width = if (nParts > 0) nParts else TiledScan.defaultTiles(spark)
     val inSchema = df.schema
     val valIdx = inSchema.fieldIndex(valueCol)
     val scale = inSchema(valIdx).dataType match {

@@ -1133,13 +1133,23 @@ object CurationQueries extends QueryPack {
   private def qfFitted(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, Long,
         Seq[(Int, Double, Double, Double, Double, Double, Double)],
-        Array[Double]) =
-    qfFitCache.getOrElseUpdate((s, dir), {
+        Array[Double]) = {
+    val st = qfFitCache.getOrElseUpdate((s, dir), {
       val (feats, n) = qfFeatures(s, dir,
         onRelease = () => qfFitCache.remove((s, dir)))
       val (rows, w) = qfFit(feats, n)
       (feats, n, rows, w)
     })
+    // Self-eviction guard (review r15, the TiledScan.prepare argument):
+    // if a cross-session high-water auto-release fired this scope's
+    // callbacks between the retain and the memo insert, the entry above
+    // has no live eviction hook — a released (unpersisted) feats frame
+    // after the insert means exactly that; drop the entry so it cannot
+    // outlive the scope. The returned state stays valid (recompute-safe).
+    if (st._1.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      qfFitCache.remove((s, dir))
+    st
+  }
 
   /** Weak label + min-max-centered features for the quality-filter fit;
     * returns the retained feature frame and the corpus count. The

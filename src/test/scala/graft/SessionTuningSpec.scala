@@ -20,6 +20,23 @@ class SessionTuningSpec extends AnyFunSuite {
     assert(at32 < 32, "tiny inputs must not inflate to the core count")
   }
 
+  test("mid band: width == cpus (enough data per core); scale band: bytes/256MiB") {
+    def dirOf(bytes: Long): String = {
+      val d = java.nio.file.Files.createTempDirectory("stune").toFile
+      d.deleteOnExit()
+      val f = new java.io.RandomAccessFile(new java.io.File(d, "x.parquet"), "rw")
+      try f.setLength(bytes) finally f.close() // sparse: logical length only
+      d.getAbsolutePath
+    }
+    // 200 MB: fine = 100 chunks, cap = max(cpus, 1) = cpus — the mid band
+    val mid = dirOf(200L * 1024 * 1024)
+    assert(SessionTuning.shufflePartitions(mid, 32) === 32)
+    assert(SessionTuning.shufflePartitions(mid, 8) === 8)
+    // 100 GB: cap = max(32, 400) = 400 — the guide's partition-size range
+    val big = dirOf(100L * 1024 * 1024 * 1024)
+    assert(SessionTuning.shufflePartitions(big, 32) === 400)
+  }
+
   test("smaller SF gives smaller width; unknown path falls back to cpus") {
     val big = SessionTuning.shufflePartitions("/root/testdata/sf0.1", 32)
     val small = SessionTuning.shufflePartitions("/root/testdata/sf0.001", 32)
